@@ -1,0 +1,77 @@
+"""Typed source registry — batch readers for every format the reference
+touches (SURVEY §2.1 S1, S7-S10).
+
+All readers take an explicit schema where the format is not
+self-describing; schema inference is a full extra scan the engine never
+performs on large inputs.
+
+Avro and Delta are optional runtime dependencies (spark-avro /
+delta-spark jars); readers raise a clear error when the package is
+missing rather than failing deep inside the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar lake scan (reference enriched/daily_sales_aggregation.py:10-11).
+
+    Parquet carries its own schema; Catalyst pushes filters and prunes
+    columns into the scan automatically.
+    """
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines lake scan (reference curated/data_quality.py:131-132).
+
+    The reference inferred schemas; here the schema is mandatory — an
+    inference pass over a 100 TB JSON prefix is a non-starter, and typed
+    reads catch drift at plan time instead of mid-query.
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV seed-data scan (reference streaming-source/csv_to_orders_topic.py:15
+    used pandas; the engine reads CSV distributed)."""
+    return spark.read.option("header", header).schema(schema).csv(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro CDC dump scan (reference curated/dq_kafka.py:140-141).
+
+    Requires the spark-avro package on the classpath.
+    """
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - depends on jar availability
+        raise RuntimeError(
+            "Avro reads need the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>). "
+            f"Underlying error: {exc}"
+        ) from exc
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta table scan (reference mage-programs/orders_delta_lake.py:61).
+
+    Requires delta-spark; gated so the core engine runs on vanilla Spark.
+    """
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:  # pragma: no cover - depends on jar availability
+        raise RuntimeError(
+            "Delta reads need the delta-spark package. "
+            f"Underlying error: {exc}"
+        ) from exc
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md) by name."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

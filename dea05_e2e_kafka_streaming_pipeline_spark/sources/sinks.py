@@ -1,0 +1,45 @@
+"""Partitioned lake sinks (SURVEY §2.1 S6, S11-S13).
+
+The reference writes date/region-partitioned Parquet for gold tables
+(``enriched/daily_sales_aggregation.py:29-32``) and JSON quarantine
+prefixes for failed DQ batches (``curated/data_quality.py:174``). The
+engine keeps the same Hive-style partition layout — it is what makes
+downstream partition pruning work — and bounds output file counts so a
+1000-executor write doesn't produce a million tiny files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Partitioned Parquet write.
+
+    ``maxRecordsPerFile`` caps file size at scale; Hive-style
+    ``partitionBy`` preserves downstream static/dynamic partition pruning.
+    """
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines write — quarantine / report sinks (small data only;
+    Parquet is the lake format for anything at scale)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
