@@ -1,0 +1,69 @@
+"""Debezium CDC decoding operators.
+
+The reference consumes Debezium Postgres CDC events (Avro) and flattens
+them defensively — one code path tolerates both enveloped and already-flat
+inputs (``curated/dq_kafka.py:148-165``; ``mage-programs/delta_metadata.py:56``).
+This module makes that a first-class operator:
+
+- :func:`normalize_cdc` — flatten ``after.*`` when the envelope is
+  present, pass through when not; optionally keeps CDC metadata (op,
+  ts_ms) for downstream merge logic.
+- :func:`decode_epoch_days` — ``io.debezium.time.Date`` int32
+  days-since-epoch → DATE (reference ``curated/dq_kafka.py:176-179``).
+- :func:`decode_cdc_orders` — the composed orders-entity decode:
+  flatten + epoch-date decode + decimal(10,2) amount, yielding the
+  canonical orders schema.
+
+All pure Column expressions — flattening a struct is a projection,
+so Catalyst still prunes/pushes into the scan underneath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.functions.scalars import epoch_day_to_date
+
+
+def normalize_cdc(
+    df: DataFrame,
+    keep_meta: bool = False,
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """Flatten a Debezium envelope if present; pass through flat input.
+
+    Mirrors the reference's ``if "after" in df.columns`` branch
+    (curated/dq_kafka.py:148). For delete events (``op = 'd'``) the
+    ``after`` payload is NULL — they are dropped by default (the
+    reference never handles deletes; downstream merge logic can opt in
+    via ``drop_deletes=False`` + ``keep_meta=True``).
+    """
+    if "after" not in df.columns:
+        return df
+    cols = [F.col(f"after.{f.name}").alias(f.name) for f in df.schema["after"].dataType]
+    if keep_meta:
+        cols += [F.col("op").alias("_cdc_op"), F.col("ts_ms").alias("_cdc_ts_ms")]
+    out = df
+    if drop_deletes:
+        out = out.filter(F.col("after").isNotNull())
+    return out.select(*cols)
+
+
+def decode_epoch_days(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Decode io.debezium.time.Date columns (int days since 1970-01-01)
+    in place (reference curated/dq_kafka.py:176-179)."""
+    for c in columns:
+        df = df.withColumn(c, epoch_day_to_date(c))
+    return df
+
+
+def decode_cdc_orders(df: DataFrame) -> DataFrame:
+    """Full orders CDC decode: envelope flatten → epoch-day date →
+    decimal(10,2) amount surfaced as double (the batch-path dtype,
+    reference curated/data_quality.py:12)."""
+    flat = normalize_cdc(df)
+    flat = decode_epoch_days(flat, ["order_date"])
+    return flat.withColumn(
+        "order_amount", F.col("order_amount").cast("decimal(10,2)").cast("double")
+    )

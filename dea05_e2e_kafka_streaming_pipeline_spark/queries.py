@@ -90,6 +90,122 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_daily_sales(load_orders(spark, sf_dir), load_customers(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Data-quality suite (reference curated/data_quality.py) — the engine runs
+# all completeness/accuracy checks in ONE aggregate job + one broadcast
+# anti-join for referential integrity (vs the reference's job-per-check).
+# ---------------------------------------------------------------------------
+
+# fixed future bound replaces the reference's wall-clock `current_date()`
+# (curated/dq_kafka.py:182) so the oracle comparison is reproducible
+_DQ_DATE_BOUND = "2099-01-01"
+
+
+@register(
+    "dq_orders_report",
+    oracle=f"""
+    {_ENTITY_CTES},
+    agg AS (
+      SELECT count(*) AS total,
+             CAST(SUM(CASE WHEN order_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_order_id,
+             CAST(SUM(CASE WHEN order_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_order_date,
+             CAST(SUM(CASE WHEN order_amount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_order_amount,
+             CAST(SUM(CASE WHEN customer_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_id,
+             CAST(SUM(CASE WHEN NOT (order_amount > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_amount,
+             CAST(SUM(CASE WHEN NOT (order_date <= DATE '{_DQ_DATE_BOUND}') THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+      FROM o
+    ),
+    orph AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt FROM o
+      WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.customer_id = o.customer_id)
+    ),
+    long AS (
+      SELECT 'completeness' AS check_type, 'order_id' AS check_name, total AS total_rows,
+             n_order_id AS failed_count, 5.0 AS threshold_pct FROM agg
+      UNION ALL SELECT 'completeness', 'order_date', total, n_order_date, 5.0 FROM agg
+      UNION ALL SELECT 'completeness', 'order_amount', total, n_order_amount, 5.0 FROM agg
+      UNION ALL SELECT 'completeness', 'customer_id', total, n_customer_id, 5.0 FROM agg
+      UNION ALL SELECT 'accuracy', 'positive_amount', total, v_amount, 1.0 FROM agg
+      UNION ALL SELECT 'accuracy', 'date_not_future', total, v_date, 1.0 FROM agg
+      UNION ALL SELECT 'consistency', 'orders_customer_fk', agg.total, orph.cnt, 1.0 FROM agg, orph
+    )
+    SELECT check_type, check_name, total_rows, failed_count,
+           CASE WHEN total_rows != 0
+                THEN CAST(failed_count AS DOUBLE) * 100.0 / total_rows
+                ELSE 0.0 END AS failed_pct,
+           threshold_pct,
+           CASE WHEN (CASE WHEN total_rows != 0
+                           THEN CAST(failed_count AS DOUBLE) * 100.0 / total_rows
+                           ELSE 0.0 END) < threshold_pct
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM long
+    """,
+)
+def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference curated/data_quality.py:137-157 — full DQ sweep over the
+    orders entity, folded into one scan + one broadcast anti-join."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+        DataQualityValidator,
+    )
+
+    orders = load_orders(spark, sf_dir)
+    customers = load_customers(spark, sf_dir)
+    return (
+        DataQualityValidator(orders, name="orders")
+        .check_completeness(["order_id", "order_date", "order_amount", "customer_id"])
+        .check_accuracy("positive_amount", F.col("order_amount") > 0)
+        .check_accuracy(
+            "date_not_future", F.col("order_date") <= F.lit(_DQ_DATE_BOUND).cast("date")
+        )
+        .check_consistency("orders_customer_fk", customers, "customer_id")
+        .report()
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC decode (reference curated/dq_kafka.py:148-179) — envelope round-trip:
+# wrap the orders entity in a Debezium envelope in-plan, then run the
+# engine's normalize + decode; the oracle is the identity projection.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_orders_decode",
+    oracle=f"""
+    {_ENTITY_CTES}
+    SELECT CAST(order_id AS INT) AS order_id,
+           order_date,
+           CAST(CAST(order_amount AS DECIMAL(10,2)) AS DOUBLE) AS order_amount,
+           CAST(customer_id AS INT) AS customer_id
+    FROM o
+    """,
+)
+def q_cdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope flatten + epoch-day date decode + decimal(10,2)
+    amount (reference curated/dq_kafka.py:148-179), exercised as a
+    round-trip: entity → envelope → normalize_cdc/decode → entity."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import decode_cdc_orders
+
+    orders = load_orders(spark, sf_dir)
+    enveloped = orders.select(
+        F.struct(
+            F.col("order_id").cast("int").alias("order_id"),
+            # io.debezium.time.Date: int32 days since epoch
+            F.datediff(F.col("order_date"), F.lit("1970-01-01").cast("date")).alias(
+                "order_date"
+            ),
+            F.col("order_amount").cast("decimal(10,2)").alias("order_amount"),
+            F.col("customer_id").cast("int").alias("customer_id"),
+        ).alias("after"),
+        F.lit("c").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+    )
+    return decode_cdc_orders(enveloped)
+
+
 @register(
     "customer_lifetime_value",
     oracle=f"""

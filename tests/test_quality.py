@@ -1,0 +1,146 @@
+"""DQ validator: threshold boundary semantics (FIXTURES.md §5), single-pass
+report shape, gate behavior, empty-input zero-guard."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+    DataQualityValidator,
+)
+
+
+def _orders_with_nulls(spark, n=1000, null_rate=0.0):
+    """n rows; the first round(n*null_rate) have NULL customer_id."""
+    k = round(n * null_rate)
+    return spark.range(n).select(
+        F.col("id").alias("order_id"),
+        F.when(F.col("id") >= k, F.col("id") % 50).cast("int").alias("customer_id"),
+        (F.col("id") % 100 + 1.0).alias("order_amount"),
+    )
+
+
+@pytest.mark.parametrize(
+    "null_rate,expected",
+    [(0.0, "PASS"), (0.049, "PASS"), (0.05, "FAIL"), (0.06, "FAIL")],
+)
+def test_completeness_strict_threshold(spark, null_rate, expected):
+    """PASS iff null% < 5 — strict inequality, reference data_quality.py:48."""
+    df = _orders_with_nulls(spark, 1000, null_rate)
+    report = (
+        DataQualityValidator(df)
+        .check_completeness(["customer_id"])
+        .report()
+        .collect()
+    )
+    assert len(report) == 1
+    assert report[0].status == expected
+    assert report[0].failed_count == round(1000 * null_rate)
+
+
+@pytest.mark.parametrize(
+    "viol_rate,expected", [(0.0, "PASS"), (0.009, "PASS"), (0.01, "FAIL")]
+)
+def test_accuracy_strict_threshold(spark, viol_rate, expected):
+    """PASS iff violation% < 1 — reference data_quality.py:67."""
+    n, k = 1000, round(1000 * viol_rate)
+    df = spark.range(n).select(
+        F.when(F.col("id") < k, -1.0).otherwise(10.0).alias("order_amount")
+    )
+    report = (
+        DataQualityValidator(df)
+        .check_accuracy("positive_amount", F.col("order_amount") > 0)
+        .report()
+        .collect()
+    )
+    assert report[0].status == expected
+
+
+@pytest.mark.parametrize(
+    "orphan_rate,expected", [(0.0, "PASS"), (0.009, "PASS"), (0.02, "FAIL")]
+)
+def test_consistency_orphans(spark, orphan_rate, expected):
+    n, k = 1000, round(1000 * orphan_rate)
+    # customer_id < k → orphan (dim only has ids >= k)
+    facts = spark.range(n).select((F.col("id") % 1000).cast("int").alias("customer_id"))
+    dim = spark.range(k, 1000).select(F.col("id").cast("int").alias("customer_id"))
+    report = (
+        DataQualityValidator(facts)
+        .check_consistency("fk", dim, "customer_id")
+        .report()
+        .collect()
+    )
+    assert report[0].failed_count == k
+    assert report[0].status == expected
+
+
+def test_volume_bounds(spark):
+    df = spark.range(500)
+    rows = (
+        DataQualityValidator(df)
+        .check_volume(100, 1000)
+        .check_volume(600, 1000, name="too_low")
+        .report()
+        .collect()
+    )
+    by_name = {r.check_name: r.status for r in rows}
+    assert by_name == {"row_volume": "PASS", "too_low": "FAIL"}
+
+
+def test_empty_input_no_crash(spark):
+    """Reference divides by count() with no zero-guard (data_quality.py:40-43)
+    → ZeroDivisionError on empty input. Engine yields 0% / PASS."""
+    df = spark.range(0).select(F.col("id").alias("order_id"))
+    rows = (
+        DataQualityValidator(df).check_completeness(["order_id"]).report().collect()
+    )
+    assert rows[0].failed_pct == 0.0
+    assert rows[0].status == "PASS"
+
+
+def test_null_rule_rows_not_violations(spark):
+    """A row where the rule evaluates NULL is not a violation — matches
+    the reference's filter(~rule) semantics."""
+    df = spark.createDataFrame([(None,), (5.0,), (-1.0,)], "order_amount double")
+    rows = (
+        DataQualityValidator(df)
+        .check_accuracy("positive_amount", F.col("order_amount") > 0, threshold_pct=50.0)
+        .report()
+        .collect()
+    )
+    assert rows[0].failed_count == 1  # only the -1.0 row
+
+
+def test_gate_branches(spark, tmp_path):
+    """all-PASS → curated write; any FAIL → quarantine (data_quality.py:169-175)."""
+    good = _orders_with_nulls(spark, 200, 0.0)
+    bad = _orders_with_nulls(spark, 200, 0.5)
+    for df, expect_ok, sub in [(good, True, "good"), (bad, False, "bad")]:
+        curated, quarantine = tmp_path / f"{sub}/curated", tmp_path / f"{sub}/quarantine"
+        ok = (
+            DataQualityValidator(df)
+            .check_completeness(["customer_id"])
+            .gate(
+                lambda d, p=curated: d.write.mode("overwrite").parquet(str(p)),
+                lambda d, p=quarantine: d.write.mode("overwrite").json(str(p)),
+            )
+        )
+        assert ok is expect_ok
+        assert curated.exists() is expect_ok
+        assert quarantine.exists() is (not expect_ok)
+
+
+def test_single_pass_plan(spark):
+    """All completeness+accuracy checks must fold into ONE aggregate over
+    one scan — the core scalability fix vs the reference's per-check jobs."""
+    df = _orders_with_nulls(spark, 100)
+    report = (
+        DataQualityValidator(df)
+        .check_completeness(["order_id", "customer_id", "order_amount"])
+        .check_accuracy("positive_amount", F.col("order_amount") > 0)
+        .report()
+    )
+    plan = report._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one Aggregate (all checks are conditional sums in it) and
+    # one scan — the explode happens on the 1-row aggregate output
+    assert plan.count("Aggregate") == 1
+    assert plan.count("Range") == 1
