@@ -91,6 +91,63 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-stream analytics (engine streaming layer, oracle-checked in batch
+# mode — windowed_event_stats runs identically under readStream with a
+# watermark; see streaming/pipeline.py and tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window stats by event type — the engine's
+    watermarked streaming aggregation, oracle-checked on batch input."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        windowed_event_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_event_stats(events, group_extra=["event_type"])
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH x AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user via analytic windows —
+    lag + conditional cumsum, one shuffle on user_id."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+        session_summary,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return session_summary(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Data-quality suite (reference curated/data_quality.py) — the engine runs
 # all completeness/accuracy checks in ONE aggregate job + one broadcast
 # anti-join for referential integrity (vs the reference's job-per-check).

@@ -32,6 +32,7 @@ _DEFAULT_CONFS: dict[str, str] = {
     # file sources: bound split size so a 100 TB table yields sane task counts
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
 }
 

@@ -73,5 +73,19 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md) by name."""
+    """Load one driver testdata table (TESTDATA.md) by name.
+
+    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright; read it as nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
+    convert with integer division — ns epoch values exceed double's 53-bit
+    mantissa, so ``div`` (long arithmetic), never ``/``.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

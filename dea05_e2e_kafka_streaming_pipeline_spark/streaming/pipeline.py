@@ -1,0 +1,146 @@
+"""Streaming pipelines: ingestion, DQ-gated landing, windowed analytics.
+
+The reference's ingestion loop (``ingestion/s3-orders-ingestion.py:33-83``)
+buffers records and flushes to date-partitioned JSON objects every
+``batch_size`` rows or 5 seconds, stamping ``ingest_time``. Here that is
+one continuous checkpointed query (:func:`ingest_to_lake`): micro-batch
+cadence comes from ``trigger(processingTime=...)``, batch size from the
+source's ``maxOffsetsPerTrigger``/``maxFilesPerTrigger``, and the
+date-partitioned layout plus ``ingest_time`` stamping are columns —
+exactly-once to the file sink via the checkpoint (a strict upgrade over
+the reference's at-least-once fresh-group-per-run consumer).
+
+The DQ gate (``curated/data_quality.py:169-175``, batch-only in the
+reference) becomes a ``foreachBatch`` sink (:func:`dq_gated_sink`):
+every micro-batch is validated with the single-pass
+:class:`~..operators.quality.DataQualityValidator` and routed to
+curated or quarantine.
+
+:func:`windowed_event_stats` adds watermarked tumbling-window
+aggregation — beyond reference parity (it has no event-time logic), but
+the canonical Structured Streaming capability the engine must ship.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+    DataQualityValidator,
+)
+
+
+def ingest_to_lake(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    date_column: str | None = None,
+    fmt: str = "parquet",
+    trigger_seconds: int | None = 5,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Land a stream into a date-partitioned lake prefix with
+    ``ingest_time`` stamping (reference ingestion/s3-orders-ingestion.py:33-58).
+
+    ``available_now=True`` drains everything currently available and
+    stops — the batch-backfill mode (and what tests use).
+    """
+    stamped = stream.withColumn("ingest_time", F.current_timestamp()).withColumn(
+        "date",
+        F.date_format(
+            F.col(date_column) if date_column else F.current_timestamp(),
+            "yyyy-MM-dd",
+        ),
+    )
+    writer = (
+        stamped.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def dq_gated_sink(
+    stream: DataFrame,
+    validator_builder: Callable[[DataFrame], DataQualityValidator],
+    curated_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = False,
+    trigger_seconds: int | None = 5,
+) -> StreamingQuery:
+    """Streaming DQ gate: validate each micro-batch, write passing
+    batches to curated (``fmt``), failing batches to JSON quarantine.
+
+    ``validator_builder`` receives the micro-batch DataFrame and returns
+    a configured validator, e.g.::
+
+        lambda df: DataQualityValidator(df).check_completeness([...])
+    """
+
+    def _gate(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        validator_builder(batch_df).gate(
+            lambda df: df.write.mode("append").format(fmt).save(curated_path),
+            lambda df: df.write.mode("append").json(quarantine_path),
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_event_stats(
+    stream: DataFrame,
+    ts_column: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    group_extra: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums over an event stream.
+
+    Late rows beyond ``watermark`` are dropped and window state is
+    reclaimed — the property that lets this run forever at scale.
+    Works identically on batch DataFrames (no watermark applied there),
+    which is how correctness is oracle-checked.
+    """
+    keys = [F.window(F.col(ts_column), window_duration).alias("w")] + [
+        F.col(c) for c in (group_extra or [])
+    ]
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_column, watermark)
+    return (
+        src.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *[F.col(c) for c in (group_extra or [])],
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,125 @@
+"""Streaming sources.
+
+Re-architecture of the reference's hand-rolled Python streaming layer
+(SURVEY §2.8): kafka-python producer loops (``streaming-source/*.py``) and
+a poll/buffer/flush S3 consumer (``ingestion/s3-orders-ingestion.py``)
+become declarative Structured Streaming sources:
+
+- :func:`kafka_json_stream` — the Kafka → JSON-decode path
+  (``ingestion/s3-orders-ingestion.py:22-29`` consumer +
+  ``streaming-source/csv_to_orders_topic.py:9`` producer format).
+  Checkpoint-based offset tracking replaces the reference's
+  fresh-consumer-group-per-run (which re-read the topic from the start
+  every run, at-least-once with duplicates); file sinks become
+  exactly-once.
+- :func:`file_stream` — file-based surrogate for local testing and for
+  landing-zone tailing (new JSON/parquet files under a prefix).
+- :func:`synthetic_orders_stream` / :func:`synthetic_customers_stream`
+  — the Faker generators (``streaming-source/topic_orders_streaming.py:14-21``)
+  re-expressed over the ``rate`` source with the same bounded domains
+  (ids 1-50, amounts 1-1000, dates within the last year, tenure 1-100),
+  entirely as JVM-side column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_json_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: T.StructType,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka topic of JSON messages → typed streaming DataFrame.
+
+    ``maxOffsetsPerTrigger`` bounds micro-batch size — the Spark
+    equivalent of the reference's ``poll(max_records=10)``
+    (ingestion/s3-orders-ingestion.py:66). Requires the
+    spark-sql-kafka package on the classpath; everything downstream is
+    source-agnostic, so tests exercise the same pipeline via
+    :func:`file_stream`.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r"),
+        F.col("timestamp").alias("_kafka_ts"),
+    ).select("r.*", "_kafka_ts")
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tail a landing-zone prefix for new files (test surrogate for Kafka
+    and a real source for object-store landing zones)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def _bounded_int(col, lo: int, hi: int):
+    """Uniform-ish int in [lo, hi] from a deterministic-per-row rand."""
+    return (F.pmod(col, F.lit(hi - lo + 1)) + lo).cast("int")
+
+
+def synthetic_orders_stream(
+    spark: SparkSession, rows_per_second: int = 1
+) -> DataFrame:
+    """Rate-source rewrite of the Faker orders producer
+    (streaming-source/topic_orders_streaming.py:14-21): order ids and
+    customer ids in 1-50, amounts in 1-1000, order dates within the
+    last 365 days. ``rows_per_second`` replaces the producer's
+    sleep-per-record pacing (delay=1 ⇒ 1 msg/s)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    h = F.xxhash64("value")  # deterministic per row, well-mixed
+    return rate.select(
+        _bounded_int(h, 1, 50).alias("order_id"),
+        F.date_sub(F.current_date(), _bounded_int(F.xxhash64("value", F.lit(1)), 0, 364)).alias(
+            "order_date"
+        ),
+        (F.pmod(F.xxhash64("value", F.lit(2)), F.lit(99900)) / 100.0 + 1.0).alias(
+            "order_amount"
+        ),
+        _bounded_int(F.xxhash64("value", F.lit(3)), 1, 50).alias("customer_id"),
+        F.col("timestamp").alias("event_ts"),
+    )
+
+
+def synthetic_customers_stream(
+    spark: SparkSession, rows_per_second: int = 1
+) -> DataFrame:
+    """Rate-source rewrite of the Faker customers producer
+    (streaming-source/topic_customers_streaming.py:14-22)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    cid = _bounded_int(F.xxhash64("value"), 1, 50)
+    return rate.select(
+        cid.alias("customer_id"),
+        F.concat(F.lit("customer_"), cid).alias("name"),
+        F.concat(F.lit("customer_"), cid, F.lit("@example.com")).alias("email"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in ("NORTH", "SOUTH", "EAST", "WEST", "CENTRAL")]),
+            (F.pmod(F.xxhash64("value", F.lit(1)), F.lit(5)) + 1).cast("int"),
+        ).alias("region"),
+        _bounded_int(F.xxhash64("value", F.lit(2)), 1, 100).alias(
+            "customer_tenure_days"
+        ),
+        F.col("timestamp").alias("event_ts"),
+    )

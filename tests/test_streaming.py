@@ -1,0 +1,170 @@
+"""Structured Streaming layer: checkpointed ingestion, DQ-gated sink,
+windowed aggregation streaming/batch equivalence, synthetic sources."""
+
+import time
+
+import pyspark.sql.functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+    DataQualityValidator,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.schemas import EVENTS_SCHEMA
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+    dq_gated_sink,
+    ingest_to_lake,
+    windowed_event_stats,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import (
+    file_stream,
+    synthetic_orders_stream,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _land_events_json(spark, path, where=None):
+    df = load_table(spark, SF_SMOKE, "events")
+    if where is not None:
+        df = df.filter(where)
+    df.write.mode("append").json(str(path))
+    return df.count()
+
+
+def test_ingest_to_lake_partitioned(spark, tmp_path):
+    n = _land_events_json(spark, tmp_path / "landing")
+    stream = file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA)
+    q = ingest_to_lake(
+        stream,
+        path=str(tmp_path / "lake"),
+        checkpoint=str(tmp_path / "ckpt"),
+        date_column="ts",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "lake"))
+    assert out.count() == n
+    assert "ingest_time" in out.columns and "date" in out.columns
+    # Hive-style date partitions on event time
+    days = [d.name for d in (tmp_path / "lake").iterdir() if d.name.startswith("date=")]
+    assert len(days) >= 25  # events span ~30 days
+
+
+def test_ingest_checkpoint_exactly_once(spark, tmp_path):
+    """Re-running the same query over the same checkpoint must not
+    re-ingest already-processed files (vs the reference's
+    fresh-group-per-run consumer which re-read everything)."""
+    n = _land_events_json(spark, tmp_path / "landing", F.col("event_id") < 100)
+    kwargs = dict(
+        path=str(tmp_path / "lake"),
+        checkpoint=str(tmp_path / "ckpt"),
+        date_column="ts",
+        available_now=True,
+    )
+    q = ingest_to_lake(
+        file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **kwargs
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "lake")).count() == n
+
+    # second run, same checkpoint, no new files → no new rows
+    q2 = ingest_to_lake(
+        file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **kwargs
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "lake")).count() == n
+
+    # new file arrives → only its rows are added
+    m = _land_events_json(
+        spark, tmp_path / "landing", (F.col("event_id") >= 100) & (F.col("event_id") < 150)
+    )
+    q3 = ingest_to_lake(
+        file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **kwargs
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "lake")).count() == n + m
+
+
+def test_dq_gated_sink_routes_batches(spark, tmp_path):
+    # good batch: complete events
+    _land_events_json(spark, tmp_path / "landing", F.col("user_id").isNotNull())
+    gate_kwargs = dict(
+        validator_builder=lambda df: DataQualityValidator(df).check_completeness(
+            ["user_id", "event_id"]
+        ),
+        curated_path=str(tmp_path / "curated"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q = dq_gated_sink(
+        file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **gate_kwargs
+    )
+    q.awaitTermination(120)
+    assert (tmp_path / "curated").exists()
+    assert not (tmp_path / "quarantine").exists()
+
+    # bad batch lands: 50% null user_id → quarantined, curated unchanged
+    curated_before = spark.read.parquet(str(tmp_path / "curated")).count()
+    bad = load_table(spark, SF_SMOKE, "events").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.col("user_id")),
+    )
+    bad.write.mode("append").json(str(tmp_path / "landing"))
+    q2 = dq_gated_sink(
+        file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **gate_kwargs
+    )
+    q2.awaitTermination(120)
+    assert (tmp_path / "quarantine").exists()
+    assert spark.read.parquet(str(tmp_path / "curated")).count() == curated_before
+
+
+def test_windowed_stats_stream_equals_batch(spark, tmp_path):
+    """The same windowed_event_stats plan over readStream must produce
+    the batch answer once all data is processed (complete mode)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_stats(events, group_extra=["event_type"]).collect()
+    }
+    events.write.mode("overwrite").parquet(str(tmp_path / "events_pq"))
+    stream = file_stream(
+        spark, str(tmp_path / "events_pq"), EVENTS_SCHEMA, fmt="parquet"
+    )
+    agg = windowed_event_stats(stream, group_extra=["event_type"])
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+    assert got == batch
+
+
+def test_synthetic_orders_stream_domains(spark, tmp_path):
+    q = (
+        synthetic_orders_stream(spark, rows_per_second=200)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("synth_orders")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline and len(rows) < 50:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM synth_orders").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 50
+    for r in rows:
+        assert 1 <= r.order_id <= 50
+        assert 1 <= r.customer_id <= 50
+        assert 1.0 <= r.order_amount <= 1000.0
