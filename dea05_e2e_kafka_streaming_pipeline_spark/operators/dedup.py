@@ -1,0 +1,284 @@
+"""Deduplication operators — exact and near-duplicate, designed for the
+100 TB training-data path.
+
+- :func:`dedup_exact` — hash-groupBy on a normalized fingerprint; the
+  shuffle key is a 128-bit digest, not the document body, so shuffle
+  volume is O(rows·16B) regardless of document size.
+- :func:`ngram_jaccard_pairs` — **exact** set-Jaccard over word-k-gram
+  shingles via an inverted index (explode shingle → equi-join → count
+  common → |A∪B| = |A|+|B|−common). No O(n²) cross join: cost is
+  Σ bucket² over shingle buckets. Fully SQL-expressible → oracle-checked.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash+LSH
+  banding: per-doc signature of ``num_hashes`` seeded xxhash64 minima
+  (pure column expressions, no UDF), banded into ``bands`` buckets,
+  bucket-join for candidates, exact-Jaccard verification of candidates
+  only. The scale path when even the inverted index is too hot (stop
+  shingles) — candidates are generated from band collisions instead of
+  raw shingle joins.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 64-bit SimHash
+  from token hashes (bit-vote aggregation over exploded tokens —
+  shuffle-light, built-ins only), near-dup = Hamming distance ≤ k via
+  banded equi-join on signature quarters (exact for k ≤ 3 by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+    tokens,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id representative of every exact-content group
+    (whitespace/case-normalized). Returns the kept ids + group size."""
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    return (
+        df.select(F.md5(norm).alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(id_col, "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with set-Jaccard(shingles_k) ≥ threshold — exact.
+
+    Inverted-index plan: explode distinct shingles, self-equi-join on
+    shingle (skew-prone stop-shingles are the known hazard — see
+    :func:`minhash_lsh_pairs` for the probabilistic escape hatch),
+    count common shingles per pair, then J = common / (|A|+|B|−common).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, k).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jaccard = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: element j = min over shingles of
+    xxhash64(shingle, j). Pure column expressions — num_hashes array
+    transforms inside one projection, no UDF, no shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    # NB: the lambda must take exactly ONE arg — pyspark treats a two-arg
+    # lambda in transform() as (element, index) and would silently pass
+    # the array index where the seed belongs
+    def _seeded(j: int):
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    sig = F.array(
+        *[F.array_min(F.transform("sh", _seeded(j))) for j in range(num_hashes)]
+    )
+    return sh.select("id", F.col("sh").alias("shingles"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding, with exact-Jaccard
+    verification of the candidates (so precision is exact; recall is the
+    standard 1-(1-J^r)^b curve).
+
+    Plan: signatures (no shuffle) → explode band hashes → self-join on
+    (band, hash) → distinct candidate pairs → join back shingle arrays →
+    exact Jaccard filter. Shuffle volume is bounded by band-bucket
+    collisions, not raw shingle frequency.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands
+    sh = sigs.select("id", "shingles")
+    withsets = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        withsets.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document, computed with built-ins only:
+    explode tokens → per-(doc,bit) vote = Σ ±1 by token-hash bit →
+    reassemble the sign vector into one long. One shuffle on doc id.
+
+    (The classic formulation hashes each token once and inspects its 64
+    bits; expressing the bit inspection as 64 conditional sums keeps the
+    whole operator inside whole-stage codegen.)
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming. Banding on the four
+    16-bit quarters: any pair within distance ≤ 3 shares at least one
+    exact quarter (pigeonhole), so the equi-join on quarters is a
+    complete candidate generator; the Hamming filter makes it exact."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    quarters = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "simhash", "e.q", "e.qh")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""Embedding similarity search.
+
+Two tiers over an ``array<float>`` embedding column:
+
+- :func:`cosine_topk` — exact brute-force top-k against one query
+  vector. At scale this is the *right* baseline: a single projection
+  (fold over zip_with, all JVM-side) + TakeOrderedAndProject — no
+  shuffle of the embedding column at all, partial top-k per partition,
+  k rows to the driver.
+- :func:`lsh_topk` — random-hyperplane LSH: bucket = sign bits of dot
+  products with ``n_planes`` fixed hyperplanes; search only the query's
+  bucket (optionally Hamming-adjacent buckets). Trades recall for a
+  ~2^n_planes scan reduction; the hyperplanes are deterministic
+  (seeded), so results are reproducible run-to-run.
+
+All arithmetic is in double (embeddings cast element-wise) — float32
+accumulation would make results depend on partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, computed in double."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    score = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side; tiny)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _bucket_of(vec: Column, planes: list[list[float]]) -> Column:
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    bits = None
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(v) for v in p])
+        bit = F.when(_dot(vd, pc) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        bits = term if bits is None else bits.bitwiseXOR(term)
+    return bits
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the random-hyperplane bucket id (pre-computable and
+    persistable — at 100 TB you write this column once at ingest and
+    partition the table by it)."""
+    return df.withColumn("lsh_bucket", _bucket_of(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scorer to buckets within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    # query bucket, computed driver-side (tiny, deterministic)
+    qbits = 0
+    for i, p in enumerate(planes):
+        dot = sum(float(a) * b for a, b in zip(query_vec, p))
+        if dot >= 0:
+            qbits |= 1 << i
+    probes = {qbits}
+    if probe_hamming >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(n_planes)}
+    bucketed = with_lsh_bucket(df, planes, vec_col)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(list(probes)))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

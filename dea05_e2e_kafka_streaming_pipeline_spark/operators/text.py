@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star scope (BASELINE.json): language ID, quality scoring, token
+counting, document fingerprinting over the ``documents`` table. All of it
+is pure JVM-side Column expressions (split / higher-order array functions
+/ regexp arithmetic) — no Python in the executor path, so these run at
+full whole-stage-codegen speed over 100 TB of text.
+
+Tokenization convention used across every operator (and mirrored in the
+DuckDB oracles): lowercase, split on non-alphanumeric runs, drop empty
+tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword-hit heuristic.
+# Deliberately small: the heuristic is a cheap first-pass router, not a
+# classifier; at scale a model-based scorer slots in behind the same API.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "des"),
+}
+
+_QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric tokens (empty tokens removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), "[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<string> — the unit of
+    n-gram Jaccard similarity and MinHash signatures."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def _stopword_hits(toks: Column, stops: tuple[str, ...]) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, character count, alpha ratio, stopword ratio, and a
+    composite quality score in [0,1]. One projection, no shuffle."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+        / F.greatest(n_char, F.lit(1)),
+        6,
+    )
+    stop_ratio = F.round(
+        _stopword_hits(toks, _QUALITY_STOPWORDS).cast("double")
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    # heuristic quality: enough tokens, mostly alphabetic, sane word length
+    score = F.round(
+        F.least(n_tok.cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 0.2).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_calc"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language router over :data:`LANG_STOPWORDS`, with a
+    CJK-character-ratio test for 'zh'. Deterministic tie-break: the
+    fixed en > de > es > fr priority chain (>= comparisons)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    scores = {lang: _stopword_hits(toks, sw) for lang, sw in LANG_STOPWORDS.items()}
+    cjk_ratio = F.length(F.regexp_replace(c, "[\\x00-\\x7F]", "")).cast(
+        "double"
+    ) / F.greatest(F.length(c), F.lit(1))
+    pred = (
+        F.when(cjk_ratio > 0.3, "zh")
+        .when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return df.select("*", pred.alias("lang_pred"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint — the exact-dedup
+    key and the cheap doc identity for lineage."""
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    return df.select("*", F.md5(norm).alias("fingerprint"))

@@ -91,6 +91,244 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-training-data pipeline operators over documents/embeddings
+# (north-star scope; operators/{text,dedup,similarity}.py)
+# ---------------------------------------------------------------------------
+
+# tokenization fragments shared by the DuckDB oracles (must mirror
+# operators/text.py exactly: lowercase, split on non-alphanumeric runs,
+# drop empties)
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
+)
+_DUCK_STOPS_EN = "['the','and','of','to','a','in','is','that','for','it']"
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS group_size
+    FROM documents
+    GROUP BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content md5; keeps the
+    lowest doc_id per content group. Shuffle key is the 128-bit digest,
+    never the document body."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import dedup_exact
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_stats_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             length(text) AS n_chars_calc,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(CAST(len(list_filter(toks, t -> list_contains({_DUCK_STOPS_EN}, t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS stopword_ratio,
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_token_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_chars_calc, alpha_ratio, stopword_ratio,
+           mean_token_len,
+           round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + alpha_ratio * 0.4
+                 + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                        THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+    FROM s
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring, all JVM-side expressions."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import with_text_stats
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_calc",
+        "alpha_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+@register(
+    "lang_id_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, text,
+        len(list_filter(toks, t -> list_contains({_DUCK_STOPS_EN}, t))) AS s_en,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS s_de,
+        len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t))) AS s_es,
+        len(list_filter(toks, t -> list_contains(['le','la','de','et','un','est','pour','que','dans','des'], t))) AS s_fr,
+        CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS cjk_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language router with CJK-ratio fallback."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import with_lang_id
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return with_lang_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred"
+    )
+
+
+@register(
+    "fingerprint_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint per document."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_fingerprint,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return with_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+    FROM p
+    WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram set-Jaccard near-dup pairs via inverted index
+    (explode shingle → equi-join → count common) — no O(n²) cross join."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-20 to vec_id=0's embedding: one
+    projection + TakeOrderedAndProject — partial top-k per partition,
+    no shuffle of the embedding column."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter("vec_id = 0").select("embedding").head()[0]
+    ]
+    return cosine_topk(emb, qvec, k=20)
+
+
+# rows-only checks (no SQL oracle: xxhash64-seeded signatures are not
+# reproducible in DuckDB; the driver records a weaker rows-only check and
+# tests/test_dedup.py asserts the semantics against planted duplicates)
+
+@register("minhash_lsh_pairs")
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidate pairs, exact-Jaccard verified
+    at τ=0.2 — same verified-pair semantics as ngram_jaccard_pairs but
+    with band-collision candidate generation (the 100 TB path)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register("simhash_pairs")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 3 via quarter banding."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import simhash_pairs
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_features")
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction over the binary payload
+    column (deterministic stub decoder; real Spark plumbing)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    return extract_features(synthesize_media(spark, n=200))
+
+
+# ---------------------------------------------------------------------------
 # Event-stream analytics (engine streaming layer, oracle-checked in batch
 # mode — windowed_event_stats runs identically under readStream with a
 # watermark; see streaming/pipeline.py and tests/test_streaming.py).

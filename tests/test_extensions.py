@@ -1,0 +1,177 @@
+"""LLM-pipeline operators: dedup (exact/minhash/simhash/ngram),
+similarity search, text analysis, multimodal plumbing — semantics against
+planted duplicates and known answers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+    with_lang_id,
+    with_text_stats,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the quiet river bank "
+    "while morning light settles on the water and small birds watch from the reeds"
+)
+NEAR = BASE.replace("quiet river bank", "quiet river shore")  # few-shingle edit
+FAR = (
+    "completely different content about databases indexes partitions shuffles "
+    "joins aggregations columnar storage vectorized execution and query plans"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, "  " + BASE.upper() + "  "),  # normalized dup of 0
+        (3, NEAR),  # near dup of 0
+        (4, FAR),
+        (5, FAR + " with a tiny suffix appended here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups(docs):
+    kept = {r.doc_id: r.group_size for r in dedup_exact(docs).collect()}
+    # 0,1,2 collapse to one group under case/whitespace normalization
+    assert kept[0] == 3
+    assert 1 not in kept and 2 not in kept
+    assert kept[3] == 1 and kept[4] == 1 and kept[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup_only(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.7  # near dup found
+    assert (0, 4) not in pairs  # unrelated docs not paired
+    # exact dups have jaccard 1.0
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_minhash_matches_exact_on_high_similarity(docs):
+    """LSH with 64 hashes must recover every pair the exact method finds
+    at high similarity (recall ≈ 1 for J ≥ 0.7)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    assert exact <= lsh or exact == lsh
+    # verification step makes precision exact: no pair below threshold
+    for r in minhash_lsh_pairs(docs, threshold=0.7).collect():
+        assert r.jaccard >= 0.7
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # identical token stream
+    assert (0, 4) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to query
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in got] == [0, 1]
+    assert got[0].score == 1.0
+
+
+def test_lsh_topk_recalls_exact_neighbors(spark):
+    """Multi-probe LSH top-k over clustered vectors must recover the
+    exact top-1 (same-cluster vectors land in near buckets)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = []
+    for i in range(50):
+        # half clustered near `base`, half random
+        if i % 2 == 0:
+            v = [b + rng.gauss(0, 0.05) for b in base]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact_top = cosine_topk(df, base, k=1).collect()[0].vec_id
+    approx = lsh_topk(df, base, k=5, n_planes=8, probe_hamming=1).collect()
+    assert exact_top in [r.vec_id for r in approx]
+
+
+def test_text_stats_known_values(spark):
+    df = spark.createDataFrame([(0, "The cat and the dog!")], "doc_id long, text string")
+    r = with_text_stats(df).collect()[0]
+    assert r.n_tokens == 5
+    assert r.n_chars_calc == 20
+    # stopwords hit: 'the' x2, 'and' → 3/5
+    assert r.stopword_ratio == 0.6
+    # alpha chars: 15 of 20
+    assert r.alpha_ratio == 0.75
+
+
+def test_lang_id_routes(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "der hund ist nicht in das haus und die katze"),
+        (2, "el perro es grande y la casa es bonita con un gato"),
+        (3, "le chien est dans la maison et le chat est petit"),
+        (4, "这是一个中文文档的例子没有任何英文单词"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "zh"}
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 16 for r in rows)
+    assert all(r.payload_bytes == 256 for r in rows)
+    # deterministic: same input → same features
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_multimodal_real_decoder_stub(spark):
+    media = synthesize_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decoder="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, n=30)
+    plan = frame_sample_plan(media, every_ms=100)
+    rows = plan.collect()
+    assert all(r.frame_ts_ms % 100 == 0 for r in rows)
+    one = [r for r in rows if r.media_id == 5]  # duration 165ms → frames 0,100
+    assert [r.frame_ts_ms for r in sorted(one, key=lambda x: x.frame_idx)] == [0, 100]
