@@ -73,11 +73,20 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs` for the probabilistic escape hatch),
     count common shingles per pair, then J = common / (|A|+|B|−common).
     """
+    # small-file inputs arrive as 1-2 partitions; shingle construction is
+    # the expensive step, so spread it across all cores first (the raw
+    # text shuffle is tiny relative to the compute it unlocks)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, k).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    # join on the 64-bit shingle hash, not the string: ~2.5× less shuffle
+    # volume and cheaper key comparison (collision probability over the
+    # whole corpus ~ n²/2⁶⁴ — negligible)
+    inv = sh.select(
+        "id", "n_sh", F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s")
+    )
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -110,22 +119,38 @@ def minhash_signatures(
     num_hashes: int = 64,
     k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: element j = min over shingles of
-    xxhash64(shingle, j). Pure column expressions — num_hashes array
-    transforms inside one projection, no UDF, no shuffle."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0)
-    # NB: the lambda must take exactly ONE arg — pyspark treats a two-arg
-    # lambda in transform() as (element, index) and would silently pass
-    # the array index where the seed belongs
-    def _seeded(j: int):
-        return lambda s: F.xxhash64(s, F.lit(j))
+    """Per-doc MinHash signature: element j = min over shingles of a
+    seeded hash of the shingle.
 
-    sig = F.array(
-        *[F.array_min(F.transform("sh", _seeded(j))) for j in range(num_hashes)]
+    Formulated for codegen: each shingle string is hashed ONCE
+    (xxhash64), then the ``num_hashes`` seeded variants are derived by
+    re-hashing that 8-byte value — per-seed work is long-hashing, not
+    string-hashing. The minima run as ``num_hashes`` ``min()``
+    aggregates over the exploded shingle hashes: aggregates execute
+    inside whole-stage codegen, whereas higher-order array lambdas (the
+    "obvious" transform/array_min formulation) are interpreted —
+    measured many times slower.
+
+    NB for any future lambda here: pyspark treats a two-arg lambda in
+    ``transform()`` as (element, index) — a seeded-hash closure must
+    take exactly one argument.
+    """
+    # no size>0 pre-filter: explode of an empty array emits no rows, and
+    # a filter would force the shingle expression to be evaluated twice
+    # (CollapseProject inlines it into every consumer)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_shingles(text_col, k), lambda x: F.xxhash64(x))
+        ).alias("h"),
     )
-    return sh.select("id", F.col("sh").alias("shingles"), sig.alias("sig"))
+    row = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(j))).alias(f"__m{j}") for j in range(num_hashes)]
+    )
+    return row.select(
+        "id", F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -179,7 +204,12 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    sh = sigs.select("id", "shingles")
+    # verification only needs the shingle arrays — derive them straight
+    # from the input so the expensive 64-hash signature projection is not
+    # dragged into the plan two more times
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shingles")
+    )
     withsets = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -210,6 +240,7 @@ def simhash_signatures(
     bits; expressing the bit inspection as 64 conditional sums keeps the
     whole operator inside whole-stage codegen.)
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))

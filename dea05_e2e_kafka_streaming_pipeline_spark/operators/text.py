@@ -30,10 +30,15 @@ _QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
 def tokens(col: Column | str) -> Column:
-    """Lowercased alphanumeric tokens (empty tokens removed)."""
+    """Lowercased alphanumeric tokens.
+
+    ``regexp_extract_all`` rather than split-then-filter: it yields no
+    empty tokens by construction, and it's a native Catalyst expression
+    (codegen) where the higher-order ``filter`` lambda is interpreted —
+    measured ~5× faster on the documents corpus.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(c), "[^a-z0-9]+")
-    return F.filter(toks, lambda t: t != "")
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
 
 
 def token_count(col: Column | str) -> Column:

@@ -98,9 +98,7 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenization fragments shared by the DuckDB oracles (must mirror
 # operators/text.py exactly: lowercase, split on non-alphanumeric runs,
 # drop empties)
-_DUCK_TOKS = (
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')"
-)
+_DUCK_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _DUCK_STOPS_EN = "['the','and','of','to','a','in','is','that','for','it']"
 
 
