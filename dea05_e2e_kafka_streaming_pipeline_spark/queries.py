@@ -90,6 +90,122 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_daily_sales(load_orders(spark, sf_dir), load_customers(spark, sf_dir))
 
 
+@register(
+    "daily_sales_distinct",
+    oracle=f"""
+    {_ENTITY_CTES}
+    SELECT strftime(o.order_date, '%Y-%m-%d') AS date,
+           c.region AS region,
+           count(o.order_id) AS total_orders,
+           count(DISTINCT o.customer_id) AS unique_customers_distinct
+    FROM o JOIN c USING (customer_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_daily_sales_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrected variant of the reference's `unique_customers`
+    count-not-distinct trap (SURVEY §2.4): a real countDistinct."""
+    from pyspark.sql import functions as F
+
+    return (
+        build_daily_sales(
+            load_orders(spark, sf_dir),
+            load_customers(spark, sf_dir),
+            distinct_customers=True,
+        )
+        .withColumnRenamed("unique_customers", "unique_customers_distinct")
+        .select("date", "region", "total_orders", "unique_customers_distinct")
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped wide aggregate sweep over lineitem (the engine's
+    heaviest scan+agg bench workload)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        pricing_summary,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "top_customers_per_region",
+    oracle=f"""
+    {_ENTITY_CTES},
+    lv AS (
+      SELECT customer_id, {_SUM_AMOUNT} AS lifetime_value
+      FROM o GROUP BY customer_id
+    ),
+    j AS (SELECT lv.customer_id, c.region, lv.lifetime_value
+          FROM lv JOIN c USING (customer_id)),
+    r AS (SELECT region, customer_id, lifetime_value,
+                 CAST(row_number() OVER (PARTITION BY region
+                      ORDER BY lifetime_value DESC, customer_id) AS INT) AS rank
+          FROM j)
+    SELECT region, rank, customer_id, lifetime_value FROM r WHERE rank <= 3
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by lifetime value per region — ranking window
+    (the capability the reference imported but never exercised)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        top_customers_per_region,
+    )
+
+    return top_customers_per_region(
+        load_orders(spark, sf_dir), load_customers(spark, sf_dir), k=3
+    )
+
+
+@register(
+    "revenue_by_geo",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_revenue_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join up the geography chain with broadcast dims."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import revenue_by_geo
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return revenue_by_geo(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline operators over documents/embeddings
 # (north-star scope; operators/{text,dedup,similarity}.py)

@@ -1,0 +1,65 @@
+"""Catalog / lake-management operators (SURVEY §2.1 S15-S18).
+
+The reference registers lake tables in a metastore via SQL DDL
+(``mage-programs/delta_metadata.py:99-107``: CREATE SCHEMA + CREATE TABLE
+... USING <format> LOCATION) and inventories lake files with a hand-rolled
+S3 paginator (``curated/crawler.py:50-88``). Here both are engine
+operators:
+
+- :func:`register_table` — the same DDL pattern over ``spark.sql``
+  (works against the in-memory catalog locally and a Hive/Glue
+  metastore in production unchanged).
+- :func:`file_inventory` — distributed file metadata from
+  ``input_file_name()`` instead of driver-side listing: one aggregate
+  over the scan, no object-store pagination loop, works on any
+  readable format.
+
+Delta-specific history/time-travel (S18) needs delta-spark on the
+classpath; :func:`delta_history` degrades with a clear error when absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def register_table(
+    spark: SparkSession,
+    schema_name: str,
+    table_name: str,
+    path: str,
+    fmt: str = "parquet",
+) -> None:
+    """CREATE SCHEMA IF NOT EXISTS + CREATE TABLE ... USING fmt LOCATION
+    (reference delta_metadata.py:99-107, format generalized)."""
+    spark.sql(f"CREATE SCHEMA IF NOT EXISTS {schema_name}")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {schema_name}.{table_name} "
+        f"USING {fmt} LOCATION '{path}'"
+    )
+
+
+def file_inventory(df: DataFrame) -> DataFrame:
+    """Per-file row counts for whatever scan backs ``df`` — the
+    distributed replacement for the reference's S3 listing crawler
+    (curated/crawler.py:50-88). One aggregate job; no driver-side
+    pagination."""
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("file")
+    )
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """Delta transaction history (reference delta_metadata.py:114-116).
+    Requires delta-spark; raises a clear error otherwise."""
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        return DeltaTable.forPath(spark, path).history()
+    except ImportError as exc:  # pragma: no cover - optional dependency
+        raise RuntimeError(
+            "Delta history needs the delta-spark package on the classpath"
+        ) from exc

@@ -1,0 +1,53 @@
+"""Physical-plan regression tests — the scale properties that make these
+queries viable at 100 TB must be visible in the executed plan, not
+assumed: filter pushdown into the parquet scan, broadcast joins for
+dims, partial top-k instead of global sort, single-scan DQ."""
+
+from dea05_e2e_kafka_streaming_pipeline_spark import queries as registry
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused wide columns
+    assert "l_comment" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_daily_sales_broadcasts_dimension(spark):
+    plan = _plan(spark, "daily_sales_by_region")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_revenue_by_geo_all_dims_broadcast(spark):
+    plan = _plan(spark, "revenue_by_geo")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_topk_partial_topk_no_global_sort(spark):
+    plan = _plan(spark, "embedding_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    # no full exchange of embeddings for a sort
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_dq_report_single_scan(spark):
+    plan = _plan(spark, "dq_orders_report")
+    assert plan.count("orders.parquet") == 1
+
+
+def test_cdc_decode_is_scan_side_projection(spark):
+    """CDC flatten+decode must stay a projection over the scan — no
+    shuffle, no aggregate."""
+    plan = _plan(spark, "cdc_orders_decode")
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
