@@ -31,6 +31,24 @@ def write_parquet_partitioned(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join layout for 100 TB
+    fact tables: two tables bucketed on the same key join with NO
+    exchange on either side (see tests/test_bucketing.py for the plan
+    assertion). Bucketing requires the catalog (saveAsTable)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def write_json_partitioned(
     df: DataFrame,
     path: str,

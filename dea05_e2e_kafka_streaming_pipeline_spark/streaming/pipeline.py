@@ -109,6 +109,33 @@ def dq_gated_sink(
     return writer.start()
 
 
+def sessionized_event_stats(
+    stream: DataFrame,
+    ts_column: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregation (``F.session_window``): per (user,
+    session) event counts and span. State-store backed and watermark-
+    bounded under streaming; identical semantics in batch mode, where it
+    must agree with the lag-based operators/sessionize.py formulation
+    (asserted in tests)."""
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_column, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_column), gap).alias("sw"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_stats(
     stream: DataFrame,
     ts_column: str = "ts",

@@ -75,6 +75,41 @@ def file_stream(
     return reader.load(path)
 
 
+def to_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Encode rows as Kafka (key, value) JSON messages — the engine's
+    write-side of the reference's producer loop
+    (streaming-source/csv_to_orders_topic.py:7-10: dict → json.dumps →
+    send). ``to_json(struct(*))`` serializes whole rows JVM-side."""
+    cols = [c for c in df.columns if c != key_col]
+    out = df.select(
+        *(
+            [F.col(key_col).cast("string").alias("key")]
+            if key_col
+            else [F.lit(None).cast("string").alias("key")]
+        ),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+    return out
+
+
+def write_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str | None = None,
+) -> None:
+    """Batch publish to a Kafka topic (requires the spark-sql-kafka
+    package; the payload construction is broker-independent and tested
+    via :func:`to_kafka_payload`)."""
+    (
+        to_kafka_payload(df, key_col)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
 def _bounded_int(col, lo: int, hi: int):
     """Uniform-ish int in [lo, hi] from a deterministic-per-row rand."""
     return (F.pmod(col, F.lit(hi - lo + 1)) + lo).cast("int")

@@ -1,0 +1,146 @@
+"""End-to-end medallion pipeline, Kafka payload encoding, bucketed
+co-located joins, session windows, custom stateful streaming."""
+
+import json
+
+import pyspark.sql.functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+    session_summary,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.plans.medallion import (
+    MedallionPaths,
+    run_medallion_batch,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import (
+    load_customers,
+    load_orders,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+    write_bucketed_table,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+    sessionized_event_stats,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import (
+    to_kafka_payload,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.streaming.stateful import (
+    running_user_profile,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _paths(tmp_path):
+    return MedallionPaths(
+        bronze=str(tmp_path / "bronze"),
+        silver=str(tmp_path / "silver"),
+        quarantine=str(tmp_path / "quarantine"),
+        gold_daily_sales=str(tmp_path / "gold/daily_sales"),
+        gold_clv=str(tmp_path / "gold/clv"),
+    )
+
+
+def test_medallion_end_to_end_pass(spark, tmp_path):
+    orders = load_orders(spark, SF_SMOKE)
+    customers = load_customers(spark, SF_SMOKE)
+    summary = run_medallion_batch(spark, orders, customers, _paths(tmp_path))
+    assert summary["gate_passed"] is True
+    assert summary["silver_rows"] == orders.count()
+    assert summary["daily_sales_rows"] > 0
+    assert summary["clv_rows"] == customers.join(orders, "customer_id").select(
+        "customer_id"
+    ).distinct().count()
+    # bronze carries lineage; gold daily_sales is partitioned by date+region
+    bronze = spark.read.parquet(str(tmp_path / "bronze"))
+    assert {"ingest_time", "source_file", "ingestion_layer"} <= set(bronze.columns)
+    assert any(p.name.startswith("date=") for p in (tmp_path / "gold/daily_sales").iterdir())
+
+
+def test_medallion_end_to_end_quarantine(spark, tmp_path):
+    orders = load_orders(spark, SF_SMOKE).withColumn(
+        "customer_id",
+        F.when(F.col("order_id") % 10 != 0, F.col("customer_id")),  # 10% nulls
+    )
+    customers = load_customers(spark, SF_SMOKE)
+    summary = run_medallion_batch(spark, orders, customers, _paths(tmp_path))
+    assert summary["gate_passed"] is False
+    assert (tmp_path / "quarantine").exists()
+    assert not (tmp_path / "silver").exists()
+
+
+def test_kafka_payload_roundtrip(spark):
+    df = load_orders(spark, SF_SMOKE).limit(20)
+    payload = to_kafka_payload(df, key_col="order_id")
+    rows = payload.collect()
+    assert payload.columns == ["key", "value"]
+    decoded = json.loads(rows[0].value)
+    assert set(decoded) <= {"order_date", "order_amount", "customer_id"}
+    assert rows[0].key is not None
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        write_bucketed_table(orders, "b_orders", "o_orderkey", 8)
+        write_bucketed_table(lineitem, "b_lineitem", "l_orderkey", 8)
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_session_window_agrees_with_lag_sessionize(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    sw = (
+        sessionized_event_stats(events)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    lag = session_summary(events)
+    a = {r.user_id: (r.n_sessions, r.n_events) for r in sw.collect()}
+    b = {r.user_id: (r.n_sessions, r.n_events) for r in lag.collect()}
+    assert a == b
+
+
+def test_stateful_running_profile_stream(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    events.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    from dea05_e2e_kafka_streaming_pipeline_spark.schemas import EVENTS_SCHEMA
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import file_stream
+
+    stream = file_stream(spark, str(tmp_path / "ev"), EVENTS_SCHEMA, fmt="parquet")
+    q = (
+        running_user_profile(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted profile per user must equal the batch ground truth
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql(
+            "SELECT * FROM profiles"
+        ).orderBy("n_events").collect()  # update mode: later rows overwrite
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
