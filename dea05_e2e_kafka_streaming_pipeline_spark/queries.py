@@ -449,6 +449,79 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "clicks_asof_views",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts,
+             max(value) AS value          -- unique per (user, ts): determinism
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           v.ts AS asof_ts, v.value AS asof_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively — operators/asof.py):
+    for every click, the user's most recent view at or before it.
+    Oracle-checked against DuckDB's native ASOF JOIN."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    ).withColumnRenamed("asof_value", "asof_value")
+
+
+@register(
+    "latest_order_per_customer",
+    oracle=f"""
+    {_ENTITY_CTES},
+    r AS (
+      SELECT order_id, order_date, order_amount, customer_id,
+             row_number() OVER (PARTITION BY customer_id
+                                ORDER BY order_date DESC, order_id DESC) AS rn
+      FROM o
+    )
+    SELECT order_id, order_date, order_amount, customer_id
+    FROM r WHERE rn = 1
+    """,
+)
+def q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-order-per-customer dedup — the per-key ordering the
+    reference's unused Window/row_number imports intended
+    (enriched/custome_lifetime_value.py:1-2, SURVEY §2.5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("customer_id").orderBy(
+        F.desc("order_date"), F.desc("order_id")
+    )
+    return (
+        load_orders(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("order_id", "order_date", "order_amount", "customer_id")
+    )
+
+
+@register(
     "events_hourly_stats",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,
@@ -570,6 +643,115 @@ def q_dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .check_consistency("orders_customer_fk", customers, "customer_id")
         .report()
+    )
+
+
+@register(
+    "dq_customers_report",
+    oracle=f"""
+    {_ENTITY_CTES},
+    agg AS (
+      SELECT count(*) AS total,
+             CAST(SUM(CASE WHEN customer_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cid,
+             CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_name,
+             CAST(SUM(CASE WHEN region IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_region,
+             CAST(SUM(CASE WHEN NOT (customer_tenure_days > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_tenure
+      FROM c
+    ),
+    long AS (
+      SELECT 'completeness' AS check_type, 'customer_id' AS check_name,
+             total AS total_rows, n_cid AS failed_count, 5.0 AS threshold_pct FROM agg
+      UNION ALL SELECT 'completeness', 'name', total, n_name, 5.0 FROM agg
+      UNION ALL SELECT 'completeness', 'region', total, n_region, 5.0 FROM agg
+      UNION ALL SELECT 'accuracy', 'positive_tenure', total, v_tenure, 1.0 FROM agg
+    )
+    SELECT check_type, check_name, total_rows, failed_count,
+           CASE WHEN total_rows != 0
+                THEN CAST(failed_count AS DOUBLE) * 100.0 / total_rows
+                ELSE 0.0 END AS failed_pct,
+           threshold_pct,
+           CASE WHEN (CASE WHEN total_rows != 0
+                           THEN CAST(failed_count AS DOUBLE) * 100.0 / total_rows
+                           ELSE 0.0 END) < threshold_pct
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM long
+    """,
+)
+def q_dq_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ sweep over the customers entity (reference
+    curated/data_quality.py:152-157 companion path)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+        DataQualityValidator,
+    )
+
+    return (
+        DataQualityValidator(load_customers(spark, sf_dir), name="customers")
+        .check_completeness(["customer_id", "name", "region"])
+        .check_accuracy("positive_tenure", F.col("customer_tenure_days") > 0)
+        .report()
+    )
+
+
+@register(
+    "sales_cube",
+    oracle=f"""
+    {_ENTITY_CTES}
+    SELECT c.region AS region,
+           strftime(o.order_date, '%Y') AS order_year,
+           count(*) AS n_orders,
+           {_SUM_AMOUNT} AS revenue
+    FROM o JOIN c USING (customer_id)
+    GROUP BY CUBE (1, 2)
+    """,
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation (region × year with all margins)."""
+    from pyspark.sql import functions as F
+
+    joined = load_orders(spark, sf_dir).join(
+        F.broadcast(load_customers(spark, sf_dir)), "customer_id"
+    )
+    return (
+        joined.cube(
+            F.col("region"),
+            F.date_format("order_date", "yyyy").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("order_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sales_pivot_status",
+    oracle="""
+    SELECT o_custkey AS customer_id,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_total,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS fulfilled_total,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS partial_total
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into revenue columns per customer."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("O", "open_total")
+        .withColumnRenamed("F", "fulfilled_total")
+        .withColumnRenamed("P", "partial_total")
     )
 
 
