@@ -97,6 +97,48 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", _bucket_of(F.col(vec_col), planes))
 
 
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-nearest-neighbors for EVERY vector (self-join):
+    bucket with random hyperplanes, compare only within a bucket, keep
+    each vector's top-k by cosine. Exact within buckets; recall depends
+    on cluster structure (same tradeoff as any single-probe LSH).
+
+    Scale shape: the self-join is an equi-join on ``lsh_bucket`` — cost
+    is Σ bucket², tunable via ``n_planes``; the per-vector top-k is a
+    ranking window partitioned by the left id (one shuffle).
+    """
+    dim = len(df.select(vec_col).head()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    b = with_lsh_bucket(df, planes, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+        & (F.col("l.id") != F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id"),
+        F.col("r.id").alias("neighbor_id"),
+        F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "neighbor_id", "score")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

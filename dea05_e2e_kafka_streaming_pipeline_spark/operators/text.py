@@ -127,6 +127,30 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", pred.alias("lang_pred"))
 
 
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs (each with optional leading space). A real BPE merges
+# within these pretokens; counting them is the standard cheap estimator
+# for LLM token budgeting. Whitespace between pretokens is simply not
+# matched (extract_all skips gaps), so no whitespace alternative needed.
+_BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def with_token_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-count estimators for LLM data budgeting: whitespace tokens,
+    BPE-style pretoken count (regex above), and the chars/4 heuristic —
+    all native regexp expressions, no tokenizer library in the path."""
+    c = F.col(text_col)
+    ws = F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+    pretoks = F.size(F.regexp_extract_all(c, F.lit(_BPE_PRETOKEN_RE), 0))
+    chars4 = F.ceil(F.length(c) / 4).cast("long")
+    return df.select(
+        "*",
+        ws.alias("n_ws_tokens"),
+        pretoks.alias("n_bpe_pretokens"),
+        chars4.alias("n_tokens_chars4"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized md5 content fingerprint — the exact-dedup
     key and the cheap doc identity for lineage."""

@@ -402,6 +402,31 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qvec, k=20)
 
 
+@register(
+    "token_estimates_docs",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+             AS n_bpe_pretokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_chars4
+    FROM documents
+    """,
+)
+def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-count estimators: whitespace tokens, GPT-2-style BPE
+    pretokens, chars/4 heuristic — native regexp expressions."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_token_estimates,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return with_token_estimates(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_ws_tokens", "n_bpe_pretokens", "n_tokens_chars4"
+    )
+
+
 # rows-only checks (no SQL oracle: xxhash64-seeded signatures are not
 # reproducible in DuckDB; the driver records a weaker rows-only check and
 # tests/test_dedup.py asserts the semantics against planted duplicates)
@@ -428,6 +453,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("knn_join_embeddings")
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-vectors KNN self-join via LSH buckets (top-5
+    neighbors each; exact within bucket)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import knn_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
 @register("multimodal_features")

@@ -175,3 +175,40 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_ts_ms % 100 == 0 for r in rows)
     one = [r for r in rows if r.media_id == 5]  # duration 165ms → frames 0,100
     assert [r.frame_ts_ms for r in sorted(one, key=lambda x: x.frame_idx)] == [0, 100]
+
+
+def test_token_estimates_known_values(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_token_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Hello world, it's 2024!")], "doc_id long, text string"
+    )
+    r = with_token_estimates(df).collect()[0]
+    assert r.n_ws_tokens == 4
+    # pretokens: Hello| world|,| it|'s| 2024|! -> 7
+    assert r.n_bpe_pretokens == 7
+    assert r.n_tokens_chars4 == 6  # ceil(23/4)
+
+
+def test_knn_join_recovers_cluster_neighbors(spark):
+    import random
+
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(3)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import knn_join
+
+    nn = knn_join(df, k=3, n_planes=6)
+    rows_out = nn.collect()
+    assert len(rows_out) > 0
+    # every reported neighbor of a vector must be from the same cluster
+    # (clusters are far apart; intra-cluster cosine ~1)
+    for r in rows_out:
+        assert r.id % 3 == r.neighbor_id % 3, (r.id, r.neighbor_id)
+        assert r.score > 0.99
