@@ -557,6 +557,79 @@ def q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value,
+           round(quantile_cont(value, 0.99), 6) AS p99_value,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` == DuckDB ``quantile_cont``); the approximate
+    variant for the 100 TB path is ``percentile_approx`` behind the
+    same shape."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "dedup_apply_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), drop AS (
+      SELECT DISTINCT id_b FROM p
+      WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.2
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM drop)
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup flow: exact n-gram Jaccard pairs → drop the
+    higher id of every pair → surviving corpus."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return apply_dedup(docs, pairs).select("doc_id")
+
+
+@register(
     "events_hourly_stats",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,

@@ -109,6 +109,31 @@ def dq_gated_sink(
     return writer.start()
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    join_window: str = "interval 30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with the time-bound condition that lets
+    Spark expire join state: right rows match left rows with the same
+    key whose timestamp falls in [left_ts - window, left_ts]. Both
+    sides are watermarked; state per key is bounded by the window.
+    Works identically on batch inputs (watermarks skipped)."""
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= F.expr(f"{left_ts} - {join_window}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, how)
+
+
 def sessionized_event_stats(
     stream: DataFrame,
     ts_column: str = "ts",

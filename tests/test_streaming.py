@@ -168,3 +168,53 @@ def test_synthetic_orders_stream_domains(spark, tmp_path):
         assert 1 <= r.order_id <= 50
         assert 1 <= r.customer_id <= 50
         assert 1.0 <= r.order_amount <= 1000.0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (clicks x views within 30 min)
+    must produce the batch join answer once both streams drain."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = stream_stream_join(
+        clicks,
+        views.withColumnRenamed("v_user_id", "user_id"),
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="view_ts",
+    ).count()
+
+    clicks.write.mode("overwrite").parquet(str(tmp_path / "clicks"))
+    views.write.mode("overwrite").parquet(str(tmp_path / "views"))
+    cs = file_stream(
+        spark, str(tmp_path / "clicks"),
+        clicks.schema, fmt="parquet",
+    )
+    vs = file_stream(
+        spark, str(tmp_path / "views"),
+        views.schema, fmt="parquet",
+    ).withColumnRenamed("v_user_id", "user_id")
+    joined = stream_stream_join(
+        cs, vs, key="user_id", left_ts="click_ts", right_ts="view_ts"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) c FROM ssj").collect()[0].c
+    assert got == batch
+    assert batch > 0
