@@ -112,18 +112,23 @@ def apply_dedup(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Drop near-duplicates given a (id_a, id_b) pair table (id_a < id_b
     by construction): every id that appears as the *higher* member of a
     pair is removed, keeping the lowest id of each duplicate chain.
 
-    One broadcast-able anti-join — pairs tables are tiny relative to the
-    corpus. (Exact transitive-closure grouping needs iterative
-    connected components; keep-lowest-of-each-pair is the standard
-    single-pass policy and is stable/deterministic.)
+    One anti-join. ``broadcast_pairs`` is opt-in: high-dup-rate corpora
+    produce drop sets far too large to broadcast (hundreds of millions
+    of ids at web scale) — by default AQE picks the join strategy.
+    (Exact transitive-closure grouping needs iterative connected
+    components; keep-lowest-of-each-pair is the standard single-pass
+    policy and is stable/deterministic.)
     """
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    if broadcast_pairs:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

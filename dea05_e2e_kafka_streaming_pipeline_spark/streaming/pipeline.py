@@ -116,22 +116,40 @@ def stream_stream_join(
     left_ts: str,
     right_ts: str,
     watermark: str = "10 minutes",
-    join_window: str = "interval 30 minutes",
+    join_window: str = "30 minutes",
     how: str = "inner",
 ) -> DataFrame:
     """Stream-stream equi-join with the time-bound condition that lets
     Spark expire join state: right rows match left rows with the same
-    key whose timestamp falls in [left_ts - window, left_ts]. Both
-    sides are watermarked; state per key is bounded by the window.
-    Works identically on batch inputs (watermarks skipped)."""
+    key whose timestamp falls in [left_ts - join_window, left_ts].
+    Both sides are watermarked; state per key is bounded by the window.
+    Works identically on batch inputs (watermarks skipped).
+
+    ``join_window`` takes a bare duration like ``watermark`` does. The
+    right side's key and timestamp are renamed internally (``__r_*``)
+    so both sides may share column names — including two filtered views
+    of the SAME source DataFrame (Spark's ambiguous-self-join detection
+    would otherwise reject the join); the rename is dropped from the
+    output, where right columns keep their original names except a
+    shared ``key``/timestamp name, which would be ambiguous and is
+    surfaced as ``right_<name>``.
+    """
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    r2 = r.withColumnRenamed(key, "__r_key").withColumnRenamed(right_ts, "__r_ts")
+    # pre-rename every other colliding right column too, so the output
+    # never contains ambiguous duplicate names
+    collide = [c for c in r2.columns if c in l.columns]
+    for c in collide:
+        r2 = r2.withColumnRenamed(c, f"right_{c}")
     cond = (
-        (l[key] == r[key])
-        & (r[right_ts] >= F.expr(f"{left_ts} - {join_window}"))
-        & (r[right_ts] <= l[left_ts])
+        (F.col(key) == F.col("__r_key"))
+        & (F.col("__r_ts") >= F.col(left_ts) - F.expr(f"interval {join_window}"))
+        & (F.col("__r_ts") <= F.col(left_ts))
     )
-    return l.join(r, cond, how)
+    joined = l.join(r2, cond, how)
+    out_right_ts = right_ts if right_ts not in l.columns else f"right_{right_ts}"
+    return joined.drop("__r_key").withColumnRenamed("__r_ts", out_right_ts)
 
 
 def sessionized_event_stats(

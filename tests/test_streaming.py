@@ -177,35 +177,28 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         stream_stream_join,
     )
 
+    # the natural call: both sides filtered from the SAME source, both
+    # keeping the shared `ts`/`user_id` names — the helper must handle
+    # self-join ambiguity and name collisions internally
     events = load_table(spark, SF_SMOKE, "events")
     clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     views = events.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user_id"),
-        F.col("ts").alias("view_ts"),
-        F.col("event_id").alias("view_id"),
+        "user_id", "ts", F.col("event_id").alias("view_id")
     )
-    batch = stream_stream_join(
-        clicks,
-        views.withColumnRenamed("v_user_id", "user_id"),
-        key="user_id",
-        left_ts="click_ts",
-        right_ts="view_ts",
-    ).count()
+    batch_df = stream_stream_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts"
+    )
+    assert "right_ts" in batch_df.columns  # collision surfaced, not dropped
+    batch = batch_df.count()
 
     clicks.write.mode("overwrite").parquet(str(tmp_path / "clicks"))
     views.write.mode("overwrite").parquet(str(tmp_path / "views"))
-    cs = file_stream(
-        spark, str(tmp_path / "clicks"),
-        clicks.schema, fmt="parquet",
-    )
-    vs = file_stream(
-        spark, str(tmp_path / "views"),
-        views.schema, fmt="parquet",
-    ).withColumnRenamed("v_user_id", "user_id")
+    cs = file_stream(spark, str(tmp_path / "clicks"), clicks.schema, fmt="parquet")
+    vs = file_stream(spark, str(tmp_path / "views"), views.schema, fmt="parquet")
     joined = stream_stream_join(
-        cs, vs, key="user_id", left_ts="click_ts", right_ts="view_ts"
+        cs, vs, key="user_id", left_ts="ts", right_ts="ts"
     )
     q = (
         joined.writeStream.outputMode("append")
