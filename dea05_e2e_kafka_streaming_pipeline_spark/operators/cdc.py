@@ -41,7 +41,19 @@ def normalize_cdc(
     """
     if "after" not in df.columns:
         return df
-    cols = [F.col(f"after.{f.name}").alias(f.name) for f in df.schema["after"].dataType]
+    # coalesce(after, before): inserts/updates read the after image;
+    # deletes (after is NULL) surface their key columns from before —
+    # required for downstream merge logic (apply_cdc_changes). Partial
+    # envelopes without a `before` column flatten `after` alone.
+    has_before = "before" in df.columns
+    cols = [
+        (
+            F.coalesce(F.col(f"after.{f.name}"), F.col(f"before.{f.name}"))
+            if has_before
+            else F.col(f"after.{f.name}")
+        ).alias(f.name)
+        for f in df.schema["after"].dataType
+    ]
     if keep_meta:
         cols += [F.col("op").alias("_cdc_op"), F.col("ts_ms").alias("_cdc_ts_ms")]
     out = df
@@ -56,6 +68,43 @@ def decode_epoch_days(df: DataFrame, columns: list[str]) -> DataFrame:
     for c in columns:
         df = df.withColumn(c, epoch_day_to_date(c))
     return df
+
+
+def apply_cdc_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "_cdc_ts_ms",
+    op_col: str = "_cdc_op",
+) -> DataFrame:
+    """Merge a CDC change batch into a snapshot — the MERGE INTO the
+    reference's Delta flavor implies, emulated on vanilla Spark
+    (anti-join + union + ranking window):
+
+    1. keep only the LATEST change per key (ties broken by op:
+       delete wins over upsert at the same ts_ms);
+    2. ``op = 'd'`` removes the key; c/u/r upserts the ``after`` image;
+    3. target rows for untouched keys pass through.
+
+    ``changes`` is the output of ``normalize_cdc(df, keep_meta=True,
+    drop_deletes=False)``. Cost: one window shuffle over the (small)
+    change batch + one hash join against the target — the target is
+    never shuffled when the join broadcasts the change-key set.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.desc(ts_col), F.desc(F.col(op_col) == "d")
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "d").select(*target.columns)
+    touched = latest.select(key)
+    untouched = target.join(touched, key, "left_anti")
+    return untouched.unionByName(upserts)
 
 
 def decode_cdc_orders(df: DataFrame) -> DataFrame:

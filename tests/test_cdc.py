@@ -45,7 +45,8 @@ def test_normalize_keep_meta_and_deletes(spark):
     flat = normalize_cdc(_envelope_df(spark), keep_meta=True, drop_deletes=False)
     rows = flat.orderBy("_cdc_ts_ms").collect()
     assert [r._cdc_op for r in rows] == ["c", "u", "d"]
-    assert rows[2].order_id is None  # delete has no after payload
+    # delete rows surface their key from the `before` image
+    assert rows[2].order_id == 3
 
 
 def test_normalize_passthrough_on_flat_input(spark):
