@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis): asof_join and apply_cdc_changes
+checked against tiny Python reference models on randomized inputs.
+Example counts are kept low — each example is a Spark job."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+    apply_cdc_changes,
+    normalize_cdc,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.schemas import CDC_ORDERS_ENVELOPE
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _t(minutes: int) -> dt.datetime:
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200)),  # (key, minute)
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(0, 999)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: (r[0], r[1]),  # unique (key, ts): determinism contract
+    ),
+)
+def test_asof_join_matches_model(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(i, k, _t(m)) for i, (k, m) in enumerate(lefts)],
+        "row_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, _t(m), float(v)) for k, m, v in rights],
+        "user_id long, ts timestamp, value double",
+    ) if rights else spark.createDataFrame([], "user_id long, ts timestamp, value double")
+
+    got = {
+        r.row_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["value"],
+        ).collect()
+    }
+    assert set(got) == set(range(len(lefts)))
+    for i, (k, m) in enumerate(lefts):
+        cands = [(rm, rv) for rk, rm, rv in rights if rk == k and rm <= m]
+        want = max(cands) if cands else None
+        if want is None:
+            assert got[i] == (None, None), (i, got[i])
+        else:
+            assert got[i] == (_t(want[0]), float(want[1])), (i, got[i], want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(1, 4),          # key
+            st.sampled_from(["c", "u", "d"]),
+            st.integers(0, 100),        # order_date payload
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_cdc_merge_matches_fold_model(spark, changes):
+    """Applying a change batch must equal folding the changes in ts
+    order over the initial snapshot (ties impossible: ts = index)."""
+    target_rows = [(1, 10, None, 1), (2, 20, None, 2)]
+    target = spark.createDataFrame(
+        target_rows,
+        "order_id int, order_date int, order_amount decimal(10,2), customer_id int",
+    )
+    env_rows = []
+    for ts, (key, op, payload) in enumerate(changes):
+        if op == "d":
+            env_rows.append(((key, payload, None, 1), None, None, "d", ts, None))
+        else:
+            env_rows.append((None, (key, payload, None, 1), None, op, ts, None))
+    envelope = spark.createDataFrame(env_rows, CDC_ORDERS_ENVELOPE) if env_rows else (
+        spark.createDataFrame([], CDC_ORDERS_ENVELOPE)
+    )
+    merged = apply_cdc_changes(
+        target, normalize_cdc(envelope, keep_meta=True, drop_deletes=False), "order_id"
+    )
+    got = {r.order_id: r.order_date for r in merged.collect()}
+
+    state = {k: d for k, d, _, _ in target_rows}
+    for key, op, payload in changes:  # list order == ts order
+        if op == "d":
+            state.pop(key, None)
+        else:
+            state[key] = payload
+    assert got == state
