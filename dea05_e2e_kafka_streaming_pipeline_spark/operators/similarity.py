@@ -97,6 +97,40 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", _bucket_of(F.col(vec_col), planes))
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    block_col: str | None = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact within blocks.
+
+    ``block_col`` bounds the pair space: comparisons happen only inside
+    a block (a label, a shard, an LSH bucket column created by
+    :func:`with_lsh_bucket`). ``block_col=None`` is the explicit
+    opt-in to unblocked O(n²) all-pairs — fine for small inputs,
+    never the 100 TB path.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("b"))
+    base = df.select(*cols)
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    if block_col is not None:
+        cond = cond & (F.col("l.b") == F.col("r.b"))
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,

@@ -455,6 +455,34 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS score
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within label blocks (at
+    scale the block is an LSH bucket column; see
+    operators/similarity.py:cosine_near_dup_pairs)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 @register("knn_join_embeddings")
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-vectors KNN self-join via LSH buckets (top-5
