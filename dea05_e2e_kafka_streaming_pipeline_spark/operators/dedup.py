@@ -214,15 +214,27 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # Candidates via per-bucket pair expansion instead of a self-join:
+    # a self-join would evaluate the whole signature pipeline twice (no
+    # exchange reuse under AQE — measured), while collect_list keeps it
+    # at ONE pass. LSH bucket sizes are small by construction, so the
+    # in-array combination expansion is bounded.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cands = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     if not verify:

@@ -107,6 +107,49 @@ def extract_features(
     return df.mapInPandas(run, schema=_FEATURES_FIELDS)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image resize through the same Arrow-batched plumbing as
+    :func:`extract_features`: fixed-size thumbnail payload out, metadata
+    updated. ``decoder="fake"`` emits a deterministic digest-derived
+    payload of exactly width*height bytes; ``decoder="real"`` is the
+    Pillow integration point (NotImplementedError here — no image libs
+    in this environment)."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+    out_schema = (
+        "media_id long, mime string, width int, height int, thumbnail binary"
+    )
+    n_bytes = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":  # pragma: no cover - env has no media libs
+                raise NotImplementedError(
+                    "real image resize requires Pillow/ffmpeg; use decoder='fake'"
+                )
+            def thumb(p: bytes | None) -> bytes:
+                d = hashlib.sha256(p or b"").digest()
+                reps = n_bytes // len(d) + 1
+                return (d * reps)[:n_bytes]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "image/x-fake-thumbnail",
+                    "width": width,
+                    "height": height,
+                    "thumbnail": pdf["payload"].map(thumb),
+                }
+            )
+
+    return df.filter(df["kind"] == "image").mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

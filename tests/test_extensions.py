@@ -212,3 +212,17 @@ def test_knn_join_recovers_cluster_neighbors(spark):
     for r in rows_out:
         assert r.id % 3 == r.neighbor_id % 3, (r.id, r.neighbor_id)
         assert r.score > 0.99
+
+
+def test_resize_images_plumbing(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=30)
+    thumbs = resize_images(media, width=8, height=8).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(thumbs) == n_images
+    assert all(len(r.thumbnail) == 64 for r in thumbs)
+    assert all(r.width == 8 and r.height == 8 for r in thumbs)
