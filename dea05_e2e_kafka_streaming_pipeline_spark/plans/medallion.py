@@ -69,6 +69,46 @@ def default_orders_validator(
     )
 
 
+def run_medallion_stream(
+    orders_stream: DataFrame,
+    customers: DataFrame,
+    paths: MedallionPaths,
+    checkpoint_root: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = 5,
+):
+    """The reference's E1+E2 as ONE continuous checkpointed flow:
+    stream → bronze landing (lineage-stamped, date-partitioned) and
+    stream → DQ-gated silver/quarantine, each with its own checkpoint.
+    Gold stays a periodic batch over silver (run_medallion_batch's tail
+    or a scheduled job) — aggregation freshness is a batch cadence
+    decision, not a per-record one. Returns the two StreamingQueries.
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        dq_gated_sink,
+        ingest_to_lake,
+    )
+
+    bronze_q = ingest_to_lake(
+        orders_stream,
+        path=paths.bronze,
+        checkpoint=f"{checkpoint_root}/bronze",
+        date_column="order_date",
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )
+    silver_q = dq_gated_sink(
+        orders_stream,
+        validator_builder=lambda df: default_orders_validator(df, customers),
+        curated_path=paths.silver,
+        quarantine_path=paths.quarantine,
+        checkpoint=f"{checkpoint_root}/silver",
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )
+    return bronze_q, silver_q
+
+
 def run_medallion_batch(
     spark: SparkSession,
     orders_raw: DataFrame,

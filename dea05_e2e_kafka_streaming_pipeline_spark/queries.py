@@ -152,6 +152,46 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large join (lineitem ⋈ orders on orderkey) → priority
+    rollup. Unlike the dimension joins elsewhere, both sides grow with
+    the fact data — at scale Catalyst plans a sort-merge join on the
+    shared key (or co-located bucket join if both tables are bucketed
+    by orderkey via write_bucketed_table)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(price * (F.lit(1).cast("decimal(4,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
     "top_customers_per_region",
     oracle=f"""
     {_ENTITY_CTES},

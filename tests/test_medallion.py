@@ -144,3 +144,31 @@ def test_stateful_running_profile_stream(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_medallion_stream_bronze_and_silver(spark, tmp_path):
+    """Streaming medallion: one source stream feeds checkpointed bronze
+    landing AND the DQ-gated silver sink; both drain with availableNow."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.medallion import (
+        run_medallion_stream,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import (
+        file_stream,
+    )
+
+    orders = load_orders(spark, SF_SMOKE)
+    customers = load_customers(spark, SF_SMOKE)
+    orders.write.mode("overwrite").parquet(str(tmp_path / "landing"))
+    stream = file_stream(
+        spark, str(tmp_path / "landing"), orders.schema, fmt="parquet"
+    )
+    paths = _paths(tmp_path)
+    bq, sq = run_medallion_stream(
+        stream, customers, paths, str(tmp_path / "ck"), available_now=True
+    )
+    bq.awaitTermination(180)
+    sq.awaitTermination(180)
+    n = orders.count()
+    assert spark.read.parquet(paths.bronze).count() == n
+    assert spark.read.parquet(paths.silver).count() == n  # clean data passes gate
+    assert not (tmp_path / "quarantine").exists()
