@@ -112,7 +112,12 @@ def cosine_near_dup_pairs(
     opt-in to unblocked O(n²) all-pairs — fine for small inputs,
     never the 100 TB path.
     """
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    # hoist the double-cast array and the norm to per-VECTOR columns —
+    # the per-pair work is then a single zip_with/fold dot product.
+    # Bit-identical to casting/norming per pair (same values, same ops),
+    # ~5× less interpreted higher-order-function work.
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [F.col(id_col).alias("id"), vd.alias("vd"), _norm(vd).alias("nrm")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("b"))
     base = df.select(*cols)
@@ -120,12 +125,13 @@ def cosine_near_dup_pairs(
     cond = F.col("l.id") < F.col("r.id")
     if block_col is not None:
         cond = cond & (F.col("l.b") == F.col("r.b"))
+    score = _dot(F.col("l.vd"), F.col("r.vd")) / (F.col("l.nrm") * F.col("r.nrm"))
     return (
         l.join(r, cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6).alias("score"),
+            F.round(score, 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -150,10 +156,15 @@ def knn_join(
     """
     dim = len(df.select(vec_col).head()[0])
     planes = hyperplanes(dim, n_planes, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     b = with_lsh_bucket(df, planes, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
+        F.col(id_col).alias("id"),
+        vd.alias("vd"),
+        _norm(vd).alias("nrm"),
+        "lsh_bucket",
     )
     l, r = b.alias("l"), b.alias("r")
+    score = _dot(F.col("l.vd"), F.col("r.vd")) / (F.col("l.nrm") * F.col("r.nrm"))
     pairs = l.join(
         r,
         (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
@@ -161,7 +172,7 @@ def knn_join(
     ).select(
         F.col("l.id").alias("id"),
         F.col("r.id").alias("neighbor_id"),
-        F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6).alias("score"),
+        F.round(score, 6).alias("score"),
     )
     from pyspark.sql import Window
 
