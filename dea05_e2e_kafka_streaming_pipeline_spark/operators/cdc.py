@@ -41,14 +41,18 @@ def normalize_cdc(
     """
     if "after" not in df.columns:
         return df
-    # coalesce(after, before): inserts/updates read the after image;
-    # deletes (after is NULL) surface their key columns from before —
-    # required for downstream merge logic (apply_cdc_changes). Partial
-    # envelopes without a `before` column flatten `after` alone.
+    # Deletes (the WHOLE `after` struct is NULL) surface their columns
+    # from the `before` image — required for downstream merge logic
+    # (apply_cdc_changes). The fallback keys on the struct, not per
+    # field: a per-field coalesce would resurrect old values for
+    # legitimate set-to-NULL updates. Partial envelopes without a
+    # `before` column flatten `after` alone.
     has_before = "before" in df.columns
     cols = [
         (
-            F.coalesce(F.col(f"after.{f.name}"), F.col(f"before.{f.name}"))
+            F.when(F.col("after").isNull(), F.col(f"before.{f.name}")).otherwise(
+                F.col(f"after.{f.name}")
+            )
             if has_before
             else F.col(f"after.{f.name}")
         ).alias(f.name)

@@ -97,6 +97,21 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", _bucket_of(F.col(vec_col), planes))
 
 
+def _hoisted_cols(id_col: str, vec_col: str) -> list[Column]:
+    """Per-VECTOR projection for pair scoring: id, double-cast array,
+    norm. Hoisting these out of the per-pair expression leaves one
+    zip_with/fold dot product per pair — same values and float ops as
+    casting/norming per pair (oracle-bit-identical), several times less
+    interpreted higher-order-function work."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return [F.col(id_col).alias("id"), vd.alias("vd"), _norm(vd).alias("nrm")]
+
+
+def _pair_score() -> Column:
+    """Cosine score over two _hoisted_cols sides aliased 'l' and 'r'."""
+    return _dot(F.col("l.vd"), F.col("r.vd")) / (F.col("l.nrm") * F.col("r.nrm"))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -112,12 +127,7 @@ def cosine_near_dup_pairs(
     opt-in to unblocked O(n²) all-pairs — fine for small inputs,
     never the 100 TB path.
     """
-    # hoist the double-cast array and the norm to per-VECTOR columns —
-    # the per-pair work is then a single zip_with/fold dot product.
-    # Bit-identical to casting/norming per pair (same values, same ops),
-    # ~5× less interpreted higher-order-function work.
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cols = [F.col(id_col).alias("id"), vd.alias("vd"), _norm(vd).alias("nrm")]
+    cols = _hoisted_cols(id_col, vec_col)
     if block_col is not None:
         cols.append(F.col(block_col).alias("b"))
     base = df.select(*cols)
@@ -125,7 +135,7 @@ def cosine_near_dup_pairs(
     cond = F.col("l.id") < F.col("r.id")
     if block_col is not None:
         cond = cond & (F.col("l.b") == F.col("r.b"))
-    score = _dot(F.col("l.vd"), F.col("r.vd")) / (F.col("l.nrm") * F.col("r.nrm"))
+    score = _pair_score()
     return (
         l.join(r, cond)
         .select(
@@ -144,6 +154,7 @@ def knn_join(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (self-join):
     bucket with random hyperplanes, compare only within a bucket, keep
@@ -154,17 +165,22 @@ def knn_join(
     is Σ bucket², tunable via ``n_planes``; the per-vector top-k is a
     ranking window partitioned by the left id (one shuffle).
     """
-    dim = len(df.select(vec_col).head()[0])
+    if dim is None:
+        # probe the dimension from the first non-null vector (runs one
+        # tiny job at plan build; pass `dim` to stay fully lazy)
+        row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if row is None:
+            raise ValueError(
+                f"knn_join: no non-null '{vec_col}' vectors to infer the "
+                "embedding dimension from; pass dim= explicitly"
+            )
+        dim = len(row[0])
     planes = hyperplanes(dim, n_planes, seed)
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     b = with_lsh_bucket(df, planes, vec_col).select(
-        F.col(id_col).alias("id"),
-        vd.alias("vd"),
-        _norm(vd).alias("nrm"),
-        "lsh_bucket",
+        *_hoisted_cols(id_col, vec_col), "lsh_bucket"
     )
     l, r = b.alias("l"), b.alias("r")
-    score = _dot(F.col("l.vd"), F.col("r.vd")) / (F.col("l.nrm") * F.col("r.nrm"))
+    score = _pair_score()
     pairs = l.join(
         r,
         (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))

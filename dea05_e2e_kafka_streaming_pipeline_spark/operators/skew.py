@@ -31,7 +31,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``fact ⋈ dim`` on ``key`` with the hot-key shuffle
     split across ``num_salts`` partitions. Result is identical to the
-    plain join (salt columns are internal and dropped)."""
+    plain join (salt columns are internal and dropped).
+
+    ``how`` is restricted to fact-preserving joins: under right/full
+    outer joins the n-fold dim replication would emit one null-extended
+    row per salt for unmatched dim keys.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins, not {how!r} — "
+            "replicated dim rows would duplicate unmatched right-side output"
+        )
     f = fact.withColumn(
         "__salt", F.floor(F.rand(seed) * num_salts).cast("int")
     )

@@ -69,3 +69,25 @@ def test_salted_join_equals_plain_join(spark):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
     ).collect()[0]
     assert (plain.n, plain.sv, plain.sw) == (salted.n, salted.sv, salted.sw)
+
+
+def test_normalize_preserves_set_to_null_updates(spark):
+    """An update that legitimately sets a field to NULL must flatten to
+    NULL — only whole-struct-NULL (deletes) fall back to `before`."""
+    from decimal import Decimal
+
+    envelope = spark.createDataFrame(
+        [((1, 100, Decimal("5.00"), 7), (1, 100, None, 7), None, "u", 1000, None)],
+        CDC_ORDERS_ENVELOPE,
+    )
+    row = normalize_cdc(envelope).collect()[0]
+    assert row.order_amount is None  # NOT resurrected from before
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    fact = spark.range(10).selectExpr("cast(id as int) k", "id v")
+    dim = spark.range(5).selectExpr("cast(id as int) k")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(fact, dim, "k", how="right")
