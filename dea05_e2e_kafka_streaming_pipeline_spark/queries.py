@@ -192,6 +192,97 @@ def q_order_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repeat_customers_setops",
+    oracle="""
+    SELECT o_custkey AS customer_id
+    FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers active in both 1995 and 1996 but not
+    1997 (INTERSECT / EXCEPT — distinct-set semantics)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == y).select(
+            F.col("o_custkey").alias("customer_id")
+        )
+
+    return year(1995).intersect(year(1996)).exceptAll(year(1997).distinct()).distinct()
+
+
+@register(
+    "big_spender_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 10000)
+    GROUP BY 1
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi + left-anti joins: customers
+    with at least one >400k order and no <10k order, counted by segment."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    small = o.filter(F.col("o_totalprice") < 10000).select("o_custkey")
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi")
+        .join(small, F.col("c_custkey") == small["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "revenue_rollup_year_month",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the year→month hierarchy (subtotals + grand total)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
     "top_customers_per_region",
     oracle=f"""
     {_ENTITY_CTES},
@@ -465,6 +556,71 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_estimates(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "n_ws_tokens", "n_bpe_pretokens", "n_tokens_chars4"
     )
+
+
+@register(
+    "clean_corpus_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_token_len
+      FROM t
+    ), scored AS (
+      SELECT doc_id,
+             round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + alpha_ratio * 0.4
+                   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM s
+    ), kept_quality AS (
+      SELECT doc_id FROM scored WHERE quality_score >= 0.6
+    ), pairs AS (
+      SELECT id_b FROM (
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len({_DUCK_TOKS}) - 2, 1) + 1),
+                   i -> array_to_string(({_DUCK_TOKS})[i:i+2], ' '))) AS sh
+          FROM documents
+        ), sx AS (
+          SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+          FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT DISTINCT id_b FROM p
+        WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.2
+      )
+    )
+    SELECT doc_id FROM kept_quality
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline a training-data run executes:
+    quality-score filter (≥0.6) + near-dedup (drop higher id of every
+    Jaccard≥0.2 pair) → surviving doc ids."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import with_text_stats
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    kept = with_text_stats(docs).filter(F.col("quality_score") >= 0.6)
+    return apply_dedup(kept, pairs).select("doc_id")
 
 
 # rows-only checks (no SQL oracle: xxhash64-seeded signatures are not

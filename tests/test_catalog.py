@@ -33,3 +33,19 @@ def test_file_inventory_counts(spark, tmp_path):
     assert len(inv) == 4
     assert sum(r.n_rows for r in inv) == df.count()
     assert all(r.file.endswith(".parquet") for r in inv)
+
+
+def test_jar_gated_paths_raise_cleanly(spark, tmp_path):
+    """Avro/Delta need jars absent from this container; the registry
+    must surface actionable errors, not raw JVM stack traces."""
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_avro,
+        read_delta,
+    )
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope.avro"))
+    with pytest.raises(RuntimeError, match="delta"):
+        read_delta(spark, str(tmp_path / "nope_delta"))
