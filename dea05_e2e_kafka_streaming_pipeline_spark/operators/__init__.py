@@ -1,9 +1,75 @@
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+    apply_cdc_changes,
+    decode_cdc_orders,
+    decode_epoch_days,
+    normalize_cdc,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+    apply_dedup,
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    resize_images,
+    synthesize_media,
+)
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
     DataQualityValidator,
 )
-from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
-    decode_cdc_orders,
-    normalize_cdc,
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+    session_summary,
+    sessionize,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    knn_join,
+    lsh_topk,
+    with_lsh_bucket,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.skew import salted_join
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_text_stats,
+    with_token_estimates,
 )
 
-__all__ = ["DataQualityValidator", "decode_cdc_orders", "normalize_cdc"]
+__all__ = [
+    "DataQualityValidator",
+    "apply_cdc_changes",
+    "apply_dedup",
+    "asof_join",
+    "cosine_near_dup_pairs",
+    "cosine_topk",
+    "decode_cdc_orders",
+    "decode_epoch_days",
+    "dedup_exact",
+    "extract_features",
+    "frame_sample_plan",
+    "knn_join",
+    "lsh_topk",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "normalize_cdc",
+    "resize_images",
+    "salted_join",
+    "session_summary",
+    "sessionize",
+    "simhash_pairs",
+    "simhash_signatures",
+    "synthesize_media",
+    "with_fingerprint",
+    "with_lang_id",
+    "with_lsh_bucket",
+    "with_text_stats",
+    "with_token_estimates",
+]

@@ -254,6 +254,22 @@ class DataQualityValidator:
             ]
         )
 
+    def summary(self) -> dict:
+        """Driver-side report summary in the reference's shape
+        (curated/data_quality.py:108-126): ``{"summary": {total_checks,
+        passed, failed}, "details": [...]}`` — ready for any JSON sink.
+        Collects only the tiny report, never the data."""
+        rows = [r.asDict() for r in self.report().collect()]
+        passed = sum(1 for r in rows if r["status"] == "PASS")
+        return {
+            "summary": {
+                "total_checks": len(rows),
+                "passed": passed,
+                "failed": len(rows) - passed,
+            },
+            "details": rows,
+        }
+
     def passed(self) -> bool:
         """True iff every check PASSes (drives the gate). Collects the
         tiny report — never the data."""

@@ -144,3 +144,17 @@ def test_single_pass_plan(spark):
     # one scan — the explode happens on the 1-row aggregate output
     assert plan.count("Aggregate") == 1
     assert plan.count("Range") == 1
+
+
+def test_summary_shape(spark):
+    """Report summary matches the reference's JSON shape
+    (curated/data_quality.py:108-126)."""
+    df = _orders_with_nulls(spark, 100, 0.5)
+    s = (
+        DataQualityValidator(df)
+        .check_completeness(["order_id", "customer_id"])
+        .summary()
+    )
+    assert s["summary"] == {"total_checks": 2, "passed": 1, "failed": 1}
+    assert len(s["details"]) == 2
+    assert {d["check_name"] for d in s["details"]} == {"order_id", "customer_id"}
