@@ -33,10 +33,16 @@ def main() -> int:
     next(iter(qs.values()))(spark, sf_dir).count()
 
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best-of-2: single-shot local timings fluctuate ±40% with JIT/GC
+        # noise; the minimum is the stable signal for plan regressions
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
