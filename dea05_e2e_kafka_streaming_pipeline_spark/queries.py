@@ -689,16 +689,49 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
+             repeat(sha256(CAST(i AS VARCHAR)), 4) AS payload
+      FROM range(0, 200) t(i)
+    )
+    SELECT media_id, kind,
+           CAST(length(payload) AS BIGINT) AS payload_bytes,
+           substr(sha256(payload), 1, 32) AS feature_hex
+    FROM m
+    """,
+)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media feature extraction over the binary payload
-    column (deterministic stub decoder; real Spark plumbing)."""
+    column (deterministic stub decoder; real Spark plumbing).
+
+    The operator returns ``feature array<double>``; the *registered*
+    query serializes it to a hex digest column so the driver's
+    canonicalizer (sorts/hashes scalar cells) can check it, and so the
+    sha256-deterministic stub is DuckDB-oracle-expressible: each feature
+    element is ``byte/255.0`` of the payload digest, so mapping elements
+    back to bytes and hex-concatenating reproduces
+    ``substr(sha256(payload), 1, 32)`` exactly."""
+    from pyspark.sql import functions as F
+
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
     )
 
-    return extract_features(synthesize_media(spark, n=200))
+    feats = extract_features(synthesize_media(spark, n=200))
+    byte_hex = lambda x: F.lpad(
+        F.lower(F.hex(F.round(x * 255).cast("int"))), 2, "0"
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_bytes",
+        F.concat_ws("", F.transform("feature", byte_hex)).alias("feature_hex"),
+    )
 
 
 # ---------------------------------------------------------------------------
