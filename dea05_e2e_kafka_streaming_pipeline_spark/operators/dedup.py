@@ -141,6 +141,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature: element j = min over shingles of a
     seeded hash of the shingle.
@@ -157,20 +158,41 @@ def minhash_signatures(
     NB for any future lambda here: pyspark treats a two-arg lambda in
     ``transform()`` as (element, index) — a seeded-hash closure must
     take exactly one argument.
+
+    ``hash_family`` picks the seeded hash: ``"xxhash64"`` (default —
+    fastest, JVM-only) or ``"md5"`` (seeded as ``md5("{j}|" + shingle)``,
+    minima over the lowercase hex strings). md5 exists with identical
+    output in DuckDB, so the md5 family makes the *entire* LSH pipeline
+    oracle-checkable end-to-end; both engines compare ASCII hex strings
+    under binary collation, so the minima agree exactly.
     """
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     # no size>0 pre-filter: explode of an empty array emits no rows, and
     # a filter would force the shingle expression to be evaluated twice
     # (CollapseProject inlines it into every consumer)
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(word_shingles(text_col, k), lambda x: F.xxhash64(x))
-        ).alias("h"),
-    )
-    row = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64("h", F.lit(j))).alias(f"__m{j}") for j in range(num_hashes)]
-    )
+    if hash_family == "xxhash64":
+        ex = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(word_shingles(text_col, k), lambda x: F.xxhash64(x))
+            ).alias("h"),
+        )
+        mins = [
+            F.min(F.xxhash64("h", F.lit(j))).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        ex = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, k)).alias("h"),
+        )
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("h")))).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+    row = ex.groupBy("id").agg(*mins)
     return row.select(
         "id", F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig")
     )
@@ -185,6 +207,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     verify: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding, with exact-Jaccard
     verification of the candidates (so precision is exact; recall is the
@@ -194,10 +217,20 @@ def minhash_lsh_pairs(
     (band, hash) → distinct candidate pairs → join back shingle arrays →
     exact Jaccard filter. Shuffle volume is bounded by band-bucket
     collisions, not raw shingle frequency.
+
+    ``hash_family="md5"`` switches signatures AND band hashes to md5
+    (see :func:`minhash_signatures`) — DuckDB-reproducible end-to-end.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_family)
+
+    def band_hash(b: int) -> Column:
+        elems = [F.col("sig")[b * rows + r] for r in range(rows)]
+        if hash_family == "md5":
+            return F.md5(F.concat(*elems))
+        return F.xxhash64(*elems)
+
     banded = sigs.select(
         "id",
         F.explode(
@@ -205,9 +238,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows + r] for r in range(rows)]
-                        ).alias("bh"),
+                        band_hash(b).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -304,10 +335,30 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming. Banding on the four
-    16-bit quarters: any pair within distance ≤ 3 shares at least one
-    exact quarter (pigeonhole), so the equi-join on quarters is a
-    complete candidate generator; the Hamming filter makes it exact."""
+    """Pairs with Hamming(simhash) ≤ max_hamming. Banding on
+    ``max_hamming + 1`` disjoint bit segments of the signature: a pair
+    within distance ≤ k differs in ≤ k bands, so at least one of k+1
+    disjoint bands matches exactly (pigeonhole) — the equi-join on bands
+    is a complete candidate generator at ANY radius, and the Hamming
+    filter makes it exact. (More bands ⇒ more candidate-join rows:
+    radius is a recall/cost dial, not a correctness one.)"""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64): {max_hamming}")
+    nb = max_hamming + 1
+    width, extra = divmod(64, nb)
+    # contiguous segments; the first `extra` get one extra bit
+    starts, s = [], 0
+    for b in range(nb):
+        w = width + (1 if b < extra else 0)
+        starts.append((s, w))
+        s += w
+
+    def seg(start: int, w: int) -> Column:
+        v = F.shiftright(F.col("simhash"), start)
+        if start + w < 64:  # top segment keeps the sign bits; mask the rest
+            v = v.bitwiseAND(F.lit((1 << w) - 1))
+        return v
+
     sigs = simhash_signatures(df, text_col, id_col)
     quarters = sigs.select(
         "id",
@@ -316,12 +367,10 @@ def simhash_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright(F.col("simhash"), q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("qh"),
+                        F.lit(b).alias("q"),
+                        seg(start, w).alias("qh"),
                     )
-                    for q in range(4)
+                    for b, (start, w) in enumerate(starts)
                 ]
             )
         ).alias("e"),
@@ -343,6 +392,116 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_quarters_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash with md5-derived token bits, emitted as four
+    16-bit quarter columns ``q0..q3`` (values < 2¹⁶ — safe integer range
+    in any engine, which is what makes this variant DuckDB-checkable).
+
+    Token bit i is bit i of ``hi·2³² + lo`` where hi/lo are the
+    first/second 8 hex chars of md5(token) parsed as integers — both
+    parses exist natively in Spark (``conv(x,16,10)``) and DuckDB
+    (``('0x'||x)::BIGINT``). Same plan shape as
+    :func:`simhash_signatures`: explode tokens → 64 conditional-sum
+    bit votes (codegen) → sign bits reassembled per quarter."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.md5("t"))
+    tok = tok.select(
+        "id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def bit(i: int) -> Column:
+        src, sh = (F.col("lo"), i) if i < 32 else (F.col("hi"), i - 32)
+        return F.shiftright(src, sh).bitwiseAND(F.lit(1))
+
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    qcols = []
+    for qi in range(4):
+        q = None
+        for t in range(16):
+            term = F.when(F.col(f"b{qi * 16 + t}") > 0, F.lit(1 << t)).otherwise(
+                F.lit(0)
+            )
+            q = term if q is None else q + term
+        qcols.append(q.cast("int").alias(f"q{qi}"))
+    return votes.select("id", *qcols)
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """:func:`simhash_pairs` over the md5-derived quarter signature —
+    identical banding plan (explode quarters → equi-join → distinct →
+    Hamming filter), but every value is DuckDB-reproducible so the
+    driver can hash-match the full pipeline. Hamming distance is summed
+    quarter-wise (``bit_count(xor)`` per quarter) to stay inside safe
+    integer ranges in both engines."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4-quarter banding is a complete "
+            "candidate generator only for Hamming <= 3 (pigeonhole); "
+            "larger radii would silently miss pairs"
+        )
+    sigs = simhash_quarters_md5(df, text_col, id_col)
+    e = sigs.select(
+        "id",
+        "q0",
+        "q1",
+        "q2",
+        "q3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("qi"), F.col(f"q{q}").alias("qv")
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "q0", "q1", "q2", "q3", "e.qi", "e.qv")
+    a, b = e.alias("a"), e.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.qi") == F.col("b.qi"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.q{q}").alias(f"aq{q}") for q in range(4)],
+            *[F.col(f"b.q{q}").alias(f"bq{q}") for q in range(4)],
+        )
+        .distinct()
+    )
+    hamming = None
+    for q in range(4):
+        term = F.bit_count(F.col(f"aq{q}").bitwiseXOR(F.col(f"bq{q}")))
+        hamming = term if hamming is None else hamming + term
     return (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -155,6 +155,7 @@ def knn_join(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbors for EVERY vector (self-join):
     bucket with random hyperplanes, compare only within a bucket, keep
@@ -164,7 +165,18 @@ def knn_join(
     Scale shape: the self-join is an equi-join on ``lsh_bucket`` — cost
     is Σ bucket², tunable via ``n_planes``; the per-vector top-k is a
     ranking window partitioned by the left id (one shuffle).
+
+    ``bucket_col`` overrides hyperplane bucketing with an existing
+    column (a shard key, a label, a persisted LSH bucket) — same plan
+    shape, deterministic blocking, and (unlike seeded hyperplanes)
+    expressible as a SQL oracle.
     """
+    if bucket_col is not None:
+        b = df.select(
+            *_hoisted_cols(id_col, vec_col),
+            F.col(bucket_col).alias("lsh_bucket"),
+        )
+        return _knn_within_bucket(b, k)
     if dim is None:
         # probe the dimension from the first non-null vector (runs one
         # tiny job at plan build; pass `dim` to stay fully lazy)
@@ -179,6 +191,12 @@ def knn_join(
     b = with_lsh_bucket(df, planes, vec_col).select(
         *_hoisted_cols(id_col, vec_col), "lsh_bucket"
     )
+    return _knn_within_bucket(b, k)
+
+
+def _knn_within_bucket(b: DataFrame, k: int) -> DataFrame:
+    """Within-bucket all-pairs scoring + per-id ranking window (shared
+    tail of :func:`knn_join`). `b` carries (id, vd, nrm, lsh_bucket)."""
     l, r = b.alias("l"), b.alias("r")
     score = _pair_score()
     pairs = l.join(

@@ -651,6 +651,169 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_pairs_md5: token bits from md5 hex
+    (hi/lo 8-char chunks parsed as ints), 64 conditional-sum bit votes,
+    sign bits packed into four 16-bit quarters, quarter-banded pair join,
+    quarter-wise Hamming. Every intermediate fits in BIGINT range."""
+    votes = ",\n             ".join(
+        "sum(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            src="lo" if i < 32 else "hi", sh=i if i < 32 else i - 32, i=i
+        )
+        for i in range(64)
+    )
+    quarters = ",\n             ".join(
+        " + ".join(
+            f"(CASE WHEN b{qi * 16 + t} > 0 THEN {1 << t} ELSE 0 END)"
+            for t in range(16)
+        )
+        + f" AS q{qi}"
+        for qi in range(4)
+    )
+    band = "\n      UNION ALL ".join(
+        f"SELECT doc_id, q0, q1, q2, q3, {qi} AS qi, q{qi} AS qv FROM q"
+        for qi in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a{qi}, b{qi}_))" for qi in range(4))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), c AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+      FROM t
+    ), v AS (
+      SELECT doc_id, {votes}
+      FROM c GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id, {quarters}
+      FROM v
+    ), band AS (
+      {band}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.q0 AS a0, a.q1 AS a1, a.q2 AS a2, a.q3 AS a3,
+             b.q0 AS b0_, b.q1 AS b1_, b.q2 AS b2_, b.q3 AS b3_
+      FROM band a
+      JOIN band b ON a.qi = b.qi AND a.qv = b.qv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {hamming} AS hamming
+    FROM cands
+    WHERE {hamming} <= {max_hamming}
+    """
+
+
+def _minhash_md5_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB mirror of minhash_lsh_pairs(hash_family='md5') — md5 hex
+    is byte-identical across engines and hex-string minima compare the
+    same under both engines' binary collation, so the whole pipeline
+    (seeded signature minima → band hashes → bucket collisions → exact
+    Jaccard verification) is reproducible in SQL."""
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(md5('{j}|' || s)) AS m{j}" for j in range(num_hashes)
+    )
+    band_sel = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b, cat=" || ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM s GROUP BY doc_id
+    ), band AS (
+      {band_sel}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a
+      JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+    FROM cands c JOIN common USING (id_a, id_b)
+    WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= {threshold}
+    """
+
+
+@register("simhash_pairs_md5", oracle=_simhash_md5_oracle(3))
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_pairs with md5-derived token bits (quarter-packed) — the
+    same banding plan as the xxhash64 production path but every value is
+    DuckDB-reproducible, so the full SimHash pipeline earns a
+    hash-matched correctness row."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        simhash_pairs_md5,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return simhash_pairs_md5(load_table(spark, sf_dir, "documents"))
+
+
+@register("minhash_lsh_pairs_md5", oracle=_minhash_md5_oracle(32, 8, 0.2))
+def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs with the md5 hash family (32 hashes, 8 bands)
+    — the SAME pipeline as `minhash_lsh_pairs` (signature minima as
+    codegen'd aggregates, band-bucket candidates, exact-Jaccard verify)
+    but with a DuckDB-reproducible hash, so the driver can hash-match
+    the full LSH machinery end-to-end, not just rows-only."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        threshold=0.2,
+        hash_family="md5",
+    )
+
+
+@register(
+    "minhash_precision_violations",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    WHERE 1 = 0
+    """,
+)
+def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the xxhash64 production path: verified
+    MinHash-LSH pairs are by construction a SUBSET of the exact n-gram
+    Jaccard pairs at the same threshold (precision 1) — emit any
+    violating pairs; the oracle expects zero rows. Checks ids AND the
+    verified jaccard values."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(docs, threshold=0.2)
+    exact = ngram_jaccard_pairs(docs, threshold=0.2)
+    return mh.join(exact, ["id_a", "id_b", "jaccard"], "left_anti")
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle="""
@@ -687,6 +850,81 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     return knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "knn_blocked_exact",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS score
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+    )
+    SELECT id, rank, neighbor_id, score FROM (
+      SELECT id, neighbor_id, score,
+             row_number() OVER (
+               PARTITION BY id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM p
+    ) WHERE rank <= 5
+    """,
+)
+def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The knn_join machinery (pair scoring + per-id ranking window)
+    under deterministic blocking (bucket_col='label' instead of seeded
+    hyperplane buckets) — fully DuckDB-oracle-checkable, so the shared
+    scoring/window tail of the approximate KNN path earns a hash-matched
+    correctness row."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import knn_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return knn_join(
+        load_table(spark, sf_dir, "embeddings"), k=5, bucket_col="label"
+    )
+
+
+@register(
+    "knn_score_violations",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS score, CAST(NULL AS DOUBLE) AS expected
+    WHERE 1 = 0
+    """,
+)
+def q_knn_score_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the hyperplane-bucketed knn_join: every
+    reported (id, neighbor_id, score) must carry the TRUE cosine of that
+    pair — recompute it independently from the embeddings table and emit
+    disagreements; the oracle expects zero rows. (Bucketing only decides
+    WHICH pairs are compared, never their scores.)"""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        knn_join,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_join(emb, k=5)
+    a = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb_a"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")
+    )
+    expected = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        knn.join(a, "id")
+        .join(b, "neighbor_id")
+        .withColumn("expected", expected)
+        .filter(
+            F.col("expected").isNull() | (F.col("score") != F.col("expected"))
+        )
+        .select("id", "neighbor_id", "score", "expected")
+    )
 
 
 @register(

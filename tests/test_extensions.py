@@ -226,3 +226,62 @@ def test_resize_images_plumbing(spark):
     assert len(thumbs) == n_images
     assert all(len(r.thumbnail) == 64 for r in thumbs)
     assert all(r.width == 8 and r.height == 8 for r in thumbs)
+
+
+def test_simhash_max_hamming_guard(docs):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        simhash_pairs_md5,
+    )
+
+    # generalized banding accepts any radius < 64 ...
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(docs, max_hamming=64)
+    # ... but the fixed-quarter md5/oracle variant is complete only to 3
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs_md5(docs, max_hamming=4)
+
+
+def test_simhash_radius_monotone(docs):
+    """Generalized banding stays a complete candidate generator: the
+    pair set at a larger radius must contain the radius-3 set."""
+    p3 = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    p8 = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert p3 <= p8
+
+
+def test_minhash_hash_family_guard(docs):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signatures(docs, hash_family="sha1")
+
+
+def test_minhash_md5_family_finds_planted_dups(docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.5, hash_family="md5"
+        ).collect()
+    }
+    # exact/normalized/near dups of doc 0 and the FAR suffix pair — same
+    # expectations as the xxhash64 family on this planted corpus
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert (0, 3) in got and (4, 5) in got
+
+
+def test_knn_join_bucket_col_blocks_comparisons(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 3, [rng.gauss(i % 3, 0.05) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = __import__(
+        "dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity",
+        fromlist=["knn_join"],
+    ).knn_join(df, k=3, bucket_col="label")
+    for r in out.collect():
+        assert r.id % 3 == r.neighbor_id % 3, (r.id, r.neighbor_id)
