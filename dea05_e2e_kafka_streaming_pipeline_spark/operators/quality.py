@@ -60,6 +60,7 @@ class _ConsistencyCheck:
     dim: DataFrame
     key: str
     threshold_pct: float
+    broadcast_dim: bool = True
 
 
 @dataclass
@@ -117,10 +118,20 @@ class DataQualityValidator:
         dim: DataFrame,
         key: str,
         threshold_pct: float = 1.0,
+        broadcast_dim: bool = True,
     ) -> "DataQualityValidator":
         """Referential integrity: % of rows whose ``key`` has no match in
-        ``dim`` (reference data_quality.py:74-91, left-anti join)."""
-        self._consistency.append(_ConsistencyCheck(check_name, dim, key, threshold_pct))
+        ``dim`` (reference data_quality.py:74-91, left-anti join).
+
+        ``broadcast_dim=True`` (default) force-broadcasts the distinct
+        dim-key set — right for real dimensions (the reference's
+        customers dim has ≤50 keys). Pass ``False`` for fact-to-fact FK
+        checks whose key set is unbounded: the marker join then falls
+        back to whatever strategy AQE picks (shuffle join at scale),
+        instead of OOMing the driver on an unbroadcastable build side."""
+        self._consistency.append(
+            _ConsistencyCheck(check_name, dim, key, threshold_pct, broadcast_dim)
+        )
         return self
 
     def check_volume(
@@ -153,7 +164,9 @@ class DataQualityValidator:
                 .distinct()
                 .withColumn(f"__dim{j}", F.lit(1))
             )
-            aug = aug.join(F.broadcast(dim_keys), con.key, "left")
+            if con.broadcast_dim:
+                dim_keys = F.broadcast(dim_keys)
+            aug = aug.join(dim_keys, con.key, "left")
 
         aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
         for i, chk in enumerate(self._agg_checks):
@@ -275,6 +288,24 @@ class DataQualityValidator:
         tiny report — never the data."""
         rows = self.report().select("status").collect()
         return all(r.status == "PASS" for r in rows)
+
+    def write_report(self, path: str) -> dict:
+        """Land :meth:`summary` as one JSON object at ``path`` — the
+        reference's report sink (curated/data_quality.py:118-125 puts
+        the dict to object storage as a single JSON key; MinIO variant
+        mage-programs/data_quality.py:131-147). Driver-side plain-file
+        write: the report is O(checks) rows, never data-sized. Returns
+        the summary dict it wrote."""
+        import json
+        import os
+
+        summary = self.summary()
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        return summary
 
     def gate(
         self,

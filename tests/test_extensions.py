@@ -285,3 +285,41 @@ def test_knn_join_bucket_col_blocks_comparisons(spark):
     ).knn_join(df, k=3, bucket_col="label")
     for r in out.collect():
         assert r.id % 3 == r.neighbor_id % 3, (r.id, r.neighbor_id)
+
+
+def test_spread_gates_on_partition_count(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import _spread
+
+    target = spark.sparkContext.defaultParallelism
+    few = spark.range(100).repartition(2)
+    assert _spread(few).rdd.getNumPartitions() == target
+    many = spark.range(100).repartition(target + 4)
+    # already well-partitioned input must NOT be reshuffled
+    assert _spread(many) is many
+
+
+def test_pair_scorer_numpy_matches_expr(spark):
+    """The Arrow/einsum pair scorer must be round-6 bit-identical to the
+    interpreted fold (both float64) — the discipline that keeps the
+    oracle hashes stable whichever scorer a query picks."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, i % 4, [rng.gauss(0, 1) for _ in range(24)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    a = sorted(
+        map(tuple, cosine_near_dup_pairs(df, threshold=-1.0, scorer="expr").collect())
+    )
+    b = sorted(
+        map(tuple, cosine_near_dup_pairs(df, threshold=-1.0, scorer="numpy").collect())
+    )
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError, match="scorer"):
+        cosine_near_dup_pairs(df, scorer="fortran")

@@ -158,3 +158,40 @@ def test_summary_shape(spark):
     assert s["summary"] == {"total_checks": 2, "passed": 1, "failed": 1}
     assert len(s["details"]) == 2
     assert {d["check_name"] for d in s["details"]} == {"order_id", "customer_id"}
+
+
+def test_consistency_broadcast_opt_out(spark):
+    """broadcast_dim=False must give identical results with no forced
+    broadcast hint in the logical plan — the fallback for fact-to-fact
+    FK checks whose key set would OOM a broadcast (round-1 verdict's
+    scale hazard #2)."""
+    facts = spark.range(100).select((F.col("id") % 100).cast("int").alias("customer_id"))
+    dim = spark.range(10, 100).select(F.col("id").cast("int").alias("customer_id"))
+
+    forced = DataQualityValidator(facts).check_consistency("fk", dim, "customer_id")
+    free = DataQualityValidator(facts).check_consistency(
+        "fk", dim, "customer_id", broadcast_dim=False
+    )
+    got_forced = forced.report().collect()
+    got_free = free.report().collect()
+    assert [r.asDict() for r in got_forced] == [r.asDict() for r in got_free]
+
+    # the hint is present only when requested
+    plan_forced = forced.report()._jdf.queryExecution().optimizedPlan().toString()
+    plan_free = free.report()._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_forced.lower()
+    assert "broadcast" not in plan_free.lower()
+
+
+def test_write_report_lands_summary_json(spark, tmp_path):
+    import json
+
+    df = spark.range(10).select(F.col("id").cast("int").alias("order_id"))
+    path = str(tmp_path / "reports" / "dq.json")
+    v = DataQualityValidator(df).check_completeness(["order_id"])
+    written = v.write_report(path)
+    on_disk = json.loads(open(path).read())
+    assert on_disk == json.loads(json.dumps(written, default=str))
+    assert on_disk["summary"]["total_checks"] == 1
+    assert on_disk["summary"]["passed"] == 1
+    assert on_disk["details"][0]["check_name"] == "order_id"
