@@ -12,6 +12,8 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_pairs,
+    simhash_pairs_md5,
+    simhash_quarters_md5,
     simhash_signatures,
 )
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
@@ -65,6 +67,8 @@ __all__ = [
     "session_summary",
     "sessionize",
     "simhash_pairs",
+    "simhash_pairs_md5",
+    "simhash_quarters_md5",
     "simhash_signatures",
     "synthesize_media",
     "with_fingerprint",

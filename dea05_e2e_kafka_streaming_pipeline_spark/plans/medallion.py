@@ -89,11 +89,13 @@ def run_medallion_stream(
         ingest_to_lake,
     )
 
+    # ingest-date partitioning (date_column=None → current_timestamp),
+    # matching stamp_bronze and the bronze layer convention above —
+    # event-date layouts belong to silver/gold, not the landing zone
     bronze_q = ingest_to_lake(
         orders_stream,
         path=paths.bronze,
         checkpoint=f"{checkpoint_root}/bronze",
-        date_column="order_date",
         available_now=available_now,
         trigger_seconds=trigger_seconds,
     )
@@ -114,36 +116,58 @@ def run_medallion_batch(
     orders_raw: DataFrame,
     customers: DataFrame,
     paths: MedallionPaths,
+    fmt: str = "parquet",
 ) -> dict[str, bool | int]:
     """Batch/backfill run of the full pipeline. Returns a small summary
     dict (row counts + gate decision) — no data ever crosses the driver
-    beyond the DQ report."""
-    stamp_bronze(orders_raw).write.mode("overwrite").partitionBy("date").parquet(
-        paths.bronze
-    )
-    bronze = spark.read.parquet(paths.bronze).drop(
+    beyond the DQ report.
+
+    ``fmt`` picks the lake table format per layer write: ``"parquet"``
+    (reference AWS flavor, curated/data_quality.py:170-171) or
+    ``"delta"`` (reference Mage flavor — overwrite + overwriteSchema,
+    mage-programs/data_quality.py:229-231 / gold_aggregations.py:60 —
+    requires delta-spark; raises the jar-gated error otherwise).
+    Quarantine stays JSON in both flavors, as in the reference."""
+    if fmt not in ("parquet", "delta"):
+        raise ValueError(f"unsupported medallion format: {fmt!r}")
+
+    def write_layer(df: DataFrame, path: str, partition_by: list[str]) -> None:
+        if fmt == "delta":
+            from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+                write_delta,
+            )
+
+            write_delta(df, path, partition_by=partition_by)
+        else:
+            from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+                write_parquet_partitioned,
+            )
+
+            write_parquet_partitioned(df, path, partition_by=partition_by)
+
+    def read_layer(path: str) -> DataFrame:
+        return spark.read.format(fmt).load(path)
+
+    write_layer(stamp_bronze(orders_raw), paths.bronze, ["date"])
+    bronze = read_layer(paths.bronze).drop(
         "ingest_time", "source_file", "ingestion_layer", "date"
     )
 
     gate_ok = default_orders_validator(bronze, customers).gate(
-        lambda df: df.write.mode("overwrite")
-        .partitionBy("order_date")
-        .parquet(paths.silver),
+        lambda df: write_layer(df, paths.silver, ["order_date"]),
         lambda df: df.write.mode("overwrite").json(paths.quarantine),
     )
     summary: dict[str, bool | int] = {"gate_passed": gate_ok}
     if not gate_ok:
         return summary
 
-    silver = spark.read.parquet(paths.silver)
+    silver = read_layer(paths.silver)
     daily = build_daily_sales(silver, customers, with_processing_ts=True)
-    daily.write.mode("overwrite").partitionBy("date", "region").parquet(
-        paths.gold_daily_sales
-    )
+    write_layer(daily, paths.gold_daily_sales, ["date", "region"])
     clv = build_clv(silver, customers, with_processing_ts=True)
-    clv.write.mode("overwrite").partitionBy("region").parquet(paths.gold_clv)
+    write_layer(clv, paths.gold_clv, ["region"])
 
     summary["silver_rows"] = silver.count()
-    summary["daily_sales_rows"] = spark.read.parquet(paths.gold_daily_sales).count()
-    summary["clv_rows"] = spark.read.parquet(paths.gold_clv).count()
+    summary["daily_sales_rows"] = read_layer(paths.gold_daily_sales).count()
+    summary["clv_rows"] = read_layer(paths.gold_clv).count()
     return summary

@@ -11,6 +11,8 @@ from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import (
     load_orders,
 )
 from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+    write_bucketed_table,
+    write_delta,
     write_json_partitioned,
     write_parquet_partitioned,
 )
@@ -24,6 +26,8 @@ __all__ = [
     "read_parquet",
     "load_customers",
     "load_orders",
+    "write_bucketed_table",
+    "write_delta",
     "write_json_partitioned",
     "write_parquet_partitioned",
 ]

@@ -41,13 +41,33 @@ def register_table(
 
 
 def file_inventory(df: DataFrame) -> DataFrame:
-    """Per-file row counts for whatever scan backs ``df`` — the
-    distributed replacement for the reference's S3 listing crawler
-    (curated/crawler.py:50-88). One aggregate job; no driver-side
-    pagination."""
+    """Per-file row counts AND byte sizes for whatever scan backs
+    ``df`` — the distributed replacement for the reference's S3 listing
+    crawler, which pages the bucket and sums object sizes
+    (curated/crawler.py:72-84). Sizes come from the hidden
+    ``_metadata.file_size`` column: populated by the scan itself, zero
+    extra I/O. One aggregate job; no driver-side pagination.
+
+    Falls back to counts-only (``size_bytes`` NULL) when ``df`` is not
+    directly backed by a file scan (e.g. after a join) — ``_metadata``
+    is only resolvable on the scan relation."""
+    try:
+        base = df.select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("__size"),
+        )
+    except Exception:
+        base = df.select(
+            F.input_file_name().alias("file"),
+            F.lit(None).cast("long").alias("__size"),
+        )
     return (
-        df.groupBy(F.input_file_name().alias("file"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        base.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # constant per file; max() = the file's size
+            F.max("__size").alias("size_bytes"),
+        )
         .orderBy("file")
     )
 

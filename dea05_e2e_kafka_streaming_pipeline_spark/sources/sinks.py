@@ -41,12 +41,44 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed managed table — the co-located-join layout for 100 TB
     fact tables: two tables bucketed on the same key join with NO
-    exchange on either side (see tests/test_bucketing.py for the plan
-    assertion). Bucketing requires the catalog (saveAsTable)."""
+    exchange on either side (plan-asserted in
+    tests/test_medallion.py::test_bucketed_join_no_shuffle). Bucketing
+    requires the catalog (saveAsTable)."""
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    overwrite_schema: bool = True,
+) -> None:
+    """Delta sink (SURVEY S12): overwrite + schema evolution +
+    partitioning, matching the reference's Delta writes
+    (mage-programs/orders_delta_lake.py:53 — ``format("delta")
+    .mode("overwrite").option("overwriteSchema","true")``; partitioned
+    variants data_quality.py:229-231, gold_aggregations.py:60,
+    customer_lifetime_value.py:82).
+
+    Requires delta-spark on the classpath; jar-gated like
+    ``read_delta`` so the core engine runs on vanilla Spark."""
+    writer = df.write.format("delta").mode(mode)
+    if overwrite_schema and mode == "overwrite":
+        writer = writer.option("overwriteSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.save(path)
+    except Exception as exc:
+        raise RuntimeError(
+            "Delta writes need the delta-spark package on the classpath "
+            "(configure spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension). "
+            f"Underlying error: {exc}"
+        ) from exc
 
 
 def write_json_partitioned(

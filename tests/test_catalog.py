@@ -33,6 +33,30 @@ def test_file_inventory_counts(spark, tmp_path):
     assert len(inv) == 4
     assert sum(r.n_rows for r in inv) == df.count()
     assert all(r.file.endswith(".parquet") for r in inv)
+    # byte sizes from _metadata.file_size match the filesystem exactly
+    # (reference sums object sizes, curated/crawler.py:72-84)
+    import os
+
+    for r in inv:
+        local = r.file.removeprefix("file://").removeprefix("file:")
+        assert r.size_bytes == os.path.getsize(local)
+
+
+def test_file_inventory_on_testdata(spark):
+    inv = file_inventory(load_table(spark, SF_SMOKE, "lineitem")).collect()
+    assert len(inv) >= 1
+    assert all(r.size_bytes > 0 for r in inv)
+
+
+def test_file_inventory_fallback_without_scan(spark):
+    """On a non-file-backed DataFrame the _metadata column is
+    unresolvable; the inventory degrades to counts-only (empty file
+    name, NULL size) rather than failing."""
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x int")
+    inv = file_inventory(df).collect()
+    assert len(inv) == 1
+    assert inv[0].size_bytes is None
+    assert inv[0].n_rows == 3
 
 
 def test_jar_gated_paths_raise_cleanly(spark, tmp_path):
@@ -49,3 +73,47 @@ def test_jar_gated_paths_raise_cleanly(spark, tmp_path):
         read_avro(spark, str(tmp_path / "nope.avro"))
     with pytest.raises(RuntimeError, match="delta"):
         read_delta(spark, str(tmp_path / "nope_delta"))
+
+
+def test_write_delta_jar_gated(spark, tmp_path):
+    """S12: the Delta sink exists and surfaces the actionable jar error
+    in this vanilla-Spark container (a Delta-enabled session would write;
+    the writer builds overwrite + overwriteSchema + partitionBy exactly
+    as reference mage-programs/orders_delta_lake.py:53)."""
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import write_delta
+
+    df = load_table(spark, SF_SMOKE, "orders")
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        write_delta(df, str(tmp_path / "delta_tbl"), partition_by=["o_orderdate"])
+
+
+def test_medallion_delta_flavor_jar_gated(spark, tmp_path):
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.medallion import (
+        MedallionPaths,
+        run_medallion_batch,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("order_amount"),
+        F.col("o_custkey").alias("customer_id"),
+    )
+    customers = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("customer_id")
+    )
+    paths = MedallionPaths(
+        bronze=str(tmp_path / "bronze"),
+        silver=str(tmp_path / "silver"),
+        quarantine=str(tmp_path / "quarantine"),
+        gold_daily_sales=str(tmp_path / "gold/daily"),
+        gold_clv=str(tmp_path / "gold/clv"),
+    )
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        run_medallion_batch(spark, orders, customers, paths, fmt="delta")
+    with pytest.raises(ValueError, match="unsupported medallion format"):
+        run_medallion_batch(spark, orders, customers, paths, fmt="orc")
