@@ -80,6 +80,7 @@ def apply_cdc_changes(
     key: str,
     ts_col: str = "_cdc_ts_ms",
     op_col: str = "_cdc_op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Merge a CDC change batch into a snapshot — the MERGE INTO the
     reference's Delta flavor implies, emulated on vanilla Spark
@@ -94,12 +95,21 @@ def apply_cdc_changes(
     drop_deletes=False)``. Cost: one window shuffle over the (small)
     change batch + one hash join against the target — the target is
     never shuffled when the join broadcasts the change-key set.
+
+    ``seq_col`` is the final tie-break for two non-delete changes
+    sharing (key, ts_ms): pass a total-order column from the source
+    (Postgres LSN / Kafka offset — Debezium carries ``source.lsn``).
+    Debezium's ts_ms has millisecond resolution, so same-key same-ms
+    updates DO happen in bursts; without ``seq_col`` the winner among
+    equal-ts non-deletes is whichever row_number sees first
+    (partition-order-dependent).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(
-        F.desc(ts_col), F.desc(F.col(op_col) == "d")
-    )
+    order = [F.desc(ts_col), F.desc(F.col(op_col) == "d")]
+    if seq_col is not None:
+        order.append(F.desc(seq_col))
+    w = Window.partitionBy(key).orderBy(*order)
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -29,6 +29,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Session-wide policy, set HERE rather than toggled per-read (a
+    # per-read toggle would silently change the meaning of later reads):
+    # parquet TIMESTAMP(NANOS) columns always arrive as nanosecond longs
+    # — callers convert explicitly (see sources/registry.py:load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # file sources: bound split size so a 100 TB table yields sane task counts
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
     "spark.ui.enabled": "false",

@@ -76,12 +76,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) by name.
 
     ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright; read it as nanosecond longs
-    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
-    convert with integer division — ns epoch values exceed double's 53-bit
-    mantissa, so ``div`` (long arithmetic), never ``/``.
+    parquet reader rejects outright; the session factory sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` once, session-wide (see
+    session.py — a per-read toggle would silently change later reads),
+    so nanos columns arrive as longs and are converted here with integer
+    division — ns epoch values exceed double's 53-bit mantissa, so
+    ``div`` (long arithmetic), never ``/``.
     """
     if name == "events":
+        # defensive for sessions not built by get_spark (runtime-settable)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
