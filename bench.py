@@ -4,11 +4,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": ...}
+     "queries": {"q1": sec, ...},
+     "query_metrics": {"q1": {"shuffle_write_bytes": ..,
+                              "input_records": .., "rows_per_sec": ..}},
+     "sf": ...}
 
 Each query is timed end-to-end (plan + execute); results are forced with
 a cheap count-collecting action so timing includes the full physical plan
-but not driver-side materialization of large results.
+but not driver-side materialization of large results. Per-query shuffle
+bytes / input records come from the Spark status REST API (stage-metric
+deltas around the final timed run) — BASELINE.md commits to recording
+rows/s and shuffle volume alongside wall-clock.
 """
 
 from __future__ import annotations
@@ -17,18 +23,50 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 from dea05_e2e_kafka_streaming_pipeline_spark import queries as registry
 from dea05_e2e_kafka_streaming_pipeline_spark.session import get_spark
+
+_UI_PORT = int(os.environ.get("SPARK_GRAFT_BENCH_UI_PORT", "4047"))
+
+
+def _stage_totals(app_id: str) -> dict[str, int] | None:
+    """Cumulative completed-stage metrics from the local status API."""
+    url = (
+        f"http://localhost:{_UI_PORT}/api/v1/applications/{app_id}"
+        "/stages?status=complete"
+    )
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return None
+    return {
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "input_records": sum(s.get("inputRecords", 0) for s in stages),
+        "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+        "disk_spill_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
+    }
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        extra_confs={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(_UI_PORT),
+            # keep every stage of the run visible to the metrics poll
+            "spark.ui.retainedStages": "5000",
+        },
+    )
+    app_id = spark.sparkContext.applicationId
 
     qs = registry.queries()
     timings: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     # warm the JVM + file listing once (excluded from per-query timings)
     next(iter(qs.values()))(spark, sf_dir).count()
 
@@ -36,13 +74,25 @@ def main() -> int:
         # best-of-2: single-shot local timings fluctuate ±40% with JIT/GC
         # noise; the minimum is the stable signal for plan regressions
         best, n = None, 0
-        for _ in range(2):
+        before = after = None
+        for i in range(2):
+            if i == 1:
+                before = _stage_totals(app_id)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             t = time.perf_counter() - t0
+            if i == 1:
+                after = _stage_totals(app_id)
             best = t if best is None else min(best, t)
         timings[name] = round(best, 4)
+        if before is not None and after is not None:
+            delta = {k: after[k] - before[k] for k in after}
+            delta["rows_per_sec"] = (
+                round(delta["input_records"] / best) if best and best > 0 else 0
+            )
+            delta["output_rows"] = n
+            metrics[name] = delta
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -53,6 +103,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_metrics": metrics,
+                "shuffle_write_bytes_total": sum(
+                    m["shuffle_write_bytes"] for m in metrics.values()
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
