@@ -15,6 +15,12 @@ but not driver-side materialization of large results. Per-query shuffle
 bytes / input records come from the Spark status REST API (stage-metric
 deltas around the final timed run) — BASELINE.md commits to recording
 rows/s and shuffle volume alongside wall-clock.
+
+Times registry.bench_queries(): the driver's correctness sweep runs
+every registered query, but bench=False correctness apparatus
+(cross-check queries that re-run other pipelines; md5 oracle mirrors of
+production hash paths) is excluded here so suite totals compare
+like-for-like across rounds (BASELINE.md documents the split).
 """
 
 from __future__ import annotations
@@ -64,7 +70,7 @@ def main() -> int:
     )
     app_id = spark.sparkContext.applicationId
 
-    qs = registry.queries()
+    qs = registry.bench_queries()
     timings: dict[str, float] = {}
     metrics: dict[str, dict] = {}
     # warm the JVM + file listing once (excluded from per-query timings)

@@ -37,15 +37,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_NO_BENCH: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator registering a query (and optionally its DuckDB oracle)."""
+def register(name: str, oracle: str | None = None, bench: bool = True):
+    """Decorator registering a query (and optionally its DuckDB oracle).
+
+    ``bench=False`` marks correctness-apparatus queries (cross-checks
+    that deliberately re-run other pipelines, or hash-family mirrors
+    that duplicate a production operator under a slower reproducible
+    hash): they stay in the driver's correctness sweep but are excluded
+    from the timing suite so BENCH totals compare like-for-like across
+    rounds (see BASELINE.md)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if not bench:
+            _NO_BENCH.add(name)
         return fn
 
     return deco
@@ -57,6 +67,12 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    """The workload subset bench.py times (excludes bench=False
+    correctness apparatus)."""
+    return {n: f for n, f in _QUERIES.items() if n not in _NO_BENCH}
 
 
 # Shared oracle CTE prologue mapping testdata → reference entities
@@ -753,7 +769,7 @@ def _minhash_md5_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     """
 
 
-@register("simhash_pairs_md5", oracle=_simhash_md5_oracle(3))
+@register("simhash_pairs_md5", bench=False, oracle=_simhash_md5_oracle(3))
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """simhash_pairs with md5-derived token bits (quarter-packed) — the
     same banding plan as the xxhash64 production path but every value is
@@ -767,7 +783,7 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_md5(load_table(spark, sf_dir, "documents"))
 
 
-@register("minhash_lsh_pairs_md5", oracle=_minhash_md5_oracle(32, 8, 0.2))
+@register("minhash_lsh_pairs_md5", bench=False, oracle=_minhash_md5_oracle(32, 8, 0.2))
 def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minhash_lsh_pairs with the md5 hash family (32 hashes, 8 bands)
     — the SAME pipeline as `minhash_lsh_pairs` (signature minima as
@@ -790,6 +806,7 @@ def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_precision_violations",
+    bench=False,
     oracle="""
     SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
            CAST(NULL AS DOUBLE) AS jaccard
@@ -854,6 +871,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_blocked_exact",
+    bench=False,
     oracle="""
     WITH e AS (
       SELECT vec_id, label,
@@ -889,6 +907,7 @@ def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_score_violations",
+    bench=False,
     oracle="""
     SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS neighbor_id,
            CAST(NULL AS DOUBLE) AS score, CAST(NULL AS DOUBLE) AS expected
@@ -970,6 +989,74 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_bytes",
         F.concat_ws("", F.transform("feature", byte_hex)).alias("feature_hex"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             repeat(sha256(CAST(i AS VARCHAR)), 4) AS payload
+      FROM range(0, 200) t(i) WHERE i % 3 = 0
+    )
+    SELECT media_id, 'image/x-fake-thumbnail' AS mime,
+           8 AS width, 8 AS height,
+           repeat(sha256(payload), 2) AS thumb_hex
+    FROM m
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images plumbing (Arrow mapInPandas over image payloads,
+    fixed 8×8 = 64-byte thumbnails) with the binary serialized to hex
+    for the driver's canonicalizer. The stub thumbnail is the payload
+    digest cycled to size — 64 bytes = exactly two sha256 digests, so
+    the oracle is ``repeat(sha256(payload), 2)``."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    thumbs = resize_images(synthesize_media(spark, n=200), width=8, height=8)
+    return thumbs.select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        F.lower(F.hex("thumbnail")).alias("thumb_hex"),
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id, CAST(i * 33 AS BIGINT) AS duration_ms
+      FROM range(0, 200) t(i) WHERE i % 3 = 2
+    ), f AS (
+      SELECT media_id, duration_ms,
+             unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000))
+               AS frame_ts_ms
+      FROM m
+    )
+    SELECT media_id, duration_ms,
+           CAST(frame_ts_ms // 1000 AS INT) AS frame_idx,
+           CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: posexplode over a timestamp sequence
+    derived from duration — row multiplicity handled by the engine, the
+    per-frame decode stays in the (stubbed) UDF. Fully deterministic →
+    DuckDB generate_series mirror."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    return frame_sample_plan(synthesize_media(spark, n=200), every_ms=1000)
 
 
 # ---------------------------------------------------------------------------

@@ -209,3 +209,78 @@ def walk_decimals(record, schema, names: dict | None = None, ns: str | None = No
             else:
                 walk_decimals(record.get(f["name"]), ft, names, ns)
     return record
+
+
+def avro_to_spark_type(schema, names: dict | None = None):
+    """Writer-schema JSON → Spark DataType (the subset Debezium uses).
+
+    Mirrors spark-avro's mapping: nullable unions → nullable field,
+    bytes logical decimal → DecimalType, enum → string, int/long/
+    float/double/boolean/string/bytes → primitives, record → struct,
+    array/map/fixed → their Spark counterparts."""
+    from pyspark.sql import types as T
+
+    if names is None:
+        names = {}
+        _register_names(schema, names)
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"avro: unsupported union {schema!r}")
+        return avro_to_spark_type(non_null[0], names)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        avro_to_spark_type(f["type"], names),
+                        nullable=isinstance(f["type"], list) and "null" in f["type"],
+                    )
+                    for f in schema["fields"]
+                ]
+            )
+        if t == "enum":
+            return T.StringType()
+        if t == "fixed":
+            return T.BinaryType()
+        if t == "array":
+            return T.ArrayType(avro_to_spark_type(schema["items"], names))
+        if t == "map":
+            return T.MapType(T.StringType(), avro_to_spark_type(schema["values"], names))
+        if t == "bytes" and (schema.get("logicalType") == "decimal" or "scale" in schema):
+            return T.DecimalType(
+                int(schema.get("precision", 38)), int(schema.get("scale", 0))
+            )
+        return avro_to_spark_type(t, names)
+    prim = {
+        "null": None,
+        "boolean": "BooleanType",
+        "int": "IntegerType",
+        "long": "LongType",
+        "float": "FloatType",
+        "double": "DoubleType",
+        "bytes": "BinaryType",
+        "string": "StringType",
+    }
+    if schema in prim:
+        if schema == "null":
+            return T.NullType()
+        return getattr(T, prim[schema])()
+    if schema in names:
+        return avro_to_spark_type(names[schema], names)
+    raise ValueError(f"avro: unsupported type {schema!r}")
+
+
+def read_avro_as_dataframe(spark, path: str):
+    """Decode an Avro container file into a Spark DataFrame without
+    spark-avro: driver-side decode (this is the FIXTURE-SCALE path — a
+    100 TB Avro topic dump goes through the JVM spark-avro reader in
+    ``sources/registry.py:read_avro``; this fallback exists so CDC
+    envelopes remain readable in jar-less environments)."""
+    schema, records = read_avro(path)
+    for rec in records:
+        walk_decimals(rec, schema)
+    spark_schema = avro_to_spark_type(schema)
+    return spark.createDataFrame(records, spark_schema)

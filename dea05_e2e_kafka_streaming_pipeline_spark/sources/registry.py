@@ -43,17 +43,33 @@ def read_csv(
     return spark.read.option("header", header).schema(schema).csv(path)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path: str, fallback: bool = False
+) -> DataFrame:
     """Avro CDC dump scan (reference curated/dq_kafka.py:140-141).
 
-    Requires the spark-avro package on the classpath.
+    The scale path requires the spark-avro package on the classpath
+    (JVM-side, distributed, pushdown-capable). ``fallback=True``
+    additionally enables the vendored pure-Python container reader
+    (``sources/avro_lite.py``) when the jar is absent — driver-side
+    decode, fixture/small-file scale ONLY, which is exactly what a
+    jar-less environment needs to keep CDC envelopes readable (e.g.
+    the reference's ground-truth Debezium captures).
     """
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:  # pragma: no cover - depends on jar availability
+        if fallback:
+            from dea05_e2e_kafka_streaming_pipeline_spark.sources.avro_lite import (
+                read_avro_as_dataframe,
+            )
+
+            return read_avro_as_dataframe(spark, path)
         raise RuntimeError(
             "Avro reads need the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>). "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "pass fallback=True to decode small files with the vendored "
+            "pure-Python reader (driver-side, fixture-scale). "
             f"Underlying error: {exc}"
         ) from exc
 

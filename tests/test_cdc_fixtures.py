@@ -151,3 +151,19 @@ def test_normalize_cdc_delete_surfaces_before_image(spark):
     assert len(rows) == 1
     assert rows[0].order_id == 21  # from the before image
     assert rows[0]._cdc_op == "d"
+
+
+def test_read_avro_fallback_end_to_end(spark):
+    """S9 functional without the spark-avro jar: read_avro(fallback=True)
+    decodes the real capture (schema derived from the embedded writer
+    schema) and feeds decode_cdc_orders unchanged."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import read_avro
+
+    env = read_avro(spark, ORDERS_AVRO, fallback=True)
+    assert "after" in env.columns and "op" in env.columns
+    assert env.schema["after"].dataType["order_amount"].dataType.simpleString() == (
+        "decimal(10,2)"
+    )
+    out = decode_cdc_orders(env).collect()
+    assert len(out) == 1 and out[0].order_id == 21
+    assert out[0].order_amount == pytest.approx(100.25)
