@@ -7,6 +7,8 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
 )
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
     apply_dedup,
+    apply_dedup_cc,
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -32,8 +34,11 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
     knn_join,
     lsh_topk,
+    with_ivf_cell,
     with_lsh_bucket,
 )
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.skew import salted_join
@@ -48,6 +53,8 @@ __all__ = [
     "DataQualityValidator",
     "apply_cdc_changes",
     "apply_dedup",
+    "apply_dedup_cc",
+    "connected_components",
     "asof_join",
     "cosine_near_dup_pairs",
     "cosine_topk",
@@ -56,6 +63,8 @@ __all__ = [
     "dedup_exact",
     "extract_features",
     "frame_sample_plan",
+    "ivf_topk",
+    "kmeans_centroids",
     "knn_join",
     "lsh_topk",
     "minhash_lsh_pairs",
@@ -72,6 +81,7 @@ __all__ = [
     "simhash_signatures",
     "synthesize_media",
     "with_fingerprint",
+    "with_ivf_cell",
     "with_lang_id",
     "with_lsh_bucket",
     "with_text_stats",

@@ -531,3 +531,87 @@ def simhash_pairs_md5(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (transitive dup clusters)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive-closure grouping of a near-dup pair graph: every doc
+    gets its component's minimum id as ``component_id`` (isolated docs
+    are their own component). The principled upgrade over
+    :func:`apply_dedup`'s single-pass keep-lowest-of-each-pair policy —
+    chains a-b-c collapse to ONE representative even when (a,c) was
+    never directly paired.
+
+    Algorithm: iterative min-label propagation (each round: every
+    vertex takes the min label among itself and its neighbors) —
+    converges in graph-diameter rounds; near-dup clusters are
+    small-diameter by construction. Each round is one shuffle join +
+    one aggregate over the EDGE list (never the documents), and the
+    label frame is ``localCheckpoint``-ed so lineage stays flat across
+    iterations. Convergence is detected with a count of changed labels
+    (a driver-side scalar per round, not data). At larger diameters /
+    edge counts the alternating large-star/small-star formulation halves
+    round counts, but the per-round plan shape is the same.
+    """
+    sess = df.sparkSession
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["u"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (diameter-bound) or use a "
+            "star-contraction variant for long-chain graphs"
+        )
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("component_id"))
+
+
+def apply_dedup_cc(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact transitive dedup: keep one representative (the minimum id)
+    per connected component of the pair graph."""
+    comp = connected_components(df, pairs, id_col)
+    keep = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

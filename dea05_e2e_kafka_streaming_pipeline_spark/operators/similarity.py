@@ -293,3 +293,116 @@ def lsh_topk(
     bucketed = with_lsh_bucket(df, planes, vec_col)
     cand = bucketed.filter(F.col("lsh_bucket").isin(list(probes)))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + cell-restricted scan
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iterations: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Driver-side seeded k-means (k-means++ init + Lloyd iterations)
+    over a DETERMINISTIC sample — the ``sample_rows`` lowest ids, via
+    TakeOrdered, so the coarse quantizer is reproducible run-to-run.
+
+    The centroid table is the only state IVF needs and it is tiny
+    (k × dim doubles); at 100 TB you train it once on a sample exactly
+    like this, persist it, and ship it broadcast-style inside the
+    assignment UDF closure."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_centroids: no non-null vectors to sample")
+    x = np.array([[float(v) for v in r[0]] for r in rows])
+    rng = np.random.default_rng(seed)
+    centers = [x[int(rng.integers(len(x)))]]
+    for _ in range(min(n_centroids, len(x)) - 1):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        total = d2.sum()
+        if total == 0:  # all points already coincide with centers
+            break
+        centers.append(x[int(rng.choice(len(x), p=d2 / total))])
+    c = np.asarray(centers, dtype="float64")
+    for _ in range(iterations):
+        assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c.tolist()
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id (Arrow-vectorized argmin over
+    the full batch). Like ``lsh_bucket``, this is the column you compute
+    once at ingest and partition/cluster the table by."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype="float64")
+
+    def assign(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.vstack(vs.to_numpy()).astype("float64")
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(assign, "int")
+    return df.withColumn("ivf_cell", udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` cells whose
+    centroids are nearest the query (the classic inverted-file ANN
+    recall/cost dial, complementary to :func:`lsh_topk`'s hyperplane
+    buckets). Exact within probed cells via :func:`cosine_topk`.
+
+    With the cell column pre-materialized and the table partitioned by
+    it, the probe is partition pruning — the scan never touches
+    unprobed cells."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+        )
+    c = np.asarray(centroids, dtype="float64")
+    q = np.asarray([float(v) for v in query_vec], dtype="float64")
+    order = (((c - q[None, :]) ** 2).sum(axis=1)).argsort()
+    probes = [int(j) for j in order[: max(1, nprobe)]]
+    celled = with_ivf_cell(df, centroids, vec_col)
+    cand = celled.filter(F.col("ivf_cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -550,6 +550,40 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_topk_fullprobe",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN machinery under a recall-1 configuration: k-means coarse
+    quantizer (deterministic seeded sample) + cell assignment + probe,
+    with nprobe = n_centroids so EVERY cell is probed — by construction
+    identical to exact brute-force top-k, which makes the whole IVF
+    path (train → assign → probe → scan) hash-checkable against the
+    same oracle as `embedding_cosine_topk`. Production use sets
+    nprobe < n_centroids for the scan-reduction tradeoff."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import ivf_topk
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter("vec_id = 0").select("embedding").head()[0]
+    ]
+    return ivf_topk(emb, qvec, k=20, n_centroids=8, nprobe=8)
+
+
+@register(
     "token_estimates_docs",
     oracle=r"""
     SELECT doc_id,
@@ -767,6 +801,64 @@ def _minhash_md5_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     FROM cands c JOIN common USING (id_a, id_b)
     WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= {threshold}
     """
+
+
+_NGRAM_PAIRS_CTE = f"""
+    t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM p
+      WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.2
+    )
+"""
+
+
+@register(
+    "dedup_cc_components",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    )
+    SELECT id AS doc_id, min(label) AS component_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: connected components of the exact
+    Jaccard≥0.2 pair graph via iterative min-label propagation (each
+    round one edge join + aggregate, labels localCheckpoint-ed) — the
+    exact-closure upgrade over single-pass pair dropping. Oracle:
+    DuckDB recursive CTE computing min reachable id per doc."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return connected_components(docs, pairs)
 
 
 @register("simhash_pairs_md5", bench=False, oracle=_simhash_md5_oracle(3))

@@ -323,3 +323,74 @@ def test_pair_scorer_numpy_matches_expr(spark):
 
     with pytest.raises(ValueError, match="scorer"):
         cosine_near_dup_pairs(df, scorer="fortran")
+
+
+def test_connected_components_collapses_chains(spark):
+    """a-b and b-c paired but (a,c) never directly compared: CC puts all
+    three in one component; apply_dedup_cc keeps exactly the min id.
+    Isolated docs are their own component."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup_cc,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    comp = {r.doc_id: r.component_id for r in connected_components(docs, pairs).collect()}
+    assert comp == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4}
+    kept = sorted(r.doc_id for r in apply_dedup_cc(docs, pairs).collect())
+    assert kept == [0, 1, 4]
+
+
+def test_ivf_topk_recalls_clustered_neighbors(spark):
+    """IVF with nprobe=1 on well-separated clusters recovers the exact
+    top-k (query's cell contains its cluster); the probed subset is a
+    strict subset of the table."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        with_ivf_cell,
+    )
+
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.03) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = kmeans_centroids(df, n_centroids=4, seed=1)
+    # every vector lands in some cell; cells partition the table
+    celled = with_ivf_cell(df, cents)
+    assert celled.count() == 120
+    assert celled.select("ivf_cell").distinct().count() <= 4
+
+    query = centers[2]
+    exact = [r.vec_id for r in cosine_topk(df, query, k=5).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(df, query, k=5, centroids=cents, nprobe=1).collect()
+    ]
+    assert approx == exact  # clusters are far apart; cell == cluster
+
+
+def test_ivf_centroids_deterministic(spark):
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = kmeans_centroids(df, n_centroids=5, seed=7)
+    c2 = kmeans_centroids(df, n_centroids=5, seed=7)
+    assert c1 == c2
