@@ -5,6 +5,15 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
     decode_epoch_days,
     normalize_cdc,
 )
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+    hash_sample,
+    ngram_contamination,
+    stratified_sample,
+    vocab_topk,
+    with_pii_redaction,
+    with_quality_rules,
+    with_repetition_stats,
+)
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
     apply_dedup,
     apply_dedup_cc,
@@ -50,6 +59,13 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
 )
 
 __all__ = [
+    "with_repetition_stats",
+    "with_quality_rules",
+    "with_pii_redaction",
+    "vocab_topk",
+    "stratified_sample",
+    "ngram_contamination",
+    "hash_sample",
     "DataQualityValidator",
     "apply_cdc_changes",
     "apply_dedup",

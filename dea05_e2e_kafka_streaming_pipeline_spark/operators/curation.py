@@ -1,0 +1,346 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The complement to :mod:`operators.text` (per-doc descriptive stats) and
+:mod:`operators.dedup` (duplicate removal): the *selection* half of a
+data pipeline — rule-based quality filtering (the public Gopher /
+RefinedWeb heuristics), repetition detection, benchmark-contamination
+screening, deterministic sampling, and PII redaction.
+
+Design rules carried over from the rest of the engine:
+
+- Per-document metrics are computed as per-row Column expressions —
+  documents are independent, so the natural 100 TB plan is an
+  embarrassingly-parallel projection with ZERO shuffle, not an
+  explode→groupBy→join-back round trip keyed by doc_id. (Higher-order
+  array functions are interpreted, not codegen; for corpora with very
+  long documents the same per-row independence means an Arrow-batched
+  ``mapInPandas`` counter is a drop-in replacement — the plan shape
+  doesn't change.)
+- Cross-document operators (contamination, vocabulary) shuffle on
+  64-bit shingle/token hashes or the tokens themselves, never document
+  bodies.
+- Everything is deterministic and mirrored by a DuckDB oracle in
+  ``queries.py`` — including the sampling operators, which hash md5
+  prefixes instead of calling ``rand()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+    _QUALITY_STOPWORDS,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Rule-based quality filtering (Gopher-style heuristics)
+# ---------------------------------------------------------------------------
+
+
+def with_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Attach the classic rule-based quality gate for web-scale corpora
+    (the published Gopher heuristics — word-count bounds, mean word
+    length band, symbol-to-word ratio, alphabetic-word fraction,
+    distinct-stopword floor) as metric columns, one int flag per rule,
+    and a combined ``passes_quality``.
+
+    One projection, no shuffle: every metric is arithmetic over the
+    row's own token array. Flags are int (0/1), not boolean, so
+    cross-engine canonicalizations can't disagree on truth rendering.
+    """
+    c = F.col(text_col)
+    words = F.regexp_extract_all(c, F.lit(r"\S+"), 0)  # whitespace words
+    toks = tokens(c)  # lowercased alphanumeric tokens
+    n_words = F.size(words)
+    n_tok = F.size(toks)
+    mean_word_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    # symbols-per-word: '#' occurrences + ellipsis runs (the Gopher pair)
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, F.lit("#"), F.lit("")))
+    ) + F.size(F.regexp_extract_all(c, F.lit(r"\.{3}|…"), 0))
+    symbol_word_ratio = F.round(
+        n_symbols.cast("double") / F.greatest(n_words, F.lit(1)), 6
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.round(
+        alpha_words.cast("double") / F.greatest(n_words, F.lit(1)), 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _QUALITY_STOPWORDS])
+    distinct_stopwords = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    r_words = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
+    r_mean = (
+        (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len)
+    ).cast("int")
+    r_symbol = (symbol_word_ratio <= max_symbol_word_ratio).cast("int")
+    r_alpha = (alpha_word_ratio >= min_alpha_word_ratio).cast("int")
+    r_stop = (distinct_stopwords >= min_distinct_stopwords).cast("int")
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        distinct_stopwords.alias("distinct_stopwords"),
+        r_words.alias("rule_word_count"),
+        r_mean.alias("rule_mean_word_len"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words * r_mean * r_symbol * r_alpha * r_stop).alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection
+# ---------------------------------------------------------------------------
+
+
+def _raw_shingles(toks: Column, k: int) -> Column:
+    """Word k-grams WITHOUT dedup (repetition needs multiplicity);
+    same windowing convention as :func:`operators.text.word_shingles`."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram_sizes: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Repetition metrics per document (the Gopher repetition family):
+    ``top_token_ratio`` (share of the most frequent token) and
+    ``dup_{n}gram_ratio`` (1 − distinct/total word n-grams) for each
+    requested n. High values flag boilerplate / degenerate text.
+
+    Shuffle-free: per-row array arithmetic. ``top_token_ratio`` is the
+    one O(u·n) expression (count each distinct token against the token
+    array); documents are bounded here, and for very long documents the
+    per-row independence makes an Arrow ``mapInPandas`` Counter the
+    drop-in alternative — never an explode→groupBy→join-back, which
+    would shuffle every token of the corpus on doc_id.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    cols = [
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.coalesce(top_cnt, F.lit(0)).cast("double") / n_tok, 6
+        ).alias("top_token_ratio"),
+    ]
+    for k in ngram_sizes:
+        sh = _raw_shingles(toks, k)
+        cols.append(
+            F.round(
+                1.0
+                - F.size(F.array_distinct(sh)).cast("double")
+                / F.greatest(F.size(sh), F.lit(1)),
+                6,
+            ).alias(f"dup_{k}gram_ratio")
+        )
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination screening
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool | None = None,
+) -> DataFrame:
+    """Per-document overlap with a benchmark/eval set: the fraction of
+    the document's distinct word n-grams that appear anywhere in the
+    benchmark's text (the standard train-set decontamination check,
+    published as 13-gram screening for GPT-3 / Gopher evals; ``n`` is a
+    dial because test corpora here are short).
+
+    Plan: explode the document's distinct n-grams, equi-join against
+    the benchmark's global distinct n-gram set, count hits per doc,
+    left-join the (tiny) hit counts back onto the per-doc totals.
+    Shuffle carries n-gram strings, never document bodies. The
+    benchmark side is deduplicated before the join; ``broadcast_benchmark``
+    forces/forbids broadcasting it (default: leave it to AQE, since a
+    real eval set is small but a misconfigured one may not be).
+    """
+    d = df.select(
+        F.col(id_col),
+        F.array_distinct(_raw_shingles(tokens(F.col(text_col)), n)).alias("sh"),
+    )
+    exploded = d.select(id_col, F.size("sh").alias("n_ngrams"), F.explode("sh").alias("s"))
+    bench = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(_raw_shingles(tokens(F.col(text_col)), n))
+            ).alias("s")
+        ).distinct()
+    )
+    if broadcast_benchmark is True:
+        bench = F.broadcast(bench)
+    hits = exploded.join(bench, "s").groupBy(id_col).agg(
+        F.count("*").alias("contaminated_ngrams")
+    )
+    return (
+        d.select(id_col, F.size("sh").alias("total_ngrams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "total_ngrams",
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias("contaminated_ngrams"),
+            F.round(
+                F.coalesce("contaminated_ngrams", F.lit(0)).cast("double")
+                / F.greatest("total_ngrams", F.lit(1)),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _sample_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0,100) from an md5 prefix — deterministic and
+    engine-portable (DuckDB: ``CAST('0x' || substr(md5(..),1,8) AS BIGINT) % 100``),
+    unlike ``rand()`` or engine-specific hashes. 32 hex-prefix bits are
+    plenty of entropy for percentage bucketing."""
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("long") % 100).alias("sample_bucket")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ~pct% sample: rows whose md5-derived bucket
+    of ``key_col`` falls below ``pct``. Re-runnable (same rows every
+    time), side-file-free, and a pure filter — at 100 TB it pushes into
+    the scan stage and costs one hash per row, no shuffle. ``salt``
+    yields independent resamples."""
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be in [0,100]: {pct}")
+    return df.filter(_sample_bucket(F.col(key_col), salt) < pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: rank rows inside
+    each stratum by (md5 bucket-hash, key) and keep the first
+    ``n_per_stratum``. The hash makes the pick pseudo-random but
+    reproducible; the key tie-break makes it total. One shuffle on the
+    strata column; skewed strata are bounded by the rank cutoff (the
+    window never materializes more than the partition, and AQE handles
+    stragglers)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately alternation-light and lookaround-free so Java
+# regex (Spark) and RE2 (DuckDB) agree on every match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("long_digits", r"\b\d{13,19}\b", "<NUMBER>"),
+)
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub the standard structured-PII shapes (emails, IPv4
+    addresses, 13-19-digit account-number runs) from ``text_col`` into
+    typed placeholder tokens, and attach per-kind match counts. Pure
+    regexp projection — zero shuffle; patterns are applied in
+    declaration order so counts are computed on the original text."""
+    c = F.col(text_col)
+    out_cols = []
+    red = c
+    for name, pat, token in PII_PATTERNS:
+        out_cols.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, token)
+    return df.select("*", *out_cols, red.alias("text_redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent tokens with
+    counts and document frequency, ordered (count desc, token asc) so
+    ties are total. explode→partial-agg→top-k: the shuffle carries
+    (token, partial count/df) pairs — map-side combine collapses each
+    partition to its distinct tokens first, and the final top-k is a
+    TakeOrdered, not a global sort."""
+    toks = (
+        df.select(F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    term = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    return (
+        term.join(toks, "tok")
+        .orderBy(F.col("term_freq").desc(), F.col("tok").asc())
+        .limit(k)
+    )

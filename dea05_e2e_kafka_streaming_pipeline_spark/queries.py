@@ -1604,3 +1604,286 @@ def q_cdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference enriched/custome_lifetime_value.py:18-53."""
     return build_clv(load_orders(spark, sf_dir), load_customers(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py) — quality gating, repetition,
+# contamination, deterministic sampling, PII redaction, vocabulary
+# ---------------------------------------------------------------------------
+
+# md5-prefix bucket in [0,100) — mirrors operators/curation.py:_sample_bucket
+_DUCK_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "quality_rules_docs",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '\S+') AS ws,
+             {_DUCK_TOKS} AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 1.0
+                   / greatest(len(toks), 1), 6) AS mean_word_len,
+             round(((length(text) - length(replace(text, '#', '')))
+                    + len(regexp_extract_all(text, '\.{{3}}|…'))) * 1.0
+                   / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+             round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                   / greatest(len(ws), 1), 6) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(toks), {_DUCK_STOPS_EN}))
+               AS distinct_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_ratio, distinct_stopwords,
+           CAST(n_words BETWEEN 10 AND 100000 AS INT) AS rule_word_count,
+           CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS rule_mean_word_len,
+           CAST(symbol_word_ratio <= 0.1 AS INT) AS rule_symbol_ratio,
+           CAST(alpha_word_ratio >= 0.8 AS INT) AS rule_alpha_words,
+           CAST(distinct_stopwords >= 2 AS INT) AS rule_stopwords,
+           CAST(n_words BETWEEN 10 AND 100000 AS INT)
+             * CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+             * CAST(symbol_word_ratio <= 0.1 AS INT)
+             * CAST(alpha_word_ratio >= 0.8 AS INT)
+             * CAST(distinct_stopwords >= 2 AS INT) AS passes_quality
+    FROM m
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate (published Gopher heuristics: word-count
+    bounds, mean-word-length band, symbol ratio, alphabetic-word
+    fraction, stopword floor) — per-rule int flags + combined verdict,
+    all shuffle-free per-row expressions."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import with_quality_rules
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_rules(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "distinct_stopwords", "rule_word_count",
+        "rule_mean_word_len", "rule_symbol_ratio", "rule_alpha_words",
+        "rule_stopwords", "passes_quality",
+    )
+
+
+@register(
+    "repetition_stats_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(coalesce(list_max(list_transform(list_distinct(toks),
+                   t -> len(list_filter(toks, x -> x = t)))), 0) * 1.0
+                 / greatest(len(toks), 1), 6) AS top_token_ratio,
+           round(1.0 - len(list_distinct(g2)) * 1.0 / greatest(len(g2), 1), 6)
+             AS dup_2gram_ratio,
+           round(1.0 - len(list_distinct(g3)) * 1.0 / greatest(len(g3), 1), 6)
+             AS dup_3gram_ratio
+    FROM g
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition family (Gopher): most-frequent-token share and
+    duplicate word 2/3-gram fractions, per document, zero shuffle."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        with_repetition_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "n_tokens", "top_token_ratio", "dup_2gram_ratio", "dup_3gram_ratio"
+    )
+
+
+@register(
+    "contamination_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), b AS (
+      SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 50 = 0
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), h AS (
+      SELECT e.doc_id, count(*) AS contaminated_ngrams
+      FROM e JOIN b USING (s) GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           len(d.sh) AS total_ngrams,
+           coalesce(h.contaminated_ngrams, 0) AS contaminated_ngrams,
+           round(coalesce(h.contaminated_ngrams, 0) * 1.0
+                 / greatest(len(d.sh), 1), 6) AS contamination_ratio
+    FROM d LEFT JOIN h USING (doc_id)
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: fraction of each doc's distinct
+    word 3-grams that appear in the 'benchmark' slice (docs with
+    doc_id % 50 = 0 stand in for an eval set). Shuffle carries n-gram
+    strings, never document bodies."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        ngram_contamination,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 50 = 0")
+    return ngram_contamination(docs, bench, n=3)
+
+
+@register(
+    "hash_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_DUCK_BUCKET} < 10
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample via md5-prefix bucketing — a
+    pure pushed-down filter (no rand(), reproducible across runs and
+    engines)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import hash_sample
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", pct=10).select("doc_id", "lang", "source")
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_DUCK_BUCKET.replace('% 100', '')}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-language sample: rank by md5 hash
+    within each lang stratum, keep 20 — reproducible train/eval splits
+    without a side file."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        stratified_sample,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", n_per_stratum=20).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "pii_redaction_docs",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 200 AS VARCHAR) || '.'
+                    || CAST(doc_id % 250 AS VARCHAR)
+                    || ' card 4111222233334444'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{13,19}\b')) AS n_long_digits,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{13,19}\b', '<NUMBER>', 'g') AS text_redacted
+    FROM planted
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII scrub (emails / IPv4 / long digit runs → typed
+    placeholders) with per-kind counts. PII is planted deterministically
+    on every 20th doc in BOTH engines so the regexes are exercised for
+    real (the corpus itself is clean); patterns are alternation-light so
+    Java regex and RE2 agree."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        with_pii_redaction,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" card 4111222233334444"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return with_pii_redaction(planted).select(
+        "doc_id", "n_email", "n_ipv4", "n_long_digits", "text_redacted"
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT tok, count(*) AS term_freq FROM t GROUP BY tok
+    ), dfq AS (
+      SELECT tok, count(DISTINCT doc_id) AS doc_freq FROM t GROUP BY tok
+    )
+    SELECT tok, term_freq, doc_freq
+    FROM tf JOIN dfq USING (tok)
+    ORDER BY term_freq DESC, tok ASC
+    LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (top-50 tokens by term frequency with
+    document frequency) — explode→partial-agg→TakeOrdered; the shuffle
+    carries (token, count) pairs after map-side combine."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import vocab_topk
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=50)

@@ -1,0 +1,126 @@
+"""Corpus-curation operators: semantics on crafted inputs + plan-shape
+guarantees (the per-document operators must compile to shuffle-free
+projections)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+    hash_sample,
+    ngram_contamination,
+    stratified_sample,
+    vocab_topk,
+    with_pii_redaction,
+    with_quality_rules,
+    with_repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_rules_flags(spark):
+    df = _docs(
+        spark,
+        [
+            # passes everything: >=10 words incl 2 stopwords, sane lengths
+            (1, "the quick brown fox jumps over and over the lazy sleeping dog"),
+            (2, "too short"),  # fails word count + stopword floor
+            (3, "### ## # " + "the and word " * 5),  # symbol-heavy
+        ],
+    )
+    out = {r.doc_id: r for r in with_quality_rules(df).collect()}
+    assert out[1].passes_quality == 1
+    assert out[2].rule_word_count == 0 and out[2].passes_quality == 0
+    assert out[3].rule_symbol_ratio == 0 and out[3].passes_quality == 0
+    # metrics sanity
+    assert out[1].n_words == 12
+    assert out[1].distinct_stopwords >= 2
+
+
+def test_repetition_stats_values(spark):
+    df = _docs(spark, [(1, "a a a b"), (2, "w x y z")])
+    out = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    assert out[1].top_token_ratio == 0.75
+    # 2-grams of (a,a,a,b): "a a","a a","a b" -> 2 distinct of 3
+    assert out[1].dup_2gram_ratio == round(1 - 2 / 3, 6)
+    assert out[2].top_token_ratio == 0.25
+    assert out[2].dup_2gram_ratio == 0.0
+
+
+def test_contamination_hits_and_misses(spark):
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "totally different words here")],
+    )
+    bench = _docs(spark, [(99, "alpha beta gamma epsilon")])
+    out = {r.doc_id: r for r in ngram_contamination(docs, bench, n=3).collect()}
+    # doc1 3-grams: "alpha beta gamma", "beta gamma delta" -> 1 contaminated
+    assert out[1].total_ngrams == 2 and out[1].contaminated_ngrams == 1
+    assert out[1].contamination_ratio == 0.5
+    assert out[2].contaminated_ngrams == 0 and out[2].contamination_ratio == 0.0
+
+
+def test_hash_sample_deterministic_and_bounded(spark):
+    df = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    s1 = sorted(r.doc_id for r in hash_sample(df, "doc_id", pct=10).collect())
+    s2 = sorted(r.doc_id for r in hash_sample(df, "doc_id", pct=10).collect())
+    assert s1 == s2 and 0 < len(s1) < 200
+    assert hash_sample(df, "doc_id", pct=0).count() == 0
+    assert hash_sample(df, "doc_id", pct=100).count() == 200
+    # salt decorrelates
+    s3 = sorted(r.doc_id for r in hash_sample(df, "doc_id", pct=10, salt="x").collect())
+    assert s3 != s1
+    with pytest.raises(ValueError, match="pct"):
+        hash_sample(df, "doc_id", pct=101)
+
+
+def test_stratified_sample_sizes(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", "doc_id", n_per_stratum=10)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert sizes == {"en": 10, "de": 10}
+    # stratum smaller than n: keep all of it
+    tiny = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id long, lang string")
+    assert stratified_sample(tiny, "lang", "doc_id", n_per_stratum=10).count() == 2
+    # deterministic
+    a = sorted((r.lang, r.doc_id) for r in out.collect())
+    b = sorted(
+        (r.lang, r.doc_id)
+        for r in stratified_sample(df, "lang", "doc_id", n_per_stratum=10).collect()
+    )
+    assert a == b
+
+
+def test_pii_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob@corp.example.com or 10.1.2.3 card 4111222233334444 ok"),
+            (2, "clean text with plain words and the number 42"),
+        ],
+    )
+    out = {r.doc_id: r for r in with_pii_redaction(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_ipv4 == 1 and out[1].n_long_digits == 1
+    assert out[1].text_redacted == "mail <EMAIL> or <IP> card <NUMBER> ok"
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_long_digits == 0
+    assert out[2].text_redacted == out[2].text
+
+
+def test_vocab_topk_order_and_ties(spark):
+    df = _docs(spark, [(1, "b b a a c"), (2, "a b z")])
+    out = [(r.tok, r.term_freq, r.doc_freq) for r in vocab_topk(df, k=3).collect()]
+    # a:3 in 2 docs, b:3 in 2 docs (tie -> token asc), c:1/z:1 -> 'c' wins tie
+    assert out == [("a", 3, 2), ("b", 3, 2), ("c", 1, 1)]
+
+
+def test_per_row_curation_ops_are_shuffle_free(spark):
+    """quality rules / repetition / PII are projections: no Exchange in
+    the optimized plan — the property that makes them free at 100 TB."""
+    df = _docs(spark, [(1, "some text here")])
+    for op in (with_quality_rules, with_repetition_stats, with_pii_redaction):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{op.__name__} shuffles:\n{plan}"
