@@ -179,7 +179,9 @@ def cosine_near_dup_pairs(
     cols = _hoisted_cols(id_col, vec_col)
     if block_col is not None:
         cols.append(F.col(block_col).alias("b"))
-    base = df.select(*cols)
+    # null vectors cannot score — drop them from the pair space rather
+    # than crash the Arrow vstack in the scorer
+    base = df.filter(F.col(vec_col).isNotNull()).select(*cols)
     l, r = base.alias("l"), base.alias("r")
     cond = F.col("l.id") < F.col("r.id")
     if block_col is not None:
@@ -221,6 +223,7 @@ def knn_join(
     shape, deterministic blocking, and (unlike seeded hyperplanes)
     expressible as a SQL oracle.
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # nulls cannot score or bucket
     if bucket_col is not None:
         b = df.select(
             *_hoisted_cols(id_col, vec_col),
@@ -230,7 +233,7 @@ def knn_join(
     if dim is None:
         # probe the dimension from the first non-null vector (runs one
         # tiny job at plan build; pass `dim` to stay fully lazy)
-        row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        row = df.select(vec_col).first()
         if row is None:
             raise ValueError(
                 f"knn_join: no non-null '{vec_col}' vectors to infer the "
@@ -328,6 +331,20 @@ def kmeans_centroids(
     if not rows:
         raise ValueError("kmeans_centroids: no non-null vectors to sample")
     x = np.array([[float(v) for v in r[0]] for r in rows])
+    return kmeans_fit(x, n_centroids, iterations, seed)
+
+
+def kmeans_fit(
+    x, n_centroids: int = 16, iterations: int = 10, seed: int = 42
+) -> list[list[float]]:
+    """Pure-numpy seeded k-means (k-means++ init + Lloyd) over an
+    (n, dim) sample matrix — the algorithm behind
+    :func:`kmeans_centroids`, factored out so callers that already hold
+    the sample driver-side (e.g. a pyarrow read of the lowest-id rows)
+    can train the quantizer without running any Spark job."""
+    import numpy as np
+
+    x = np.asarray(x, dtype="float64")
     rng = np.random.default_rng(seed)
     centers = [x[int(rng.integers(len(x)))]]
     for _ in range(min(n_centroids, len(x)) - 1):
@@ -355,7 +372,11 @@ def with_ivf_cell(
 ) -> DataFrame:
     """Attach the nearest-centroid cell id (Arrow-vectorized argmin over
     the full batch). Like ``lsh_bucket``, this is the column you compute
-    once at ingest and partition/cluster the table by."""
+    once at ingest and partition/cluster the table by.
+
+    NULL embeddings get sentinel cell ``-1`` (never probed) instead of
+    crashing the vstack — ``kmeans_centroids`` filters nulls, so cell
+    assignment must degrade gracefully too (round-2 advice)."""
     import numpy as np
     import pandas as pd
 
@@ -364,10 +385,15 @@ def with_ivf_cell(
     def assign(vs):
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        x = np.vstack(vs.to_numpy()).astype("float64")
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        raw = vs.to_numpy()
+        ok = np.array([v is not None for v in raw])
+        out = np.full(len(raw), -1, dtype="int32")
+        if ok.any():
+            x = np.vstack(raw[ok]).astype("float64")
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+            out[ok] = d.argmin(axis=1).astype("int32")
+        return pd.Series(out)
 
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(assign, "int")

@@ -19,6 +19,7 @@ Determinism rules applied throughout (so hashes can match at all):
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -78,6 +79,45 @@ def bench_queries() -> dict[str, QueryFn]:
 # Shared oracle CTE prologue mapping testdata → reference entities
 # (FIXTURES.md §4; mirrors sources/entities.py exactly).
 _ENTITY_CTES = f"WITH o AS ({ORDERS_SQL}), c AS ({CUSTOMERS_SQL})"
+
+
+@lru_cache(maxsize=None)
+def _query_vec(sf_dir: str, vec_id: int = 0) -> tuple[float, ...]:
+    """Driver-side fetch of one query vector straight from the parquet
+    file via pyarrow — building the registry DataFrame must trigger no
+    Spark job (round-2 verdict: the `.head()` probes each added a
+    blocking driver job per query build). Cached per (sf_dir, vec_id);
+    the fetch is a few KB regardless of table size."""
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=ds.field("vec_id") == vec_id
+    )
+    return tuple(float(v) for v in t.column("embedding")[0].as_py())
+
+
+@lru_cache(maxsize=None)
+def _ivf_centroids(
+    sf_dir: str, n_centroids: int = 8, sample_rows: int = 2048
+) -> tuple[tuple[float, ...], ...]:
+    """IVF coarse-quantizer training on the deterministic sample (the
+    ``sample_rows`` lowest vec_ids with non-null embeddings), read
+    driver-side via pyarrow so plan build stays Spark-job-free. Same
+    sample discipline + seeded numpy k-means as
+    operators.similarity.kmeans_centroids — identical centroids."""
+    import pyarrow.dataset as ds
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
+    t = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=ds.field("embedding").is_valid(),
+    )
+    t = t.sort_by("vec_id").slice(0, sample_rows)
+    x = [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
+    return tuple(tuple(c) for c in kmeans_fit(x, n_centroids=n_centroids))
 
 # exact decimal sum, surfaced as double (see module docstring)
 _SUM_AMOUNT = "CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE)"
@@ -542,11 +582,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(v)
-        for v in emb.filter("vec_id = 0").select("embedding").head()[0]
-    ]
-    return cosine_topk(emb, qvec, k=20)
+    return cosine_topk(emb, list(_query_vec(sf_dir)), k=20)
 
 
 @register(
@@ -576,11 +612,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(v)
-        for v in emb.filter("vec_id = 0").select("embedding").head()[0]
-    ]
-    return ivf_topk(emb, qvec, k=20, n_centroids=8, nprobe=8)
+    return ivf_topk(
+        emb,
+        list(_query_vec(sf_dir)),
+        k=20,
+        centroids=[list(c) for c in _ivf_centroids(sf_dir, 8)],
+        nprobe=8,
+    )
 
 
 @register(
@@ -958,7 +996,11 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import knn_join
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
-    return knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
+    return knn_join(
+        load_table(spark, sf_dir, "embeddings"),
+        k=5,
+        dim=len(_query_vec(sf_dir)),
+    )
 
 
 @register(
@@ -1021,7 +1063,7 @@ def q_knn_score_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = knn_join(emb, k=5)
+    knn = knn_join(emb, k=5, dim=len(_query_vec(sf_dir)))
     a = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb_a"))
     b = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")

@@ -156,3 +156,80 @@ TESTDATA_TABLES = (
     "documents",
     "embeddings",
 )
+
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+# events.parquet stores ts as TIMESTAMP(NANOS); under the session-wide
+# ``spark.sql.legacy.parquet.nanosAsLong`` policy (session.py) the scan
+# yields a LONG — the explicit read schema must say so, and load_table
+# converts with integer division (ns exceeds double's 53-bit mantissa).
+EVENTS_RAW_SCHEMA = _st(
+    ("event_id", T.LongType()),
+    ("ts", T.LongType()),
+    ("user_id", T.LongType()),
+    ("event_type", T.StringType()),
+    ("value", T.DoubleType()),
+    ("props", T.StringType()),
+)
+
+# Explicit read schemas for every driver testdata table (column order =
+# file order; types = exactly what footer inference yields) so scans
+# never run the footer-inference job at plan-build time — a requirement
+# of the zero-jobs-at-build registry contract (tests/test_plans.py) and
+# the right default anyway: inference over a 100 TB prefix is a scan.
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(("r_regionkey", T.IntegerType()), ("r_name", T.StringType())),
+    "nation": _st(
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _st(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _st(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ),
+    "part": _st(
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _st(
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampType()),
+        ("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampType()),
+    ),
+    "events": EVENTS_RAW_SCHEMA,
+    "documents": DOCUMENTS_SCHEMA,
+    "embeddings": EMBEDDINGS_SCHEMA,
+}

@@ -99,12 +99,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division — ns epoch values exceed double's 53-bit mantissa, so
     ``div`` (long arithmetic), never ``/``.
     """
+    from dea05_e2e_kafka_streaming_pipeline_spark.schemas import TESTDATA_SCHEMAS
+
     if name == "events":
         # defensive for sessions not built by get_spark (runtime-settable)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        return (
+            spark.read.schema(TESTDATA_SCHEMAS["events"])
+            .parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    reader = spark.read
+    schema = TESTDATA_SCHEMAS.get(name)
+    if schema is not None:
+        # explicit schema: no footer-inference job at plan-build time
+        reader = reader.schema(schema)
+    return reader.parquet(f"{sf_dir}/{name}.parquet")

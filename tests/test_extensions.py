@@ -6,6 +6,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+    apply_dedup,
+    apply_dedup_cc,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -83,6 +85,46 @@ def test_minhash_matches_exact_on_high_similarity(docs):
     # verification step makes precision exact: no pair below threshold
     for r in minhash_lsh_pairs(docs, threshold=0.7).collect():
         assert r.jaccard >= 0.7
+
+
+def test_minhash_bucket_cap_bounds_degenerate_bucket(spark):
+    """Mass-duplicated boilerplate: 1000 byte-identical docs land in ONE
+    band bucket per band. The chunked expansion must keep pair volume
+    O(S·cap) — not the O(S²) ≈ 500k of an unbounded clique — while the
+    bridge rows keep the bucket one connected component, so dedup still
+    collapses everything onto the minimum id."""
+    n, cap = 1000, 50
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=cap).persist()
+    try:
+        n_pairs = pairs.count()
+        # chunked bound: ceil(S/cap) chunks of ≤ cap+1 ids per band,
+        # deduped across bands → ~S·cap/2 pairs, far below the clique
+        assert 0 < n_pairs <= n * cap, n_pairs
+        assert n_pairs < (n * (n - 1)) // 2 / 5
+        # single-pass policy still drops every doc but the global min
+        kept = apply_dedup(docs, pairs).collect()
+        assert [r.doc_id for r in kept] == [0]
+        # transitive closure agrees: one component
+        kept_cc = apply_dedup_cc(docs, pairs).collect()
+        assert [r.doc_id for r in kept_cc] == [0]
+    finally:
+        pairs.unpersist()
+
+
+def test_minhash_bucket_cap_preserves_dedup_outcome(docs):
+    """On a non-degenerate corpus an aggressive cap changes the
+    candidate *pairs* (chain instead of clique) but must not change the
+    deduplication outcome."""
+    base = apply_dedup(docs, minhash_lsh_pairs(docs, threshold=0.7))
+    capped = apply_dedup(
+        docs, minhash_lsh_pairs(docs, threshold=0.7, max_bucket_size=2)
+    )
+    assert sorted(r.doc_id for r in base.collect()) == sorted(
+        r.doc_id for r in capped.collect()
+    )
 
 
 def test_simhash_near_dup(docs):
@@ -287,15 +329,25 @@ def test_knn_join_bucket_col_blocks_comparisons(spark):
         assert r.id % 3 == r.neighbor_id % 3, (r.id, r.neighbor_id)
 
 
-def test_spread_gates_on_partition_count(spark):
+def test_spread_gates_on_size_estimate(spark):
+    """_spread decides from the optimizer's size estimate (plan-time
+    metadata, zero Spark jobs — round-2 verdict dropped the
+    rdd.getNumPartitions probe): small inputs get spread across cores,
+    inputs whose estimated split count already covers the parallelism
+    must NOT be reshuffled (raw-body shuffle hazard at scale)."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import _spread
 
     target = spark.sparkContext.defaultParallelism
     few = spark.range(100).repartition(2)
     assert _spread(few).rdd.getNumPartitions() == target
-    many = spark.range(100).repartition(target + 4)
-    # already well-partitioned input must NOT be reshuffled
-    assert _spread(many) is many
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")  # 100 rows × 8B ⇒ est_splits ≫ parallelism
+    try:
+        many = spark.range(100).repartition(2)
+        assert _spread(many) is many
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_pair_scorer_numpy_matches_expr(spark):

@@ -51,3 +51,30 @@ def test_cdc_decode_is_scan_side_projection(spark):
     plan = _plan(spark, "cdc_orders_decode")
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
+
+
+# Queries whose BUILD legitimately runs Spark jobs: iterative algorithms
+# (connected components executes its convergence loop when the pipeline
+# is constructed) and index builders (the IVF-pruned query materializes
+# the cell-partitioned layout on first use).
+_EAGER_BUILD_OK = {"dedup_cc_components", "ivf_topk_pruned"}
+
+
+def test_registry_plan_build_runs_no_jobs(spark):
+    """Building every registry DataFrame must be pure plan construction:
+    zero Spark jobs (round-2 verdict next-round item #3 — the `.head()`
+    vector probes and `rdd.getNumPartitions` calls each ran a blocking
+    driver job per build)."""
+    def n_jobs() -> int:
+        # DAGScheduler's monotone job counter: moves iff a job was submitted
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    for name, fn in registry.queries().items():
+        if name in _EAGER_BUILD_OK:
+            continue
+        before = n_jobs()
+        fn(spark, SF_DIR)
+        after = n_jobs()
+        assert after == before, (
+            f"{name}: building the DataFrame ran {after - before} Spark job(s)"
+        )
