@@ -190,8 +190,10 @@ def ngram_contamination(
     left-join the (tiny) hit counts back onto the per-doc totals.
     Shuffle carries n-gram strings, never document bodies. The
     benchmark side is deduplicated before the join; ``broadcast_benchmark``
-    forces/forbids broadcasting it (default: leave it to AQE, since a
-    real eval set is small but a misconfigured one may not be).
+    is a tri-state: ``True`` forces a broadcast, ``False`` forbids it
+    (a MERGE hint pins the join to sort-merge — the guard for a
+    misconfigured "benchmark" that is actually huge), ``None`` (default)
+    leaves the strategy to AQE.
     """
     d = df.select(
         F.col(id_col),
@@ -207,6 +209,8 @@ def ngram_contamination(
     )
     if broadcast_benchmark is True:
         bench = F.broadcast(bench)
+    elif broadcast_benchmark is False:
+        bench = bench.hint("merge")  # forbid broadcast: force sort-merge
     hits = exploded.join(bench, "s").groupBy(id_col).agg(
         F.count("*").alias("contaminated_ngrams")
     )

@@ -588,6 +588,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Transitive-closure grouping of a near-dup pair graph: every doc
     gets its component's minimum id as ``component_id`` (isolated docs
@@ -596,17 +597,26 @@ def connected_components(
     chains a-b-c collapse to ONE representative even when (a,c) was
     never directly paired.
 
-    Algorithm: iterative min-label propagation (each round: every
-    vertex takes the min label among itself and its neighbors) —
-    converges in graph-diameter rounds; near-dup clusters are
-    small-diameter by construction. Each round is one shuffle join +
+    ``algorithm="label"`` (default): iterative min-label propagation
+    (each round: every vertex takes the min label among itself and its
+    neighbors) — converges in graph-diameter rounds; near-dup clusters
+    are small-diameter by construction. Each round is one shuffle join +
     one aggregate over the EDGE list (never the documents), and the
     label frame is ``localCheckpoint``-ed so lineage stays flat across
     iterations. Convergence is detected with a count of changed labels
-    (a driver-side scalar per round, not data). At larger diameters /
-    edge counts the alternating large-star/small-star formulation halves
-    round counts, but the per-round plan shape is the same.
+    (a driver-side scalar per round, not data).
+
+    ``algorithm="star"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log²) rounds regardless of diameter, the right choice for
+    long-chain graphs where label propagation needs diameter rounds.
+    Same output contract; equivalence is property-tested on random
+    graphs (tests/test_properties.py).
     """
+    if algorithm == "star":
+        return _cc_star(df, pairs, id_col, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r} (use 'label' or 'star')")
     sess = df.sparkSession
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -651,13 +661,101 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component_id"))
 
 
+def _cc_star(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Large-star/small-star alternation. Each round:
+
+    - large-star: every node hooks its LARGER neighbors onto the
+      minimum of its closed neighborhood — breaks long chains in half.
+    - small-star: every node re-points its smaller neighbors (and
+      itself) at the neighborhood minimum — flattens toward a star.
+
+    Converges when the (canonical, deduped) edge set is a fixpoint; the
+    fixpoint is a forest of stars rooted at each component's minimum,
+    so the final edge list IS the (node → component min) mapping.
+    Per round: two groupBy-min aggregates + joins over edges only;
+    ``localCheckpoint`` keeps lineage flat. O(log² n) rounds vs label
+    propagation's diameter rounds."""
+
+    def undirect(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        b = undirect(e)
+        mins = b.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            b.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        nb = (
+            o.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        own = mins.select("u", F.col("m").alias("v"))
+        return nb.union(own).filter(F.col("u") != F.col("v")).distinct()
+
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).union(edges.exceptAll(new_edges)).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iterations} rounds"
+        )
+    # fixpoint edges are (node → component min); roots/isolated map to self
+    mapping = edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(mapping, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("label"), F.col("id")).alias("component_id"),
+        )
+    )
+
+
 def apply_dedup_cc(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Exact transitive dedup: keep one representative (the minimum id)
     per connected component of the pair graph."""
-    comp = connected_components(df, pairs, id_col)
+    comp = connected_components(df, pairs, id_col, algorithm=algorithm)
     keep = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")

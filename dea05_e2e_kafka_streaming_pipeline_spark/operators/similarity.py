@@ -400,6 +400,19 @@ def with_ivf_cell(
     return df.withColumn("ivf_cell", udf(F.col(vec_col)))
 
 
+def ivf_probes(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids whose centroids are nearest the query
+    (driver-side arithmetic over the tiny centroid table)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")
+    q = np.asarray([float(v) for v in query_vec], dtype="float64")
+    order = (((c - q[None, :]) ** 2).sum(axis=1)).argsort()
+    return [int(j) for j in order[: max(1, nprobe)]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -416,19 +429,52 @@ def ivf_topk(
     recall/cost dial, complementary to :func:`lsh_topk`'s hyperplane
     buckets). Exact within probed cells via :func:`cosine_topk`.
 
-    With the cell column pre-materialized and the table partitioned by
-    it, the probe is partition pruning — the scan never touches
-    unprobed cells."""
-    import numpy as np
-
+    This variant computes cells on the fly (a full scan, filtered after
+    assignment). The 100 TB shape is :func:`ivf_write_index` +
+    :func:`ivf_topk_pruned`, where the probe becomes partition pruning
+    and unprobed cells are never read."""
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_centroids=n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
         )
-    c = np.asarray(centroids, dtype="float64")
-    q = np.asarray([float(v) for v in query_vec], dtype="float64")
-    order = (((c - q[None, :]) ** 2).sum(axis=1)).argsort()
-    probes = [int(j) for j in order[: max(1, nprobe)]]
+    probes = ivf_probes(centroids, query_vec, nprobe)
     celled = with_ivf_cell(df, centroids, vec_col)
     cand = celled.filter(F.col("ivf_cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: assign every vector its coarse cell
+    and write parquet partitioned by ``ivf_cell``. This is the write-
+    once step that turns ANN from "bucketed join" into "pruned scan":
+    a probe over the resulting table is a partition filter, so at 100 TB
+    a 4-of-1024-cells probe reads ~0.4% of the bytes. Run it at ingest
+    (or as a compaction job) with the same persisted centroid table
+    every query uses."""
+    celled = with_ivf_cell(df, centroids, vec_col)
+    celled.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over an :func:`ivf_write_index` layout. The
+    cell restriction lands in the scan's ``PartitionFilters`` (asserted
+    in tests/test_plans.py), so only the probed cells' files are read —
+    the actual scale win of IVF."""
+    probes = ivf_probes(centroids, query_vec, nprobe)
+    df = spark.read.parquet(index_path)
+    cand = df.filter(F.col("ivf_cell").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -621,6 +621,41 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX_BUILT: set[str] = set()
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/spark_graft/ivf_index_{tag}"
+
+
+@register("ivf_topk_pruned")
+def q_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF under its 100 TB layout: the embeddings table is materialized
+    ONCE per process as parquet partitioned by ivf_cell
+    (operators/similarity.py:ivf_write_index), then the nprobe=2-of-8
+    probe runs as partition pruning — the scan's PartitionFilters keep
+    unprobed cells' files unread (plan-asserted in tests/test_plans.py).
+    Approximate by design (recall < 1), so rows-only for the driver; the
+    machinery itself is hash-matched via `ivf_topk_fullprobe` (probe-all
+    ≡ exact) and the layout equivalence is pytest-asserted (pruned ≡
+    unpartitioned pipeline at the same nprobe)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivf_topk_pruned,
+        ivf_write_index,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    path = _ivf_index_path(sf_dir)
+    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    if path not in _IVF_INDEX_BUILT:
+        ivf_write_index(load_table(spark, sf_dir, "embeddings"), cents, path)
+        _IVF_INDEX_BUILT.add(path)
+    return ivf_topk_pruned(
+        spark, path, list(_query_vec(sf_dir)), cents, k=20, nprobe=2
+    )
+
+
 @register(
     "token_estimates_docs",
     oracle=r"""

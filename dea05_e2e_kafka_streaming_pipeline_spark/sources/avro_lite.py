@@ -46,6 +46,9 @@ class _Reader:
         """Zigzag-encoded variable-length integer (spec: binary encoding)."""
         acc, shift = 0, 0
         while True:
+            if self.pos >= len(self.buf):  # mid-varint truncation: keep
+                # the module's EOFError-with-offset contract (read())
+                raise EOFError(f"avro: truncated varint at {self.pos}")
             byte = self.buf[self.pos]
             self.pos += 1
             acc |= (byte & 0x7F) << shift
@@ -138,7 +141,16 @@ def _decode(schema, r: _Reader, names: dict):
 def read_avro(path: str) -> tuple[dict, list]:
     """Read an Avro Object Container File → (writer schema, records)."""
     with open(path, "rb") as f:
-        r = _Reader(f.read())
+        return read_avro_bytes(f.read(), name=path)
+
+
+def read_avro_bytes(buf: bytes, name: str = "<bytes>") -> tuple[dict, list]:
+    """Decode an in-memory Avro container → (writer schema, records).
+    The executor-side entry point of the distributed fallback scan
+    (``registry.read_avro_distributed`` ships whole files via the
+    binaryFile source and decodes them here)."""
+    r = _Reader(buf)
+    path = name
     if r.read(4) != _MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     meta: dict[str, bytes] = {}

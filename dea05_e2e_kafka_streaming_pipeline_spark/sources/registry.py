@@ -8,6 +8,17 @@ performs on large inputs.
 Avro and Delta are optional runtime dependencies (spark-avro /
 delta-spark jars); readers raise a clear error when the package is
 missing rather than failing deep inside the JVM.
+
+Jar provisioning attempt (round 3, 2026-08-13): this container has no
+network (DNS resolution fails for repo1.maven.org; `curl` exit 6) and
+ships neither jar — the Spark distributions under /opt carry only core
+avro-1.12.1 (serialization lib, not the DataSource), and no local maven/
+ivy/sbt cache exists. The JVM paths therefore remain exercised through
+their error/gating tests only; the jar-less Avro story is instead made
+scale-credible by :func:`read_avro_distributed` (binaryFile +
+mapInPandas over the vendored pure-Python decoder — distributed, no
+driver materialization), verified against the reference's real Debezium
+captures.
 """
 
 from __future__ import annotations
@@ -72,6 +83,58 @@ def read_avro(
             "pure-Python reader (driver-side, fixture-scale). "
             f"Underlying error: {exc}"
         ) from exc
+
+
+def read_avro_distributed(
+    spark: SparkSession, path: str, spark_schema: T.StructType | None = None
+) -> DataFrame:
+    """Jar-less DISTRIBUTED Avro scan: the binaryFile source lists and
+    ships whole container files to executors, where each is decoded with
+    the vendored pure-Python reader (``sources/avro_lite.py``) inside an
+    Arrow-batched ``mapInPandas`` — no spark-avro required and no
+    driver-side materialization (upgrades ``read_avro(fallback=True)``,
+    which decodes on the driver).
+
+    The work unit is a FILE (Avro blocks within a file are not
+    range-split the way the JVM reader does), which matches the shape of
+    Kafka-topic dumps — many medium objects (reference layout:
+    ``curated/dq_kafka.py:140-141`` reads ``partition=0/*``). Pass
+    ``spark_schema`` to skip the driver-side peek of one file's embedded
+    writer schema.
+    """
+    import glob as _glob
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources import avro_lite
+
+    if spark_schema is None:
+        if os.path.isdir(path):
+            cands = sorted(
+                p
+                for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+                if os.path.isfile(p)
+            )
+        else:
+            cands = sorted(_glob.glob(path)) or [path]
+        schema0, _ = avro_lite.read_avro(cands[0])
+        spark_schema = avro_lite.avro_to_spark_type(schema0)
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for p, buf in zip(pdf["path"], pdf["content"]):
+                schema, records = avro_lite.read_avro_bytes(bytes(buf), name=p)
+                for rec in records:
+                    avro_lite.walk_decimals(rec, schema)
+                frames.append(pd.DataFrame.from_records(records, columns=names))
+            if frames:
+                yield pd.concat(frames)
+
+    return files.mapInPandas(decode, spark_schema)
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:

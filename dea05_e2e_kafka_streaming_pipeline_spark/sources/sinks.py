@@ -6,6 +6,15 @@ prefixes for failed DQ batches (``curated/data_quality.py:174``). The
 engine keeps the same Hive-style partition layout — it is what makes
 downstream partition pruning work — and bounds output file counts so a
 1000-executor write doesn't produce a million tiny files.
+
+Server-side encryption: the reference's ingestion sink sets
+``ServerSideEncryption="AES256"`` per object (boto3,
+``ingestion/s3-orders-ingestion.py:54``). On Spark that is a
+filesystem-layer concern, not a writer option — for S3A set
+``spark.hadoop.fs.s3a.server-side-encryption-algorithm=AES256`` (or
+``SSE-KMS`` + key id) on the session and every sink in this module
+inherits it; nothing per-write is needed, which is why no function here
+takes an encryption parameter.
 """
 
 from __future__ import annotations

@@ -167,3 +167,36 @@ def test_read_avro_fallback_end_to_end(spark):
     out = decode_cdc_orders(env).collect()
     assert len(out) == 1 and out[0].order_id == 21
     assert out[0].order_amount == pytest.approx(100.25)
+
+
+def test_avro_lite_truncated_varint_raises_eoferror():
+    """A file truncated mid-varint must raise the module's EOFError
+    with position context, not a bare IndexError."""
+    import pytest as _pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.avro_lite import _Reader
+
+    r = _Reader(b"\xff\xff")  # continuation bits forever, then EOF
+    with _pytest.raises(EOFError, match="truncated varint"):
+        r.long()
+
+
+def test_read_avro_distributed_matches_driver_fallback(spark):
+    """The distributed (binaryFile + mapInPandas) jar-less Avro scan
+    must decode the reference's REAL Debezium capture identically to the
+    driver-side fallback reader."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.avro_lite import (
+        read_avro_as_dataframe,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_avro_distributed,
+    )
+
+    path = "/root/reference/testing/streaming.public.order.avro"
+    want = read_avro_as_dataframe(spark, path)
+    got = read_avro_distributed(spark, path)
+    assert got.schema == want.schema
+    key = lambda r: (r["after"]["order_id"], r["op"], r["ts_ms"])
+    got_rows = sorted((r.asDict(recursive=True) for r in got.collect()), key=key)
+    want_rows = sorted((r.asDict(recursive=True) for r in want.collect()), key=key)
+    assert got_rows == want_rows

@@ -124,3 +124,26 @@ def test_per_row_curation_ops_are_shuffle_free(spark):
     for op in (with_quality_rules, with_repetition_stats, with_pii_redaction):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{op.__name__} shuffles:\n{plan}"
+
+
+def test_contamination_broadcast_tristate_plans(spark):
+    """broadcast_benchmark: True must broadcast the benchmark side,
+    False must pin the join to sort-merge (the forbid path)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        ngram_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    forced = ngram_contamination(docs, bench, broadcast_benchmark=True)
+    plan_t = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_t
+    forbidden = ngram_contamination(docs, bench, broadcast_benchmark=False)
+    plan_f = forbidden._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_f

@@ -446,3 +446,27 @@ def test_ivf_centroids_deterministic(spark):
     c1 = kmeans_centroids(df, n_centroids=5, seed=7)
     c2 = kmeans_centroids(df, n_centroids=5, seed=7)
     assert c1 == c2
+
+
+def test_ivf_handles_null_embeddings(spark):
+    """NULL embeddings get sentinel cell -1 (never probed) — ivf_topk
+    over a table containing nulls must not crash and must rank only the
+    real vectors (round-2 advice)."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        with_ivf_cell,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(30)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(v) for v in rows[0][1]]
+    cells = {r.vec_id: r.ivf_cell for r in with_ivf_cell(
+        df, [[0.0] * 8, [1.0] * 8]).collect()}
+    assert cells[100] == -1 and cells[101] == -1
+    got = ivf_topk(df, q, k=5, n_centroids=4, nprobe=4).collect()
+    assert len(got) == 5
+    assert all(r.vec_id < 100 for r in got)

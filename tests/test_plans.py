@@ -53,6 +53,63 @@ def test_cdc_decode_is_scan_side_projection(spark):
     assert "HashAggregate" not in plan
 
 
+def test_ivf_pruned_scan_prunes_partitions(spark):
+    """The IVF index layout must turn the probe into partition pruning:
+    the scan's PartitionFilters restrict ivf_cell, and the number of
+    scanned partition directories is the probe count, strictly below the
+    total cell count."""
+    import glob
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.queries import _ivf_index_path
+
+    df = registry.queries()["ivf_topk_pruned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    cells_on_disk = len(glob.glob(_ivf_index_path(SF_DIR) + "/ivf_cell=*"))
+    assert cells_on_disk == 8
+    # the filter keeps 2 probed cells; the other 6 are pruned at planning
+    assert "ivf_cell#" in plan and " IN (" in plan
+    df.collect()
+    # post-execution scan metric: files read < files on disk
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    scans = [leaves.apply(i) for i in range(leaves.size())]
+    n_files = sum(
+        s.metrics().apply("numFiles").value()
+        for s in scans
+        if s.nodeName().startswith("Scan parquet")
+        or "FileScan" in s.nodeName()
+        or s.nodeName().startswith("BatchScan")
+    )
+    total_files = len(glob.glob(_ivf_index_path(SF_DIR) + "/ivf_cell=*/*.parquet"))
+    assert 0 < n_files < total_files, (n_files, total_files)
+
+
+def test_ivf_pruned_matches_unpartitioned_pipeline(spark):
+    """Reading through the partitioned layout must not change results:
+    pruned top-k == on-the-fly ivf_topk at the same centroids/nprobe."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.queries import (
+        _ivf_centroids,
+        _query_vec,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    pruned = registry.queries()["ivf_topk_pruned"](spark, SF_DIR).collect()
+    cents = [list(c) for c in _ivf_centroids(SF_DIR, 8)]
+    fly = ivf_topk(
+        load_table(spark, SF_DIR, "embeddings"),
+        list(_query_vec(SF_DIR)),
+        k=20,
+        centroids=cents,
+        nprobe=2,
+    ).collect()
+    assert [(r.vec_id, r.score) for r in pruned] == [
+        (r.vec_id, r.score) for r in fly
+    ]
+
+
 # Queries whose BUILD legitimately runs Spark jobs: iterative algorithms
 # (connected components executes its convergence loop when the pipeline
 # is constructed) and index builders (the IVF-pruned query materializes

@@ -111,3 +111,80 @@ def test_cdc_merge_matches_fold_model(spark, changes):
         else:
             state[key] = payload
     assert got == state
+
+
+# ---------------------------------------------------------------------------
+# Connected components: star contraction ≡ label propagation ≡ union-find
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(n_nodes, edges):
+    """Driver-side union-find reference model."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 23)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_cc_star_matches_label_and_model(spark, edges):
+    """Both distributed CC algorithms must agree with the union-find
+    model (and hence each other) on random graphs — including self
+    loops, duplicate edges, and isolated nodes."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 24
+    nodes = spark.range(n).selectExpr("id AS doc_id")
+    pair_rows = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    pairs = (
+        spark.createDataFrame(pair_rows, "id_a long, id_b long")
+        if pair_rows
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    want = _uf_components(n, pair_rows)
+    for algo in ("label", "star"):
+        got = {
+            r.doc_id: r.component_id
+            for r in connected_components(nodes, pairs, algorithm=algo).collect()
+        }
+        assert got == want, f"{algo}: {got} != {want}"
+
+
+def test_cc_star_long_chain(spark):
+    """A 40-node path graph: the worst case for label propagation
+    (diameter rounds) and exactly where star contraction's O(log²)
+    bound matters. Both must produce one component rooted at 0 — star
+    within far fewer than diameter iterations."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 40
+    nodes = spark.range(n).selectExpr("id AS doc_id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = connected_components(nodes, pairs, algorithm="star", max_iterations=10)
+    assert {r.component_id for r in got.collect()} == {0}
