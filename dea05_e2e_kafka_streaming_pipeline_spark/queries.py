@@ -621,6 +621,58 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantization",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id, v,
+             list_min(v) AS qmin, list_max(v) AS qmax,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           round(qmin, 6) AS qmin,
+           round(qmax, 6) AS qmax,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE list_sum(list_transform(v,
+                       x -> CAST(round((x - qmin) / scale, 0) AS BIGINT)))
+                END AS BIGINT) AS code_sum,
+           round(CASE WHEN scale = 0 THEN 0.0
+                 ELSE list_max(list_transform(v,
+                        x -> abs(x - (qmin + round((x - qmin) / scale, 0)
+                                             * scale))))
+                 END, 6) AS recon_err
+    FROM q
+    """,
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of every embedding (the 4x storage/IO
+    compression tier for 100 TB similarity scans) — codec arithmetic is
+    pure double column expressions, so code sums and worst-case
+    reconstruction error hash-match DuckDB exactly."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), bits=8)
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.round("qmin", 6).alias("qmin"),
+        F.round("qmax", 6).alias("qmax"),
+        F.expr("aggregate(codes, 0L, (a, x) -> a + x)").alias("code_sum"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
 _IVF_INDEX_BUILT: set[str] = set()
 
 

@@ -109,6 +109,49 @@ def dq_gated_sink(
     return writer.start()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    fingerprint_cols: list[str] | None = None,
+    text_col: str | None = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST occurrence of every
+    fingerprint across the whole stream (state-store backed, survives
+    restarts via the query checkpoint). The streaming face of
+    ``operators/dedup.py:dedup_exact`` — same whitespace/case-normalized
+    md5 fingerprint, so a drained stream equals the batch operator's
+    keep-set (asserted in tests).
+
+    State policy: with ``ts_col`` set, duplicates are tracked
+    within-watermark only (``dropDuplicatesWithinWatermark``) and
+    per-key state expires — the unbounded-corpus mode, where "dup"
+    means "resent within the horizon" (a re-delivered Kafka record, a
+    re-crawled page). Without ``ts_col``, state is global and grows with
+    distinct keys — exact forever, the right call when the key space is
+    bounded (entity ids) or runs are drained batches. At 100 TB of
+    distinct documents the global mode needs RocksDB state store; the
+    watermarked mode is the default recommendation.
+
+    ``fingerprint_cols`` overrides the text fingerprint with explicit
+    key columns (e.g. ``["order_id"]`` re-delivery dedup)."""
+    if fingerprint_cols is None:
+        if text_col is None:
+            raise ValueError("pass fingerprint_cols or text_col")
+        norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+        stream = stream.withColumn("__fp", F.md5(norm))
+        keys = ["__fp"]
+    else:
+        keys = list(fingerprint_cols)
+    if ts_col is not None and stream.isStreaming:
+        out = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    else:
+        out = stream.dropDuplicates(keys)
+    return out.drop("__fp") if fingerprint_cols is None else out
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -470,3 +470,29 @@ def test_ivf_handles_null_embeddings(spark):
     got = ivf_topk(df, q, k=5, n_centroids=4, nprobe=4).collect()
     assert len(got) == 5
     assert all(r.vec_id < 100 for r in got)
+
+
+def test_quantize_embeddings_semantics(spark):
+    """int8 codec invariants: codes within [0, 255], reconstruction
+    error bounded by scale/2, flat vectors quantize to zero codes with
+    zero error, nulls dropped, bits guarded."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(20)]
+    rows += [(100, [1.5] * 16), (101, None)]  # flat + null
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df, bits=8).collect()}
+    assert 101 not in out and len(out) == 21
+    for vid, r in out.items():
+        assert all(0 <= c <= 255 for c in r.codes)
+        scale = (r.qmax - r.qmin) / 255.0
+        assert r.recon_err <= scale / 2 + 1e-12, (vid, r.recon_err, scale)
+    flat = out[100]
+    assert flat.codes == [0] * 16 and flat.recon_err == 0.0
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, bits=32)

@@ -172,3 +172,59 @@ def test_medallion_stream_bronze_and_silver(spark, tmp_path):
     assert spark.read.parquet(paths.bronze).count() == n
     assert spark.read.parquet(paths.silver).count() == n  # clean data passes gate
     assert not (tmp_path / "quarantine").exists()
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    """Z-order clustering must make per-file (min, max) ranges on BOTH
+    clustered columns tight: for a small 2-D predicate box, far fewer
+    z-ordered files overlap the box than in a time-clustered layout of
+    the same file count — the overlap count IS the data-skipping story
+    (row-group pushdown in vanilla parquet, file skipping under a
+    stats-tracking table format)."""
+    import pyarrow.parquet as pq
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+        write_zordered,
+    )
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lo_u, hi_u, lo_v, hi_v = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    # a ~10% x 10% box in the middle of both domains
+    box_u = (lo_u + 0.45 * (hi_u - lo_u), lo_u + 0.55 * (hi_u - lo_u))
+    box_v = (lo_v + 0.45 * (hi_v - lo_v), lo_v + 0.55 * (hi_v - lo_v))
+
+    zpath, bpath = str(tmp_path / "zorder"), str(tmp_path / "bytime")
+    write_zordered(events, zpath, ["user_id", "value"], num_files=16)
+    events.repartitionByRange(16, "ts").write.mode("overwrite").parquet(bpath)
+
+    def overlapping_files(path):
+        import glob
+
+        hits, total = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            iu, iv = names.index("user_id"), names.index("value")
+            fu_min = min(md.row_group(g).column(iu).statistics.min for g in range(md.num_row_groups))
+            fu_max = max(md.row_group(g).column(iu).statistics.max for g in range(md.num_row_groups))
+            fv_min = min(md.row_group(g).column(iv).statistics.min for g in range(md.num_row_groups))
+            fv_max = max(md.row_group(g).column(iv).statistics.max for g in range(md.num_row_groups))
+            total += 1
+            if fu_max >= box_u[0] and fu_min <= box_u[1] and fv_max >= box_v[0] and fv_min <= box_v[1]:
+                hits += 1
+        return hits, total
+
+    z_hits, z_total = overlapping_files(zpath)
+    b_hits, b_total = overlapping_files(bpath)
+    assert z_total >= 8 and b_total >= 8
+    # time-clustered files are unclustered in (user_id, value): nearly
+    # all overlap the box; z-ordered files overlap only around the box
+    assert b_hits >= b_total * 0.8, (b_hits, b_total)
+    assert z_hits <= z_total // 2, (z_hits, z_total)
+    # layout preserves the data
+    assert spark.read.parquet(zpath).count() == events.count()

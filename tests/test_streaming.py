@@ -278,3 +278,72 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     got = spark.sql("SELECT count(*) c FROM ssj").collect()[0].c
     assert got == batch
     assert batch > 0
+
+
+def test_dedup_stream_exactly_once_across_restart(spark, tmp_path):
+    """Streaming exact dedup must keep the FIRST occurrence of each
+    normalized-text fingerprint across micro-batches AND across a query
+    restart (state lives in the checkpoint), matching the batch
+    operator's keep-set on the drained input."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        dedup_stream,
+    )
+
+    landing = tmp_path / "landing"
+    docs_schema = "doc_id long, text string"
+    f1 = [(i, f"document body number {i}") for i in range(10)]
+    f2 = [(10 + i, f"document body number {i}") for i in range(5)]  # dups of 0-4
+    f2 += [(20 + i, f"fresh content piece {i}") for i in range(5)]
+    spark.createDataFrame(f1, docs_schema).write.mode("append").json(
+        str(landing / "b1")
+    )
+    spark.createDataFrame(f2, docs_schema).write.mode("append").json(
+        str(landing / "b2")
+    )
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def run():
+        stream = file_stream(
+            spark, str(landing / "*"), schema, max_files_per_trigger=1
+        )
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "unique"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    out = spark.read.parquet(str(tmp_path / "unique"))
+    assert out.count() == 15  # 10 + 5 fresh, 5 dups dropped
+    # first occurrence wins: the duplicated bodies keep doc_id < 10
+    kept = {r.text: r.doc_id for r in out.collect()}
+    for i in range(5):
+        assert kept[f"document body number {i}"] == i
+
+    # restart with a new file full of already-seen bodies → none land
+    f3 = [(30 + i, f"document body number {i}") for i in range(10)]
+    spark.createDataFrame(f3, docs_schema).write.mode("append").json(
+        str(landing / "b3")
+    )
+    run()
+    assert spark.read.parquet(str(tmp_path / "unique")).count() == 15
+
+    # batch mode agrees with the batch dedup operator's keep-set
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import dedup_exact
+
+    all_docs = spark.createDataFrame(f1 + f2 + f3, docs_schema)
+    batch_kept = dedup_stream(all_docs)
+    assert sorted(r.text for r in batch_kept.collect()) == sorted(
+        set(r.text for r in all_docs.collect())
+    )
+    assert dedup_exact(all_docs).count() == 15
