@@ -47,12 +47,19 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     when no cluster master is configured — the driver harness runs local
     mode; a real deployment passes its own master / uses spark-submit.
+
+    ``rocksdb_state_store=True`` switches Structured Streaming state to
+    the RocksDB provider — required once stateful-operator state (e.g.
+    ``dedup_stream``'s global fingerprint set, large stream-stream join
+    buffers) outgrows executor heap; the default in-memory HDFS-backed
+    provider is right for tests and bounded-state queries.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
@@ -64,6 +71,11 @@ def get_spark(
     confs["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else int(cpus)
     )
+    if rocksdb_state_store:
+        confs["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

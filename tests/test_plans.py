@@ -33,6 +33,28 @@ def test_revenue_by_geo_all_dims_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_shipping_priority_pushdown_broadcast_topk(spark):
+    """TPC-H Q3 shape: date predicates must reach both fact scans, the
+    segment-filtered customer dim must broadcast, and the top-10 must be
+    TakeOrdered (partial per-partition top-k), not a global sort."""
+    plan = _plan(spark, "shipping_priority_topk")
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_returned_revenue_broadcast_dims(spark):
+    """customer and nation dims must broadcast (AQE may additionally
+    broadcast the date-filtered orders side at small SF — also fine);
+    the return-flag filter must reach the lineitem scan."""
+    plan = _plan(spark, "returned_revenue_customers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cosine_topk_partial_topk_no_global_sort(spark):
     plan = _plan(spark, "embedding_cosine_topk")
     assert "TakeOrderedAndProject" in plan
