@@ -260,6 +260,35 @@ def hash_sample(
     return df.filter(_sample_bucket(F.col(key_col), salt) < pct)
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-source sampling rates — the data-MIXING step of a training
+    pipeline (upsample curated sources, downsample raw crawl, drop the
+    rest). ``rates`` maps a source value to its keep-percentage; rows
+    from unlisted sources keep ``default_pct`` (default: dropped).
+
+    Same md5-bucket determinism as :func:`hash_sample` — one CASE over
+    the per-row bucket, a pure filter that pushes toward the scan; no
+    rand(), no shuffle, reproducible across runs and engines. (True
+    >100% upsampling — duplication — is a separate explode step; rates
+    here are keep-probabilities.)"""
+    for s, p in rates.items():
+        if not 0 <= p <= 100:
+            raise ValueError(f"rate for {s!r} must be in [0,100]: {p}")
+    if not 0 <= default_pct <= 100:
+        raise ValueError(f"default_pct must be in [0,100]: {default_pct}")
+    thr: Column = F.lit(default_pct)
+    for s, p in rates.items():
+        thr = F.when(F.col(source_col) == s, F.lit(p)).otherwise(thr)
+    return df.filter(_sample_bucket(F.col(key_col), salt) < thr)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -347,4 +376,71 @@ def vocab_topk(
         term.join(toks, "tok")
         .orderBy(F.col("term_freq").desc(), F.col("tok").asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into overlapping token windows — the
+    pre-training/RAG preprocessing step that turns a document corpus
+    into a training-example corpus. Chunk *i* covers whitespace tokens
+    ``[i·step, i·step + chunk_tokens)`` with ``step = chunk_tokens −
+    overlap``; the final chunk may be short, and every document yields
+    at least one chunk.
+
+    Pure codegen column work: split → per-row ``sequence``/``slice``
+    expansion → one explode. No shuffle, no UDF — chunking 100 TB is a
+    map-only pass whose output row count is bounded by
+    ``n_tokens/step`` per doc. Whitespace tokenization (case/punctuation
+    preserved inside tokens) because chunks must carry the ORIGINAL
+    text; count tokens for budgeting with operators/text.py estimators
+    instead.
+
+    Returns (id, chunk_id, n_chunks, chunk_text, n_chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens: overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(step)).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(F.slice("__toks", i * step + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), F.col("__n") - i * step)
+            .cast("int")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        base.select(F.col(id_col), n_chunks.alias("n_chunks"), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            "n_chunks",
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
     )

@@ -739,6 +739,39 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_docs",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, CAST(ceil((len(toks) - 16) / 48.0) AS INT)) AS n_chunks
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           n_chunks,
+           array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+           CAST(least(64, n - i * 48) AS INT) AS n_chunk_tokens
+    FROM s, UNNEST(range(0, n_chunks)) AS t(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunk windows (stride 48) over every
+    document — the corpus→training-examples expansion, a map-only
+    sequence/slice/explode pass with no shuffle or UDF."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        chunk_documents,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@register(
     "embedding_quantization",
     oracle="""
     WITH e AS (
@@ -2014,6 +2047,33 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hash_sample(docs, "doc_id", pct=10).select("doc_id", "lang", "source")
+
+
+@register(
+    "mixture_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_DUCK_BUCKET} <
+          CASE WHEN source = 'src0' THEN 80
+               WHEN source = 'src1' THEN 50
+               WHEN source = 'src2' THEN 20
+               ELSE 5 END
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling (80/50/20% for three named sources,
+    5% for the long tail) — the deterministic data-mixing filter; same
+    md5-bucket discipline as hash_sample_docs, so exactly reproducible
+    in DuckDB."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        mixture_sample,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, {"src0": 80, "src1": 50, "src2": 20}, default_pct=5
+    ).select("doc_id", "lang", "source")
 
 
 @register(

@@ -147,3 +147,67 @@ def test_contamination_broadcast_tristate_plans(spark):
     forbidden = ngram_contamination(docs, bench, broadcast_benchmark=False)
     plan_f = forbidden._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan_f
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunk windows: stride = chunk_tokens - overlap, last chunk may be
+    short, every non-empty doc yields >= 1 chunk, consecutive chunks
+    overlap by exactly `overlap` tokens, and concatenating the
+    non-overlapped heads reconstructs the document."""
+    import pytest as _pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "only three words"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # whitespace-only doc dropped
+    # doc 0: 25 tokens, stride 6 → ceil((25-4)/6) = 4 chunks
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c0] == [0, 1, 2, 3]
+    assert all(r.n_chunks == 4 for r in c0)
+    assert c0[0].chunk_text.split() == words[0:10]
+    assert c0[1].chunk_text.split() == words[6:16]
+    assert c0[3].chunk_text.split() == words[18:25]  # short tail
+    assert c0[3].n_chunk_tokens == 7
+    # overlap property
+    for a, b in zip(c0, c0[1:]):
+        assert a.chunk_text.split()[-4:] == b.chunk_text.split()[:4]
+    # single short chunk for the 3-token doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 3
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Per-source keep-rates: 100% sources keep everything, 0% / default
+    drop everything, intermediate rates land near the target, and the
+    pick is identical across runs."""
+    import pytest as _pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = [(i, ["keep", "half", "drop", "tail"][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"keep": 100, "half": 50, "drop": 0}
+    out = mixture_sample(df, rates).collect()
+    by_src = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src["keep"] == 500
+    assert "drop" not in by_src and "tail" not in by_src  # default_pct=0
+    assert 200 <= by_src["half"] <= 300  # ~50% of 500
+    again = mixture_sample(df, rates).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+    with _pytest.raises(ValueError, match="rate"):
+        mixture_sample(df, {"keep": 101})
