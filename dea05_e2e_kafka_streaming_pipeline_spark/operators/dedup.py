@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+    content_fingerprint,
     tokens,
     word_shingles,
 )
@@ -45,12 +46,22 @@ def _spread(df: DataFrame) -> DataFrame:
     read — no Spark job — and dividing by ``files.maxPartitionBytes``
     approximates the scan's split count: under-split inputs get the
     repartition, while at scale the estimate exceeds parallelism and the
-    raw-body shuffle is skipped (round-1 verdict's scale hazard #3)."""
+    raw-body shuffle is skipped (round-1 verdict's scale hazard #3).
+
+    Known limit of the estimate: it assumes the source is range-
+    splittable. A single large gzip file (or one giant parquet row
+    group) yields ONE real partition however big the byte count — for
+    such inputs callers should ``df.repartition(...)`` explicitly before
+    the dedup operator; the engine's own lake layouts (parquet with
+    ``maxRecordsPerFile``) are always splittable."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        # JVM-side parse: handles "128m"/"1g"-style suffixed conf values
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
         est_splits = max(1, size // max(1, max_pb))
     except Exception:  # plan without stats — assume under-partitioned
         est_splits = 1
@@ -70,9 +81,8 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep the lowest-id representative of every exact-content group
     (whitespace/case-normalized). Returns the kept ids + group size."""
-    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
     return (
-        df.select(F.md5(norm).alias("__fp"), F.col(id_col))
+        df.select(content_fingerprint(text_col).alias("__fp"), F.col(id_col))
         .groupBy("__fp")
         .agg(
             F.min(id_col).alias(id_col),

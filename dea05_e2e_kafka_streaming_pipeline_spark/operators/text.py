@@ -151,8 +151,17 @@ def with_token_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def content_fingerprint(col: Column | str) -> Column:
+    """Whitespace/case-normalized md5 content fingerprint — THE shared
+    exact-dedup key. Single definition on purpose: ``dedup_exact``,
+    ``dedup_stream`` and ``with_fingerprint`` all compare by this
+    expression, and their cross-operator keep-set equivalence holds only
+    while the normalization stays byte-identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.lower(F.regexp_replace(c, "\\s+", " "))))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized md5 content fingerprint — the exact-dedup
     key and the cheap doc identity for lineage."""
-    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
-    return df.select("*", F.md5(norm).alias("fingerprint"))
+    return df.select("*", content_fingerprint(text_col).alias("fingerprint"))

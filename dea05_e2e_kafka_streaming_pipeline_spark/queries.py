@@ -111,10 +111,21 @@ def _ivf_centroids(
         kmeans_fit,
     )
 
-    t = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+    dataset = ds.dataset(f"{sf_dir}/embeddings.parquet")
+    # bounded fetch first: if ids 0..sample_rows-1 are all present with
+    # non-null embeddings (the common dense case), they ARE the lowest
+    # sample_rows valid ids — no need to pull the whole table onto the
+    # driver. Gaps/nulls → fall back to the full read.
+    t = dataset.to_table(
         columns=["vec_id", "embedding"],
-        filter=ds.field("embedding").is_valid(),
+        filter=ds.field("embedding").is_valid()
+        & (ds.field("vec_id") < sample_rows),
     )
+    if t.num_rows < sample_rows:
+        t = dataset.to_table(
+            columns=["vec_id", "embedding"],
+            filter=ds.field("embedding").is_valid(),
+        )
     t = t.sort_by("vec_id").slice(0, sample_rows)
     x = [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
     return tuple(tuple(c) for c in kmeans_fit(x, n_centroids=n_centroids))

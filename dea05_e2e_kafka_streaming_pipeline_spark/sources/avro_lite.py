@@ -144,6 +144,23 @@ def read_avro(path: str) -> tuple[dict, list]:
         return read_avro_bytes(f.read(), name=path)
 
 
+def read_avro_schema(path: str, header_bytes: int = 1 << 20) -> dict:
+    """Writer schema from the container HEADER only — no record decode
+    (the driver-side peek of the distributed scan reads just this).
+    Avro headers are magic + metadata map + sync; 1 MiB covers any sane
+    schema."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read(header_bytes))
+    if r.read(4) != _MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while (n := r.blocks()) != 0:
+        for _ in range(n):
+            k = r.read(r.long()).decode("utf-8")
+            meta[k] = bytes(r.read(r.long()))
+    return json.loads(meta["avro.schema"])
+
+
 def read_avro_bytes(buf: bytes, name: str = "<bytes>") -> tuple[dict, list]:
     """Decode an in-memory Avro container → (writer schema, records).
     The executor-side entry point of the distributed fallback scan

@@ -116,7 +116,12 @@ def read_avro_distributed(
             )
         else:
             cands = sorted(_glob.glob(path)) or [path]
-        schema0, _ = avro_lite.read_avro(cands[0])
+        # skip _SUCCESS/.crc-style markers, matching the binaryFile
+        # source's own hidden-path filter, and read the HEADER only
+        cands = [
+            p for p in cands if not os.path.basename(p)[0] in ("_", ".")
+        ] or cands
+        schema0 = avro_lite.read_avro_schema(cands[0])
         spark_schema = avro_lite.avro_to_spark_type(schema0)
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     names = [f.name for f in spark_schema.fields]

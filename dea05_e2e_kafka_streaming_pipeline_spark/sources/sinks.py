@@ -51,6 +51,13 @@ def zorder_value(
     (min, max) ``stats``, and the bit patterns are interleaved — points
     close in EVERY dimension get close z-values. Pure codegen column
     arithmetic (2·bits shift/mask terms per column)."""
+    if len(cols) * bits > 63:
+        # Java shift amounts mask to 6 bits — positions >= 64 would
+        # silently wrap onto low bits and scramble the curve
+        raise ValueError(
+            f"z-value needs {len(cols)}x{bits} = {len(cols) * bits} bits; "
+            "max is 63 — lower `bits` or cluster fewer columns"
+        )
     levels = (1 << bits) - 1
     ints = []
     for c in cols:

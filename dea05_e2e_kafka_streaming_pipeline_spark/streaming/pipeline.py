@@ -115,13 +115,15 @@ def dedup_stream(
     text_col: str | None = "text",
     ts_col: str | None = None,
     watermark: str = "1 hour",
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Streaming exact dedup: keep the FIRST occurrence of every
+    """Streaming exact dedup: keep the FIRST ARRIVAL of every
     fingerprint across the whole stream (state-store backed, survives
     restarts via the query checkpoint). The streaming face of
-    ``operators/dedup.py:dedup_exact`` — same whitespace/case-normalized
-    md5 fingerprint, so a drained stream equals the batch operator's
-    keep-set (asserted in tests).
+    ``operators/dedup.py:dedup_exact`` — the fingerprint is the same
+    shared ``content_fingerprint`` expression, so the streamed keep-set
+    covers exactly the same fingerprint groups as the batch operator
+    (asserted in tests).
 
     State policy: with ``ts_col`` set, duplicates are tracked
     within-watermark only (``dropDuplicatesWithinWatermark``) and
@@ -130,22 +132,43 @@ def dedup_stream(
     re-crawled page). Without ``ts_col``, state is global and grows with
     distinct keys — exact forever, the right call when the key space is
     bounded (entity ids) or runs are drained batches. At 100 TB of
-    distinct documents the global mode needs RocksDB state store; the
-    watermarked mode is the default recommendation.
+    distinct documents the global mode needs RocksDB state store
+    (``get_spark(rocksdb_state_store=True)``); the watermarked mode is
+    the default recommendation.
 
-    ``fingerprint_cols`` overrides the text fingerprint with explicit
-    key columns (e.g. ``["order_id"]`` re-delivery dedup)."""
+    Representative choice: streams have an arrival order, so "first" is
+    well-defined; a BATCH DataFrame does not — there ``dropDuplicates``
+    keeps an arbitrary (plan-dependent) row per key. Pass ``order_col``
+    to pin the batch representative deterministically (min order_col
+    wins, matching ``dedup_exact``'s min-id policy when order_col is the
+    id). ``fingerprint_cols`` overrides the text fingerprint with
+    explicit key columns (e.g. ``["order_id"]`` re-delivery dedup)."""
     if fingerprint_cols is None:
         if text_col is None:
             raise ValueError("pass fingerprint_cols or text_col")
-        norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")))
-        stream = stream.withColumn("__fp", F.md5(norm))
+        from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+            content_fingerprint,
+        )
+
+        stream = stream.withColumn("__fp", content_fingerprint(text_col))
         keys = ["__fp"]
     else:
         keys = list(fingerprint_cols)
-    if ts_col is not None and stream.isStreaming:
-        out = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            keys
+    if stream.isStreaming:
+        if ts_col is not None:
+            out = stream.withWatermark(
+                ts_col, watermark
+            ).dropDuplicatesWithinWatermark(keys)
+        else:
+            out = stream.dropDuplicates(keys)
+    elif order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+        out = (
+            stream.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
     else:
         out = stream.dropDuplicates(keys)

@@ -338,12 +338,12 @@ def test_dedup_stream_exactly_once_across_restart(spark, tmp_path):
     run()
     assert spark.read.parquet(str(tmp_path / "unique")).count() == 15
 
-    # batch mode agrees with the batch dedup operator's keep-set
+    # batch mode with order_col pins the representative: exact id-level
+    # agreement with dedup_exact's min-id keep-set
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import dedup_exact
 
     all_docs = spark.createDataFrame(f1 + f2 + f3, docs_schema)
-    batch_kept = dedup_stream(all_docs)
-    assert sorted(r.text for r in batch_kept.collect()) == sorted(
-        set(r.text for r in all_docs.collect())
+    batch_kept = dedup_stream(all_docs, order_col="doc_id")
+    assert sorted(r.doc_id for r in batch_kept.collect()) == sorted(
+        r.doc_id for r in dedup_exact(all_docs).collect()
     )
-    assert dedup_exact(all_docs).count() == 15
