@@ -82,3 +82,55 @@ def asof_join(
         ],
         *[F.col(f"__f_{c}").alias(c) for c in carried],
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: every event row matched with every
+    interval row whose ``[start, end]`` contains the event timestamp
+    (inclusive bounds — DuckDB ``BETWEEN`` semantics, which
+    oracle-checks this operator).
+
+    Expressed naively (``ON ts BETWEEN start AND end``) Spark has no
+    equi-key and plans a BroadcastNestedLoopJoin — O(n·m) and a
+    scale-killer. This rewrite buckets time: events get ONE bucket
+    (``floor(ts / bucket)``), each interval is exploded to EVERY bucket
+    it overlaps, and the join becomes an equi-join on the bucket id
+    followed by the exact range filter. Each (event, interval) pair
+    meets in exactly one bucket — the event's — so no distinct is
+    needed. Cost: shuffle on bucket id; interval rows replicate by
+    ``ceil(duration / bucket)``, so pick ``bucket`` near the TYPICAL
+    interval duration (long outlier intervals fan out more — cap them
+    upstream or raise the bucket size). Plan-asserted no-nested-loop in
+    tests/test_plans.py.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
+    step = F.expr(f"interval {bucket}")
+    sec = F.unix_timestamp
+    bucket_secs = F.lit(0) + (
+        F.unix_timestamp(F.timestamp_seconds(F.lit(0)) + step)
+    )  # bucket width in seconds, derived from the interval literal
+    e = events.withColumn(
+        "__b", F.floor(sec(F.col(ts_col)) / bucket_secs).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bs", F.floor(sec(F.col(start_col)) / bucket_secs).cast("long")
+    ).withColumn("__be", F.floor(sec(F.col(end_col)) / bucket_secs).cast("long"))
+    i = i.filter(F.col("__be") >= F.col("__bs")).withColumn(
+        "__b", F.explode(F.sequence(F.col("__bs"), F.col("__be")))
+    ).drop("__bs", "__be")
+    cond = (
+        (e["__b"] == i["__b"])
+        & (e[ts_col] >= i[start_col])
+        & (e[ts_col] <= i[end_col])
+    )
+    joined = e.join(i, cond, how).drop("__b")
+    return joined

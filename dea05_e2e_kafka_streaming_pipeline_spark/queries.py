@@ -1489,6 +1489,43 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT i AS window_id,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 11 HOUR AS start_ts,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 11 HOUR
+               + INTERVAL 90 MINUTE AS end_ts
+      FROM range(0, 60) t(i)
+    )
+    SELECT e.event_id, iv.window_id, iv.start_ts, iv.end_ts
+    FROM events e JOIN iv ON e.ts BETWEEN iv.start_ts AND iv.end_ts
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (events × 90-minute maintenance windows)
+    via the bucketed rewrite in operators/asof.py:interval_join — an
+    equi-join on hour buckets + exact range filter, instead of the
+    BroadcastNestedLoopJoin Spark plans for a raw BETWEEN condition
+    (plan-asserted). Oracle: DuckDB's native range join."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import interval_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    iv = spark.range(60).select(
+        F.col("id").alias("window_id"),
+        F.expr(
+            "timestampadd(HOUR, CAST(11 * id AS INT), "
+            "timestamp'2024-01-01 00:00:00')"
+        ).alias("start_ts"),
+    ).withColumn("end_ts", F.expr("timestampadd(MINUTE, 90, start_ts)"))
+    out = interval_join(events, iv, "ts", "start_ts", "end_ts", bucket="1 hour")
+    return out.select("event_id", "window_id", "start_ts", "end_ts")
+
+
+@register(
     "latest_order_per_customer",
     oracle=f"""
     {_ENTITY_CTES},

@@ -38,3 +38,41 @@ def test_asof_join_semantics(spark):
     assert got["l2"] == (_ts("2024-01-01 09:00:00"), 100.0)  # inclusive >=
     assert got["l3"] == (None, None)
     assert got["l4"] == (None, None)  # key isolation
+
+
+def test_interval_join_semantics(spark):
+    """Inclusive bounds, intervals spanning multiple buckets, no
+    duplicate pairs, left mode keeps unmatched events, how guard."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [(0, ts(0)), (1, ts(30)), (2, ts(90)), (3, ts(500))],
+        "event_id long, ts timestamp",
+    )
+    # interval A [0, 90] spans 2 hourly buckets incl. both boundaries;
+    # B [60, 240] spans 4; C far away matches nothing
+    iv = spark.createDataFrame(
+        [("A", ts(0), ts(90)), ("B", ts(60), ts(240)), ("C", ts(1000), ts(1010))],
+        "window_id string, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.event_id, r.window_id)
+        for r in interval_join(events, iv, "ts", "start_ts", "end_ts").collect()
+    }
+    assert got == {(0, "A"), (1, "A"), (2, "A"), (2, "B")}
+    left = interval_join(events, iv, "ts", "start_ts", "end_ts", how="left")
+    rows = left.collect()
+    assert len(rows) == 5  # 4 matches + event 3 null-extended
+    unmatched = [r for r in rows if r.window_id is None]
+    assert [r.event_id for r in unmatched] == [3]
+    with _pytest.raises(ValueError, match="how"):
+        interval_join(events, iv, "ts", "start_ts", "end_ts", how="full")

@@ -55,6 +55,15 @@ def test_returned_revenue_broadcast_dims(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_interval_join_no_nested_loop(spark):
+    """The bucketed interval-join rewrite must plan as an equi-join on
+    the bucket id — never the O(n·m) BroadcastNestedLoopJoin a raw
+    BETWEEN condition produces."""
+    plan = _plan(spark, "events_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cosine_topk_partial_topk_no_global_sort(spark):
     plan = _plan(spark, "embedding_cosine_topk")
     assert "TakeOrderedAndProject" in plan
