@@ -107,26 +107,75 @@ def interval_join(
     meets in exactly one bucket — the event's — so no distinct is
     needed. Cost: shuffle on bucket id; interval rows replicate by
     ``ceil(duration / bucket)``, so pick ``bucket`` near the TYPICAL
-    interval duration (long outlier intervals fan out more — cap them
-    upstream or raise the bucket size). Plan-asserted no-nested-loop in
+    interval duration. A single interval may span at most
+    ``max_buckets`` buckets (10k): an open-ended sentinel end date with
+    an hourly bucket would otherwise materialize a multi-million-element
+    sequence in ONE row and kill its executor — such rows fail fast
+    with a clear error instead; clamp sentinel end dates (or raise the
+    bucket size) upstream. Plan-asserted no-nested-loop in
     tests/test_plans.py.
+
+    ``bucket`` must be a fixed-width duration of >= 1 second (hours /
+    minutes / seconds / days): calendar units ("1 month") have no fixed
+    width and sub-second buckets truncate to zero — both rejected at
+    call time.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left': {how!r}")
-    step = F.expr(f"interval {bucket}")
+    max_buckets = 10_000
     sec = F.unix_timestamp
-    bucket_secs = F.lit(0) + (
-        F.unix_timestamp(F.timestamp_seconds(F.lit(0)) + step)
-    )  # bucket width in seconds, derived from the interval literal
+    # bucket width parsed driver-side (no Spark job — plan builds must
+    # stay job-free per the registry contract), failing fast on
+    # calendar units and sub-second widths
+    units = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    parts = bucket.strip().lower().split()
+    if len(parts) < 2 or len(parts) % 2:
+        raise ValueError(f"bucket must look like '1 hour' / '90 minutes': {bucket!r}")
+    width = 0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        u = unit.rstrip("s")
+        if u not in units:
+            raise ValueError(
+                f"bucket unit {unit!r} unsupported: need a fixed-width "
+                f"duration unit in {sorted(units)} (calendar units like "
+                "month/year have no fixed width; sub-second buckets "
+                "truncate to zero)"
+            )
+        width += int(qty) * units[u]
+    if width < 1:
+        raise ValueError(f"bucket {bucket!r} resolves to {width} seconds")
+    bucket_secs = F.lit(width)
     e = events.withColumn(
         "__b", F.floor(sec(F.col(ts_col)) / bucket_secs).cast("long")
     )
     i = intervals.withColumn(
         "__bs", F.floor(sec(F.col(start_col)) / bucket_secs).cast("long")
     ).withColumn("__be", F.floor(sec(F.col(end_col)) / bucket_secs).cast("long"))
-    i = i.filter(F.col("__be") >= F.col("__bs")).withColumn(
-        "__b", F.explode(F.sequence(F.col("__bs"), F.col("__be")))
-    ).drop("__bs", "__be")
+    i = (
+        i.filter(F.col("__be") >= F.col("__bs"))
+        .withColumn(
+            "__span",
+            F.when(
+                F.col("__be") - F.col("__bs") < max_buckets,
+                F.col("__be") - F.col("__bs"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "interval_join: an interval spans more than "
+                            f"{max_buckets} buckets (start bucket "
+                        ),
+                        F.col("__bs").cast("string"),
+                        F.lit(", end bucket "),
+                        F.col("__be").cast("string"),
+                        F.lit("); clamp sentinel end dates or raise `bucket`"),
+                    )
+                ).cast("long")
+            ),
+        )
+        .withColumn("__b", F.explode(F.sequence(F.col("__bs"), F.col("__bs") + F.col("__span"))))
+        .drop("__bs", "__be", "__span")
+    )
     cond = (
         (e["__b"] == i["__b"])
         & (e[ts_col] >= i[start_col])

@@ -76,3 +76,33 @@ def test_interval_join_semantics(spark):
     assert [r.event_id for r in unmatched] == [3]
     with _pytest.raises(ValueError, match="how"):
         interval_join(events, iv, "ts", "start_ts", "end_ts", how="full")
+
+
+def test_interval_join_guards(spark):
+    """Bad bucket widths fail at call time (calendar units, sub-second,
+    malformed), and a runaway sentinel interval fails with a clear
+    error instead of materializing millions of bucket ids in one row."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame([(0, t0)], "event_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [("A", t0, t0 + dt.timedelta(hours=1))],
+        "window_id string, start_ts timestamp, end_ts timestamp",
+    )
+    for bad in ("1 month", "500 milliseconds", "hourly"):
+        with _pytest.raises(ValueError):
+            interval_join(events, iv, "ts", "start_ts", "end_ts", bucket=bad)
+    # composite fixed widths are fine
+    assert interval_join(events, iv, "ts", "start_ts", "end_ts",
+                         bucket="1 hour 30 minutes").count() == 1
+    sentinel = spark.createDataFrame(
+        [("S", t0, dt.datetime(9999, 12, 31))],
+        "window_id string, start_ts timestamp, end_ts timestamp",
+    )
+    with _pytest.raises(Exception, match="spans more than"):
+        interval_join(events, sentinel, "ts", "start_ts", "end_ts").count()
