@@ -136,9 +136,10 @@ def dedup_stream(
     (``get_spark(rocksdb_state_store=True)``); the watermarked mode is
     the default recommendation.
 
-    Representative choice: streams have an arrival order, so "first" is
-    well-defined; a BATCH DataFrame does not — there ``dropDuplicates``
-    keeps an arbitrary (plan-dependent) row per key. Pass ``order_col``
+    Representative choice: across micro-batches "first arrival" is
+    well-defined (earlier batches win); WITHIN one micro-batch — and on
+    a BATCH DataFrame — ``dropDuplicates`` keeps an arbitrary
+    (plan-dependent) row per key. Pass ``order_col``
     to pin the batch representative deterministically (min order_col
     wins, matching ``dedup_exact``'s min-id policy when order_col is the
     id). ``fingerprint_cols`` overrides the text fingerprint with
