@@ -151,6 +151,80 @@ def with_token_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a constant query over the corpus —
+    the scored keyword search a training-data pipeline uses for targeted
+    subset mining (and the exact baseline for any ANN text retriever).
+
+    Shape for 100 TB: because the query is a small CONSTANT term set,
+    no inverted index is materialized — per-term term frequencies are
+    per-row array expressions (codegen), corpus statistics (N, avgdl,
+    per-term document frequencies) come from ONE tiny aggregate that is
+    broadcast back, and the top-k is TakeOrderedAndProject. Two scans
+    of the corpus total, zero wide shuffles; reuse the stats row across
+    queries by caching it.
+
+    Float discipline: idf/tf-norm chains are written with identical
+    parenthesization in the DuckDB oracle (queries.py) and scores round
+    to 6 decimals before ranking, so the top-k frontier is engine-stable;
+    ties break on the document id.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = tokens(text_col)
+    dl = F.size(toks)
+
+    def tf(t: str) -> Column:
+        # size-difference via array_remove: native codegen expression,
+        # unlike a higher-order filter(lambda) which runs interpreted
+        return F.size(toks) - F.size(F.array_remove(toks, t))
+
+    base = df.select(
+        F.col(id_col),
+        dl.alias("dl"),
+        *[tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    score: Column | None = None
+    for i in range(len(query_terms)):
+        tf_d = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + 0.5)
+            / (F.col(f"df_{i}").cast("double") + 0.5)
+            + 1.0
+        )
+        term = idf * (tf_d * F.lit(k1 + 1.0)) / (tf_d + norm)
+        score = term if score is None else score + term
+    return (
+        scored.select(
+            F.col(id_col), F.round(score, 6).alias("bm25_score")
+        )
+        .filter(F.col("bm25_score") > 0.0)
+        .orderBy(F.desc("bm25_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def content_fingerprint(col: Column | str) -> Column:
     """Whitespace/case-normalized md5 content fingerprint — THE shared
     exact-dedup key. Single definition on purpose: ``dedup_exact``,

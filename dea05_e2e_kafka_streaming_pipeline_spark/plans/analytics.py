@@ -67,6 +67,261 @@ def top_customers_per_region(
     )
 
 
+def customer_order_gaps(orders: DataFrame, min_orders: int = 2) -> DataFrame:
+    """Per-customer inter-order gap statistics via a ``lag`` window —
+    the sequential-analysis shape (churn / re-engagement cadence) the
+    reference's per-customer aggregates stop short of
+    (enriched/custome_lifetime_value.py:17-20).
+
+    One shuffle on ``customer_id`` serves BOTH the window and the
+    follow-on groupBy (same partitioning, Catalyst reuses the
+    exchange). Gap arithmetic is integer day counts; the only float is
+    the final single-division average, so output hashes are
+    engine-stable."""
+    w = Window.partitionBy("customer_id").orderBy("order_date", "order_id")
+    gaps = orders.select(
+        "customer_id",
+        "order_date",
+        "order_id",
+        F.datediff(F.col("order_date"), F.lag("order_date").over(w))
+        .cast("long")  # bigint in any engine (DuckDB date_diff is bigint)
+        .alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("customer_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            (
+                F.sum("gap_days").cast("double") / F.count("gap_days")
+            ).alias("avg_gap_days"),
+        )
+        .filter(F.col("n_orders") >= min_orders)
+    )
+
+
+def running_monthly_revenue(orders: DataFrame) -> DataFrame:
+    """Monthly revenue with running cumulative total, month-over-month
+    delta (``lag``), and share-of-total — the frame-based window sweep
+    (ROWS UNBOUNDED PRECEDING) beyond the ranking windows elsewhere.
+
+    Scale note: the windows here run over the POST-AGGREGATE month
+    table (cardinality = number of months, dozens of rows at any data
+    scale), so the unpartitioned ordered frame is a deliberate
+    single-partition pass over a tiny input — the raw orders scan
+    never sees a global sort. All sums stay DECIMAL inside the frames
+    and surface as doubles only at the end (order-insensitive exactness
+    at 1000 executors)."""
+    monthly = orders.groupBy(
+        F.year("order_date").alias("o_year"),
+        F.month("order_date").alias("o_month"),
+    ).agg(
+        F.sum(F.col("order_amount").cast("decimal(18,2)")).alias("_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    run = (
+        Window.partitionBy()
+        .orderBy("o_year", "o_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lagw = Window.partitionBy().orderBy("o_year", "o_month")
+    total = Window.partitionBy()
+    return monthly.select(
+        "o_year",
+        "o_month",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(run).cast("double").alias("cumulative_revenue"),
+        (F.col("_rev") - F.lag("_rev").over(lagw))
+        .cast("double")
+        .alias("mom_delta"),
+        F.round(
+            F.col("_rev").cast("double") / F.sum("_rev").over(total).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    )
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue from lineitems where the
+    ordering customer and the shipping supplier sit in the SAME nation,
+    within one region and order-date year span.
+
+    Join strategy for 100 TB: nation/region/supplier broadcast
+    (bounded dims); customer⋈orders⋈lineitem are the shuffle joins on
+    their natural keys. The c_nationkey = s_nationkey equality rides
+    the join condition (no post-filter materialization of the
+    cross-nation pairs). Date range prunes the orders scan; the final
+    groupBy key cardinality is |nation|."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    n = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = customer.join(n, customer["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_nationkey").alias("c_nkey"), "n_name"
+    )
+    s = F.broadcast(
+        supplier.select("s_suppkey", F.col("s_nationkey").alias("s_nkey"))
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", rev.alias("_rev"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(s, (F.col("l_suppkey") == s["s_suppkey"]) & (F.col("c_nkey") == s["s_nkey"]))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion-revenue share: one conditional-sum
+    pass over a ship-date slice of lineitem joined to the part dim
+    (broadcast). Both sums stay exact decimals; the share is the single
+    double division at the end, so the one-row output hash-matches any
+    execution order."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    zero = F.lit(0).cast("decimal(17,4)")
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select("l_partkey", rev.alias("_rev"))
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rev")).otherwise(zero))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum("_rev").cast("double").alias("total_revenue"),
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rev")).otherwise(zero))
+            .cast("double")
+            * 100.0
+            / F.sum("_rev").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+    )
+
+
+def cheapest_supplier_per_part(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    max_size: int = 10,
+) -> DataFrame:
+    """TPC-H Q2-flavored correlated-minimum: for each (filtered) part,
+    the supplier that shipped it at the lowest observed unit price.
+    The classic correlated subquery is expressed as a ranking window
+    over the part key — one shuffle on ``l_partkey``, no self-join.
+
+    The unit price is a SINGLE IEEE division of two source doubles
+    (bit-identical in any engine), so the rank-1 row is deterministic;
+    ties break on supplier key."""
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    p = F.broadcast(
+        part.filter(F.col("p_size") <= max_size).select("p_partkey", "p_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (
+        lineitem.select("l_partkey", "l_suppkey", unit)
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    sn = F.broadcast(
+        supplier.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        ).select("s_suppkey", "s_name", "n_name")
+    )
+    return best.join(sn, F.col("l_suppkey") == sn["s_suppkey"]).select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_name").alias("part_name"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("n_name").alias("supplier_nation"),
+        F.round("unit_price", 6).alias("best_unit_price"),
+    )
+
+
+def percentile_outliers(
+    df: DataFrame, key_col: str, value_col: str, cutoff: float = 0.99
+) -> DataFrame:
+    """Rank-based extreme-value screen: rows at or above the
+    ``cutoff`` percent-rank of ``value_col`` within each key group.
+    percent_rank is the pure rational (rank-1)/(n-1) — no interpolated
+    quantile floats — so membership is engine-exact.
+
+    Scale note: this exact variant sorts each key group (one shuffle,
+    low-cardinality keys ⇒ watch skew). The 100 TB screen for huge
+    groups is approx_percentile thresholds broadcast-joined back; this
+    window form is the exact-semantics baseline the approximate path
+    is validated against."""
+    w = Window.partitionBy(key_col).orderBy(value_col)
+    return (
+        df.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pct_rank") >= cutoff)
+    )
+
+
+def approx_distinct_report(
+    df: DataFrame, key_col: str, col: str, rsd: float = 0.01
+) -> DataFrame:
+    """Per-key HyperLogLog++ cardinality next to the exact distinct
+    count, with the relative error surfaced — the sketch that replaces
+    count(DISTINCT) at 100 TB (mergeable partial aggregates, no
+    per-key value shuffle). The exact column exists to *audit* the
+    sketch at test scale; production callers drop it and keep the
+    one-pass HLL."""
+    return df.groupBy(key_col).agg(
+        F.approx_count_distinct(col, rsd=rsd).alias("approx_distinct"),
+        F.countDistinct(col).alias("exact_distinct"),
+        F.round(
+            F.abs(
+                F.approx_count_distinct(col, rsd=rsd).cast("double")
+                - F.countDistinct(col).cast("double")
+            )
+            / F.countDistinct(col).cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 def revenue_by_geo(
     orders: DataFrame,
     customer: DataFrame,

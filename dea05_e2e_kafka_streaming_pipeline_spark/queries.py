@@ -2241,3 +2241,342 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_topk(docs, k=50)
+
+
+# ---------------------------------------------------------------------------
+# Sequential / frame-window analytics and multi-join TPC-H shapes (round 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_gaps",
+    oracle=f"""
+    {_ENTITY_CTES},
+    g AS (
+      SELECT customer_id,
+             date_diff('day',
+               lag(order_date) OVER (PARTITION BY customer_id
+                                     ORDER BY order_date, order_id),
+               order_date) AS gap_days
+      FROM o
+    )
+    SELECT customer_id,
+           count(*) AS n_orders,
+           count(gap_days) AS n_gaps,
+           min(gap_days) AS min_gap_days,
+           max(gap_days) AS max_gap_days,
+           CAST(SUM(gap_days) AS DOUBLE) / count(gap_days) AS avg_gap_days
+    FROM g GROUP BY customer_id HAVING count(*) >= 2
+    """,
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap cadence per customer (lag window + re-grouped
+    stats) — sequential analysis over the reference's orders entity
+    (SURVEY §2.5 windows beyond ranking)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        customer_order_gaps,
+    )
+
+    return customer_order_gaps(load_orders(spark, sf_dir), min_orders=2)
+
+
+@register(
+    "running_monthly_revenue",
+    oracle=f"""
+    {_ENTITY_CTES},
+    m AS (
+      SELECT CAST(year(order_date) AS INT) AS o_year,
+             CAST(month(order_date) AS INT) AS o_month,
+             SUM(CAST(order_amount AS DECIMAL(18,2))) AS rev,
+             count(*) AS n_orders
+      FROM o GROUP BY 1, 2
+    )
+    SELECT o_year, o_month, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (ORDER BY o_year, o_month
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE)
+             AS cumulative_revenue,
+           CAST(rev - lag(rev) OVER (ORDER BY o_year, o_month) AS DOUBLE)
+             AS mom_delta,
+           round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+             AS share_of_total
+    FROM m
+    """,
+)
+def q_running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative / month-over-month / share-of-total revenue — the
+    frame-based window sweep (ROWS UNBOUNDED PRECEDING, lag, whole-frame
+    total) over the post-aggregate month table."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        running_monthly_revenue,
+    )
+
+    return running_monthly_revenue(load_orders(spark, sf_dir))
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table star join (same-nation customer and
+    supplier) — the deepest join tree in the suite; dims broadcast,
+    facts shuffle on natural keys."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        local_supplier_volume,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        region_name="ASIA",
+        date_from="1996-01-01",
+        date_to="1998-01-01",
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+           ELSE CAST(0 AS DECIMAL(4,1)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2))
+                - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS total_revenue,
+      round(
+        CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+             ELSE CAST(0 AS DECIMAL(4,1)) END) AS DOUBLE) * 100.0
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2))
+                  - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+        6) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion share: conditional decimal sums in one
+    pass over a ship-date slice, part dim broadcast."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        promo_revenue_share,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        date_from="1996-01-01",
+        date_to="1996-07-01",
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH best AS (
+      SELECT l.l_partkey, l.l_suppkey, p.p_name,
+             l.l_extendedprice / l.l_quantity AS unit_price,
+             row_number() OVER (
+               PARTITION BY l.l_partkey
+               ORDER BY l.l_extendedprice / l.l_quantity, l.l_suppkey
+             ) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size <= 10
+    )
+    SELECT b.l_partkey AS part_key, b.p_name AS part_name,
+           s.s_name AS supplier_name, n.n_name AS supplier_nation,
+           round(b.unit_price, 6) AS best_unit_price
+    FROM best b
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE b.rn = 1
+    """,
+)
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavored correlated minimum (lowest observed unit price
+    per part) as a ranking window — no self-join, one shuffle on the
+    part key."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        cheapest_supplier_per_part,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return cheapest_supplier_per_part(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+        max_size=10,
+    )
+
+
+@register(
+    "events_extreme_values",
+    oracle="""
+    SELECT event_id, event_type, value, pct_rank FROM (
+      SELECT event_id, event_type, value,
+             round(percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value), 6) AS pct_rank
+      FROM events
+    ) WHERE pct_rank >= 0.99
+    """,
+)
+def q_events_extreme_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based extreme-value screen (≥ p99 within each event type) —
+    percent_rank is pure rational arithmetic, so membership is
+    engine-exact with no interpolated-quantile floats."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        percentile_outliers,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return percentile_outliers(events, "event_type", "value", cutoff=0.99).select(
+        "event_id", "event_type", "value", "pct_rank"
+    )
+
+
+_BM25_TERMS = ("spark", "window", "dup")
+
+
+def _bm25_oracle(
+    terms: tuple[str, ...], k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB mirror of operators.text.bm25_topk with IDENTICAL float
+    parenthesization and literals (repr round-trips the exact doubles
+    Spark embeds via F.lit), so round-6 scores hash-match."""
+    c_k1 = f"CAST({k1!r} AS DOUBLE)"
+    c_1b = f"CAST({1.0 - b!r} AS DOUBLE)"
+    c_b = f"CAST({b!r} AS DOUBLE)"
+    c_k11 = f"CAST({k1 + 1.0!r} AS DOUBLE)"
+    tf_cols = ",\n             ".join(
+        f"len(toks) - len(list_filter(toks, x -> x != '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    norm = f"{c_k1} * ({c_1b} + {c_b} * (CAST(dl AS DOUBLE) / avgdl))"
+    parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        parts.append(
+            f"{idf} * (CAST(tf_{i} AS DOUBLE) * {c_k11})"
+            f" / (CAST(tf_{i} AS DOUBLE) + {norm})"
+        )
+    score = " + ".join(parts)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM d
+    ), s AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, bm25_score FROM (
+      SELECT doc_id, round({score}, 6) AS bm25_score
+      FROM base CROSS JOIN s
+    ) WHERE bm25_score > 0.0
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@register("bm25_topk_docs", oracle=_bm25_oracle(_BM25_TERMS, k=25))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k keyword retrieval (constant query, no inverted
+    index: per-row codegen term frequencies + one broadcast stats row +
+    TakeOrderedAndProject)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bm25_topk
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=25)
+
+
+@register("approx_user_reach")
+def q_approx_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog++ user reach — the mergeable sketch
+    that replaces count(DISTINCT) at 100 TB. The sketch estimate is
+    engine-specific by construction (DuckDB's approx_count_distinct is
+    a different HLL), so this row is rows-only; the hash-checked
+    ``approx_reach_violations`` companion pins the estimate to within
+    5% of the exact count inside Spark itself."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "approx_reach_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS approx_distinct,
+           CAST(NULL AS BIGINT) AS exact_distinct,
+           CAST(NULL AS DOUBLE) AS rel_err
+    WHERE 1 = 0
+    """,
+)
+def q_approx_reach_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the HLL sketch: compute approx AND exact
+    distinct user counts per event type in one aggregate and emit every
+    key whose relative error exceeds 5× the configured rsd — the oracle
+    expects zero rows (the sketch's accuracy contract, asserted inside
+    the engine where the sketch actually runs)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        approx_distinct_report,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return approx_distinct_report(events, "event_type", "user_id", rsd=0.01).filter(
+        F.col("rel_err") > 0.05
+    )

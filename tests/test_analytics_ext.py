@@ -1,0 +1,158 @@
+"""Round-3 analytics extensions: sequential/frame windows, multi-join
+TPC-H shapes, BM25 retrieval, percent-rank screens, HLL sketches.
+
+Toy-data tests pin the operator semantics; oracle tests reuse the
+driver-equivalent DuckDB comparator; plan tests pin the physical
+strategy (broadcasts, pushdown, TakeOrdered) the 100 TB story rests on.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bm25_topk
+from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+    approx_distinct_report,
+    customer_order_gaps,
+    percentile_outliers,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.queries import oracles, queries
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.date.fromisoformat(d), 10.0, cust)
+            for i, (d, cust) in enumerate(rows)
+        ],
+        "order_id long, order_date date, order_amount double, customer_id long",
+    )
+
+
+def test_customer_order_gaps_toy(spark):
+    df = _orders(
+        spark,
+        [
+            ("2024-01-01", 1),
+            ("2024-01-11", 1),
+            ("2024-01-14", 1),
+            ("2024-03-01", 2),  # single order: excluded by min_orders=2
+        ],
+    )
+    got = {r.customer_id: r for r in customer_order_gaps(df).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert (r.n_orders, r.n_gaps) == (3, 2)
+    assert (r.min_gap_days, r.max_gap_days) == (3, 10)
+    assert r.avg_gap_days == pytest.approx(6.5)
+
+
+def test_customer_order_gaps_same_day_ties_deterministic(spark):
+    # two orders on the same date: lag order falls back to order_id
+    df = _orders(spark, [("2024-01-05", 7), ("2024-01-05", 7)])
+    r = customer_order_gaps(df).collect()[0]
+    assert (r.n_gaps, r.min_gap_days, r.max_gap_days) == (1, 0, 0)
+
+
+def test_percentile_outliers_membership_exact(spark):
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 101)],
+        "event_id long, event_type string, value double",
+    )
+    got = percentile_outliers(df, "event_type", "value", cutoff=0.99).collect()
+    # percent_rank = (rank-1)/99; only value=100 reaches 1.0 >= 0.99
+    assert [(r.event_id, r.pct_rank) for r in got] == [(100, 1.0)]
+
+
+def test_percentile_outliers_ties_share_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    got = percentile_outliers(df, "event_type", "value", cutoff=0.5).collect()
+    # both 5.0 rows have rank 2 -> percent_rank 0.5 each
+    assert sorted(r.event_id for r in got) == [2, 3]
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark common common"),
+            (2, "needle common common common common"),
+            (3, "common common common common common"),
+            (4, "spark common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(df, ("needle",), k=4).collect()
+    # only the needle doc scores > 0 for a term absent elsewhere
+    assert [r.doc_id for r in got] == [2]
+
+    by_spark = bm25_topk(df, ("spark",), k=4).collect()
+    # higher tf wins for the same term; doc without the term filtered out
+    assert [r.doc_id for r in by_spark] == [1, 4]
+    assert by_spark[0].bm25_score > by_spark[1].bm25_score
+
+
+def test_bm25_requires_terms(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_topk(df, ())
+
+
+def test_bm25_plan_is_takeordered_no_wide_shuffle(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        bm25_topk(docs, ("spark", "dup"), k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # stats come back via broadcast
+
+
+def test_approx_distinct_report_within_rsd_envelope(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i % 997) for i in range(5000)], "k int, v int"
+    )
+    rows = approx_distinct_report(df, "k", "v", rsd=0.01).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.exact_distinct == 997 if r.k == 0 else r.exact_distinct <= 997
+        assert r.rel_err <= 0.05  # 5x the configured rsd
+
+
+def test_running_monthly_revenue_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["running_monthly_revenue"](spark, SF_DIR),
+        duck,
+        oracles()["running_monthly_revenue"],
+    )
+
+
+def test_promo_revenue_share_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["promo_revenue_share"](spark, SF_DIR),
+        duck,
+        oracles()["promo_revenue_share"],
+    )
+
+
+def test_local_supplier_volume_pushdown_and_broadcasts(spark):
+    plan = (
+        queries()["local_supplier_volume"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # date-range predicate reaches the orders parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # geography dims and supplier ride broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3
