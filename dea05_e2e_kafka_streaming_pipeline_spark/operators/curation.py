@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
     _QUALITY_STOPWORDS,
+    token_count,
     tokens,
 )
 
@@ -443,4 +444,56 @@ def chunk_documents(
             F.col("c.chunk_text").alias("chunk_text"),
             F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
         )
+    )
+
+
+def pack_training_sequences(
+    df: DataFrame,
+    seq_len: int = 1024,
+    *,
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing plan (GPT-style): lay the
+    corpus out as one token stream per ``partition_col`` group, in
+    deterministic ``order_col`` order, and compute each document's
+    token span and the fixed-length training sequences it lands in.
+
+    This is the PLAN for the packer — the (doc → token offsets → seq
+    ids) map a downstream writer consumes to emit packed sequences.
+    Pure integer window arithmetic (running token sum per group, DIV
+    for bin ids), so it is engine-exact and embarrassingly parallel:
+    each group packs independently (one shuffle on ``partition_col``
+    + in-group ordered scan); no global token stream is materialized.
+    Documents may span sequence boundaries by design (``n_seqs`` > 1),
+    exactly like causal-LM pretraining packing.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n_tok = token_count(text_col)
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        df.select(order_col, partition_col, n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)  # empty docs add nothing to the stream
+        .withColumn("token_end", F.sum("n_tokens").over(w))
+        .withColumn("token_start", F.col("token_end") - F.col("n_tokens"))
+    )
+    return spans.select(
+        order_col,
+        partition_col,
+        "n_tokens",
+        "token_start",
+        "token_end",
+        F.expr(f"token_start DIV {seq_len}").alias("first_seq"),
+        F.expr(f"(token_end - 1) DIV {seq_len}").alias("last_seq"),
+        (
+            F.expr(f"(token_end - 1) DIV {seq_len}")
+            - F.expr(f"token_start DIV {seq_len}")
+            + 1
+        ).alias("n_seqs"),
     )

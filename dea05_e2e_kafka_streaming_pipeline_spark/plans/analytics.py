@@ -299,6 +299,27 @@ def percentile_outliers(
     )
 
 
+def trailing_window_counts(
+    df: DataFrame, key_col: str, ts_col: str, window_seconds: int = 300
+) -> DataFrame:
+    """Per-key trailing event count over a time-RANGE frame (events in
+    the last ``window_seconds`` including the current row) — the
+    burst/velocity primitive behind rate alerting and abuse detection.
+
+    The frame is anchored on ``unix_micros`` so sub-second timestamps
+    bound the window exactly (peers at the same microsecond are frame
+    peers in any engine). One shuffle on the key; each key group sorts
+    once and the frame slides incrementally — no self-join explosion of
+    the (event × window) pairs."""
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.withColumn("n_trailing", F.count(F.lit(1)).over(w))
+
+
 def approx_distinct_report(
     df: DataFrame, key_col: str, col: str, rsd: float = 0.01
 ) -> DataFrame:

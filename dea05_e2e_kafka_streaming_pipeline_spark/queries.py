@@ -2580,3 +2580,70 @@ def q_approx_reach_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct_report(events, "event_type", "user_id", rsd=0.01).filter(
         F.col("rel_err") > 0.05
     )
+
+
+@register(
+    "events_burst_detection",
+    oracle="""
+    SELECT event_id, user_id, ts, n_trailing FROM (
+      SELECT event_id, user_id, ts,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                            RANGE BETWEEN 7200000000 PRECEDING
+                            AND CURRENT ROW) AS n_trailing
+      FROM events
+    ) WHERE n_trailing >= 3
+    """,
+)
+def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity screen: events whose user produced ≥3 events in the
+    trailing 2 hours — the time-RANGE window frame (microsecond
+    anchor) complementing the row-based and session windows elsewhere."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        trailing_window_counts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        trailing_window_counts(events, "user_id", "ts", window_seconds=7200)
+        .filter(F.col("n_trailing") >= 3)
+        .select("event_id", "user_id", "ts", "n_trailing")
+    )
+
+
+@register(
+    "pack_sequences_docs",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id, source,
+             len({_DUCK_TOKS}) AS n_tokens,
+             CAST(SUM(len({_DUCK_TOKS})) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS token_end
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           token_end - n_tokens AS token_start,
+           token_end,
+           (token_end - n_tokens) // 256 AS first_seq,
+           (token_end - 1) // 256 AS last_seq,
+           (token_end - 1) // 256 - (token_end - n_tokens) // 256 + 1
+             AS n_seqs
+    FROM spans WHERE n_tokens > 0
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM sequence-packing plan at seq_len=256: every document's
+    token span in the per-source concatenated stream and the training
+    sequences it occupies (integer window arithmetic, engine-exact)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        pack_training_sequences,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_training_sequences(docs, seq_len=256)

@@ -156,3 +156,74 @@ def test_local_supplier_volume_pushdown_and_broadcasts(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan
     # geography dims and supplier ride broadcast joins
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_trailing_window_counts_range_frame(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        trailing_window_counts,
+    )
+
+    rows = [
+        (1, 7, "2024-01-01 10:00:00"),
+        (2, 7, "2024-01-01 10:03:00"),  # within 300s of #1
+        (3, 7, "2024-01-01 10:07:30"),  # >300s after #1, within 300s of #2
+        (4, 7, "2024-01-01 12:00:00"),  # isolated
+        (5, 8, "2024-01-01 10:04:00"),  # other key: frames independent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        r.event_id: r.n_trailing
+        for r in trailing_window_counts(df, "user_id", "ts", 300).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_pack_training_sequences_spans_and_bins(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        pack_training_sequences,
+    )
+
+    # token counts: 6, 3, 5 in one source -> stream offsets 0..14
+    df = spark.createDataFrame(
+        [
+            (1, "s", "a b c d e f"),
+            (2, "s", "g h i"),
+            (3, "s", "j k l m n"),
+            (4, "s", ""),  # empty doc: dropped from the stream
+            (5, "t", "x y"),  # separate source: independent stream
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in pack_training_sequences(df, seq_len=4, partition_col="source").collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    assert (got[1].token_start, got[1].token_end) == (0, 6)
+    assert (got[1].first_seq, got[1].last_seq, got[1].n_seqs) == (0, 1, 2)
+    assert (got[2].token_start, got[2].token_end) == (6, 9)
+    assert (got[2].first_seq, got[2].last_seq) == (1, 2)
+    assert (got[3].token_start, got[3].token_end) == (9, 14)
+    assert (got[3].first_seq, got[3].last_seq, got[3].n_seqs) == (2, 3, 2)
+    # second source restarts at offset 0
+    assert (got[5].token_start, got[5].first_seq) == (0, 0)
+
+
+def test_pack_training_sequences_rejects_bad_seq_len(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        pack_training_sequences,
+    )
+
+    df = spark.createDataFrame([(1, "s", "a")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_training_sequences(df, seq_len=0)
+
+
+def test_events_burst_detection_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["events_burst_detection"](spark, SF_DIR),
+        duck,
+        oracles()["events_burst_detection"],
+    )
