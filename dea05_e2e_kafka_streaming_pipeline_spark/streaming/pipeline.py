@@ -109,6 +109,135 @@ def dq_gated_sink(
     return writer.start()
 
 
+def upsert_batch_into_parquet(
+    batch: DataFrame,
+    target_dir: str,
+    key: str,
+    ts_col: str = "_cdc_ts_ms",
+    op_col: str = "_cdc_op",
+    seq_col: str | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """Merge ONE change batch into a bucket-partitioned parquet target —
+    the MERGE INTO a plain-parquet silver table needs (no Delta jar).
+    Also the unit :func:`stream_upsert_sink` applies per micro-batch,
+    public so batch backfills reuse the exact same merge.
+
+    Scale shape: the target is partitioned by ``bucket =
+    pmod(xxhash64(key), n_buckets)``; a batch only touches the buckets
+    its keys hash into, so the read prunes to those partitions and the
+    dynamic-overwrite write rewrites only them — cost per batch is
+    O(touched buckets), never O(target). The merge itself is
+    :func:`~..operators.cdc.apply_cdc_changes` (latest-change-per-key
+    window over the batch, delete-wins, anti-join pass-through).
+
+    Replays are self-healing: merging an already-applied change is a
+    no-op upsert (or a re-delete of an absent key), and every affected
+    bucket is rewritten to the same deterministic final state — a
+    crashed half-committed write converges on the next attempt, which
+    is what makes the streaming wrapper effectively-once end to end.
+
+    A bucket whose last key is deleted yields zero output rows, which
+    dynamic overwrite alone would leave stale — those partitions are
+    explicitly dropped (driver-side filesystem metadata op, the same
+    discipline any parquet table manager applies).
+    """
+    spark = batch.sparkSession
+    meta = {op_col, ts_col} | ({seq_col} if seq_col else set())
+    data_cols = [c for c in batch.columns if c not in meta]
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    affected = sorted(
+        r.bucket for r in batch.select(bucket.alias("bucket")).distinct().collect()
+    )
+    if not affected:
+        return
+    try:
+        target = (
+            spark.read.parquet(target_dir)
+            .filter(F.col("bucket").isin(affected))
+            .select(*data_cols)
+        )
+    except Exception:  # first batch: no target yet
+        target = spark.createDataFrame([], batch.select(*data_cols).schema)
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+        apply_cdc_changes,
+    )
+
+    merged = (
+        apply_cdc_changes(
+            target, batch, key, ts_col=ts_col, op_col=op_col, seq_col=seq_col
+        )
+        .withColumn("bucket", bucket)
+        # materialize BEFORE overwriting the directory the plan reads
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(target_dir)
+    )
+    present = {r.bucket for r in merged.select("bucket").distinct().collect()}
+    emptied = set(affected) - present
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for b in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/bucket={b}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint: str,
+    key: str,
+    ts_col: str = "_cdc_ts_ms",
+    op_col: str = "_cdc_op",
+    seq_col: str | None = None,
+    n_buckets: int = 64,
+    available_now: bool = False,
+    trigger_seconds: int | None = 5,
+) -> StreamingQuery:
+    """Streaming CDC apply: land a normalized change stream
+    (:func:`~..operators.cdc.normalize_cdc` with ``keep_meta=True,
+    drop_deletes=False``) as a continuously-merged parquet silver table
+    via :func:`upsert_batch_into_parquet` per micro-batch.
+
+    Effectively-once: the checkpoint replays an unacknowledged batch
+    after a crash, and the merge is idempotent per batch (see
+    :func:`upsert_batch_into_parquet`), so the target converges to the
+    exactly-once state — the upgrade over the reference's append-only
+    consumer (ingestion/s3-orders-ingestion.py:25-27) toward the MERGE
+    its Delta flavor implies (mage-programs/orders_delta_lake.py:53)."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_batch_into_parquet(
+            batch_df,
+            target_dir,
+            key,
+            ts_col=ts_col,
+            op_col=op_col,
+            seq_col=seq_col,
+            n_buckets=n_buckets,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def dedup_stream(
     stream: DataFrame,
     fingerprint_cols: list[str] | None = None,

@@ -415,3 +415,96 @@ def test_dedup_stream_watermarked_state_expiry(spark, tmp_path):
     # batch-2 watermark passed ts+delay
     assert len(kept) == 3 and kept[1:] == [2, 3], kept
     assert kept[0] in (0, 1), kept
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "order_id long, amount double, _cdc_op string, _cdc_ts_ms long"
+    )
+
+
+def test_upsert_batch_into_parquet_merge_delete_replay(spark, tmp_path):
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        upsert_batch_into_parquet,
+    )
+
+    target = str(tmp_path / "silver")
+    b1 = _changes(spark, [(1, 10.0, "c", 1), (2, 20.0, "c", 1), (3, 30.0, "c", 1)])
+    upsert_batch_into_parquet(b1, target, key="order_id", n_buckets=4)
+    b2 = _changes(spark, [(2, 25.0, "u", 2), (1, None, "d", 2)])
+    upsert_batch_into_parquet(b2, target, key="order_id", n_buckets=4)
+
+    def state():
+        return {
+            r.order_id: r.amount
+            for r in spark.read.parquet(target).select("order_id", "amount").collect()
+        }
+
+    assert state() == {2: 25.0, 3: 30.0}
+    # replaying an already-applied batch is a no-op (crash-recovery path)
+    upsert_batch_into_parquet(b2, target, key="order_id", n_buckets=4)
+    assert state() == {2: 25.0, 3: 30.0}
+    # meta columns never land in the silver table
+    assert set(spark.read.parquet(target).columns) == {"order_id", "amount", "bucket"}
+
+
+def test_upsert_batch_clears_fully_deleted_buckets(spark, tmp_path):
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        upsert_batch_into_parquet,
+    )
+
+    target = tmp_path / "silver"
+    upsert_batch_into_parquet(
+        _changes(spark, [(42, 1.0, "c", 1)]), str(target), key="order_id", n_buckets=4
+    )
+    assert len(list(target.glob("bucket=*"))) == 1
+    upsert_batch_into_parquet(
+        _changes(spark, [(42, None, "d", 2)]), str(target), key="order_id", n_buckets=4
+    )
+    # dynamic overwrite can't emit an empty partition: the sink must
+    # drop the emptied bucket directory itself, or the delete resurrects
+    assert list(target.glob("bucket=*")) == []
+
+
+def test_stream_upsert_sink_converges_across_batches(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        stream_upsert_sink,
+    )
+
+    landing = tmp_path / "changes"
+    landing.mkdir()
+    _changes(
+        spark, [(1, 10.0, "c", 1), (2, 20.0, "c", 1), (3, 30.0, "c", 1)]
+    ).coalesce(1).write.mode("append").json(str(landing / "f1"))
+    _changes(spark, [(2, 25.0, "u", 2), (1, None, "d", 3)]).coalesce(1).write.mode(
+        "append"
+    ).json(str(landing / "f2"))
+
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("_cdc_op", T.StringType()),
+            T.StructField("_cdc_ts_ms", T.LongType()),
+        ]
+    )
+    stream = file_stream(
+        spark, str(landing / "*"), schema, max_files_per_trigger=1
+    )
+    q = stream_upsert_sink(
+        stream,
+        target_dir=str(tmp_path / "silver"),
+        checkpoint=str(tmp_path / "ckpt"),
+        key="order_id",
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    got = {
+        r.order_id: r.amount
+        for r in spark.read.parquet(str(tmp_path / "silver"))
+        .select("order_id", "amount")
+        .collect()
+    }
+    assert got == {2: 25.0, 3: 30.0}
