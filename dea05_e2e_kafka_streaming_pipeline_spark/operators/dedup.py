@@ -769,3 +769,52 @@ def apply_dedup_cc(
     comp = connected_components(df, pairs, id_col, algorithm=algorithm)
     keep = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_dist: int = 30,
+) -> DataFrame:
+    """Fuzzy near-dup pairs: exact character Levenshtein ≤ ``max_dist``
+    over shingle-blocked candidates — the edit-distance family next to
+    the set-based (Jaccard/MinHash) and bit-based (SimHash) families.
+
+    Plan: the same word-k-gram inverted index as
+    :func:`ngram_jaccard_pairs` proposes candidates (docs sharing ≥1
+    shingle; pair volume Σ bucket², never all-pairs), a provably
+    lossless ``|len(a) − len(b)| ≤ max_dist`` filter prunes before any
+    DP runs, and the THRESHOLDED ``levenshtein(…, max_dist)`` verifies
+    — the bounded form runs the banded O(max_dist·len) DP and
+    early-exits with −1 above the threshold, so per-pair cost is bounded
+    regardless of document length. Blocking is lossless for real
+    near-dups: at distance d ≤ max_dist two documents longer than
+    ~k·d tokens must share shingles (only d token edits exist).
+    """
+    df = _spread(df)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        word_shingles(text_col, k).alias("sh"),
+    )
+    inv = base.select(
+        "id", F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("__ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("__tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
+        .withColumn("edit_distance", F.levenshtein("__ta", "__tb", max_dist))
+        .filter(F.col("edit_distance") >= 0)  # -1 = early-exited above bound
+        .select("id_a", "id_b", "edit_distance")
+    )

@@ -2647,3 +2647,87 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_training_sequences(docs, seq_len=256)
+
+
+@register(
+    "edit_distance_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             text FROM documents
+    ), d AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, text, unnest(sh) AS s FROM d
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.text AS ta, b.text AS tb
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, levenshtein(ta, tb) AS edit_distance
+    FROM cand WHERE levenshtein(ta, tb) <= 30
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs (character Levenshtein ≤ 30 over
+    shingle-blocked candidates) — the edit-distance dedup family with
+    banded thresholded DP verification."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), max_dist=30
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    oracle=f"""
+    {_ENTITY_CTES},
+    lv AS (
+      SELECT customer_id,
+             CAST(SUM(CAST(order_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS lifetime_value
+      FROM o GROUP BY customer_id
+    )
+    SELECT customer_id, lifetime_value,
+           ntile(4) OVER (ORDER BY lifetime_value DESC, customer_id)
+             AS spend_quartile
+    FROM lv
+    """,
+)
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation into spend quartiles — the ntile window
+    (equal-frequency bucketing) over exact decimal lifetime value;
+    total tiebreak order keeps bucket assignment engine-exact.
+
+    Scale note: an unpartitioned ntile collapses to one partition —
+    acceptable over this post-aggregate per-customer table, but at
+    billions of customers the scalable exact form is (dense global
+    rank via range-partitioned sort + total count) → bucket =
+    (rank-1)*4 DIV n, or approx_percentile thresholds when exactness
+    can be traded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lv = (
+        load_orders(spark, sf_dir)
+        .groupBy("customer_id")
+        .agg(
+            F.sum(F.col("order_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("lifetime_value")
+        )
+    )
+    w = Window.orderBy(F.desc("lifetime_value"), F.col("customer_id"))
+    return lv.select(
+        "customer_id",
+        "lifetime_value",
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )

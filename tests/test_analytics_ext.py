@@ -227,3 +227,61 @@ def test_events_burst_detection_matches_oracle(spark, duck):
         duck,
         oracles()["events_burst_detection"],
     )
+
+
+def test_edit_distance_pairs_toy(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # dist 3 to #1
+            (3, "a completely different document about sparks"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of #1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in edit_distance_pairs(df, max_dist=5, k=3).collect()
+    }
+    assert got == {(1, 2): 3, (1, 4): 0, (2, 4): 3}
+
+
+def test_edit_distance_pairs_threshold_excludes(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon omega kappa lambda"),
+        ],
+        "doc_id long, text string",
+    )
+    wide = edit_distance_pairs(df, max_dist=60, k=2).collect()
+    assert len(wide) == 1  # they do share shingles and are within 60
+    tight = edit_distance_pairs(df, max_dist=3, k=2).collect()
+    assert tight == []  # same candidates, bounded DP rejects
+
+
+def test_pack_sequences_partitions_stream_without_gaps(spark):
+    """Property: within each source, doc spans tile the token stream —
+    consecutive docs abut exactly and the stream starts at 0."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        pack_training_sequences,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    spans = pack_training_sequences(docs, seq_len=256).toPandas()
+    for src, g in spans.groupby("source"):
+        g = g.sort_values("doc_id")
+        assert g.iloc[0].token_start == 0
+        ends = g.token_end.to_numpy()[:-1]
+        starts = g.token_start.to_numpy()[1:]
+        assert (ends == starts).all()
+        assert (g.n_tokens > 0).all()
+        assert ((g.token_end - g.token_start) == g.n_tokens).all()
