@@ -2731,3 +2731,71 @@ def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lifetime_value",
         F.ntile(4).over(w).alias("spend_quartile"),
     )
+
+
+@register(
+    "events_sliding_stats",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window stats — each event lands in two overlapping
+    hour-aligned windows (the oracle enumerates both starts explicitly);
+    the streaming face is the same watermarked aggregate."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        windowed_event_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return windowed_event_stats(
+        events, window_duration="2 hours", slide_duration="1 hour"
+    )
+
+
+@register(
+    "text_stats_unpivoted",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS}) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, metric, value FROM (
+      SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM s
+      UNION ALL
+      SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM s
+    )
+    """,
+)
+def q_text_stats_unpivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format metric reshape via ``unpivot`` (melt) — the inverse
+    of the pivot already covered by ``sales_pivot_status``; one
+    map-side generate, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import token_count
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        token_count("text").cast("double").alias("n_tokens"),
+        F.length("text").cast("double").alias("n_chars"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_tokens", "n_chars"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -381,17 +381,24 @@ def windowed_event_stats(
     window_duration: str = "1 hour",
     watermark: str = "10 minutes",
     group_extra: list[str] | None = None,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts/sums over an event stream.
+    """Watermarked tumbling- or sliding-window counts/sums over an
+    event stream (``slide_duration`` < ``window_duration`` → each row
+    lands in duration/slide overlapping windows, Spark materializes the
+    assignment as a generate+explode before the hash aggregate).
 
     Late rows beyond ``watermark`` are dropped and window state is
     reclaimed — the property that lets this run forever at scale.
     Works identically on batch DataFrames (no watermark applied there),
     which is how correctness is oracle-checked.
     """
-    keys = [F.window(F.col(ts_column), window_duration).alias("w")] + [
-        F.col(c) for c in (group_extra or [])
-    ]
+    win = (
+        F.window(F.col(ts_column), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_column), window_duration)
+    )
+    keys = [win.alias("w")] + [F.col(c) for c in (group_extra or [])]
     src = stream
     if stream.isStreaming:
         src = stream.withWatermark(ts_column, watermark)

@@ -508,3 +508,18 @@ def test_stream_upsert_sink_converges_across_batches(spark, tmp_path):
         .collect()
     }
     assert got == {2: 25.0, 3: 30.0}
+
+
+def test_windowed_stats_sliding_double_counts(spark):
+    """2h/1h sliding windows: every event lands in exactly two
+    overlapping windows, so window counts sum to 2x the row count."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        windowed_event_stats,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = windowed_event_stats(
+        events, window_duration="2 hours", slide_duration="1 hour"
+    )
+    total = out.agg(F.sum("n_events").alias("s")).collect()[0].s
+    assert total == 2 * events.count()
