@@ -2799,3 +2799,44 @@ def q_text_stats_unpivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "sales_grouping_sets",
+    oracle=f"""
+    {_ENTITY_CTES}
+    SELECT c.region AS region,
+           strftime(o.order_date, '%Y') AS order_year,
+           count(*) AS n_orders,
+           {_SUM_AMOUNT} AS revenue
+    FROM o JOIN c USING (customer_id)
+    GROUP BY GROUPING SETS ((1), (2), (1, 2))
+    """,
+)
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — (region), (year), (region, year)
+    without the CUBE's grand-total margin: the explicit grouping-set
+    API completing the cube/rollup/pivot/unpivot reshape family. One
+    expand + one hash aggregate, same as cube."""
+    from pyspark.sql import functions as F
+
+    joined = load_orders(spark, sf_dir).join(
+        F.broadcast(load_customers(spark, sf_dir)), "customer_id"
+    )
+    # grouping columns must be plain attributes for groupingSets to
+    # surface them in the output (a computed alias groups correctly but
+    # emits NULL) — pre-project the derived year
+    pre = joined.select(
+        "region",
+        F.date_format("order_date", "yyyy").alias("order_year"),
+        "order_amount",
+    )
+    region, year = F.col("region"), F.col("order_year")
+    return pre.groupingSets(
+        [[region], [year], [region, year]], region, year
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("order_amount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
