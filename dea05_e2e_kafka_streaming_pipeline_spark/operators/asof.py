@@ -29,10 +29,16 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``prefix``-renamed
-    ``right_ts`` and ``value_cols`` from the latest right row at or
-    before the left row's timestamp (NULLs when no such row)."""
+    ``right_ts`` and ``value_cols`` from the matched right row (NULLs
+    when none). ``direction="backward"`` (default) matches the LATEST
+    right row at or before the left timestamp; ``"forward"`` the
+    EARLIEST right row at or after it — same single-shuffle
+    union + last(ignorenulls) plan, with the window order mirrored."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
     r = right.select(
         F.col(key),
@@ -58,10 +64,13 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in left_cols if c != key],
     )
     u = r.unionByName(l)
-    # right rows sort BEFORE left rows at equal ts → >= (inclusive) match
+    # right rows sort BEFORE left rows at equal ts → inclusive match in
+    # either direction; forward mirrors the scan order (ts descending),
+    # so "last non-null above" = earliest right row at or after
+    ts_order = F.col("__ts") if direction == "backward" else F.desc("__ts")
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts"), F.desc("__is_right"))
+        .orderBy(ts_order, F.desc("__is_right"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [f"{prefix}{right_ts}"] + [f"{prefix}{c}" for c in value_cols]

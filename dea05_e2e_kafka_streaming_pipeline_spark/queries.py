@@ -2840,3 +2840,44 @@ def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "clicks_asof_next_view",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts,
+             max(value) AS value          -- unique per (user, ts): determinism
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           v.ts AS asof_ts, v.value AS asof_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts <= v.ts
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the user's next view at or
+    after it — the attribution-lookahead direction, oracle-checked
+    against DuckDB's native forward ASOF (``c.ts <= v.ts``)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="forward",
+    )

@@ -106,3 +106,42 @@ def test_interval_join_guards(spark):
     )
     with _pytest.raises(Exception, match="spans more than"):
         interval_join(events, sentinel, "ts", "start_ts", "end_ts").count()
+
+
+def test_asof_join_forward_direction(spark):
+    import pyspark.sql.functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 1.0),  # before both: never forward-matched
+            (1, "2024-01-01 10:00:00", 2.0),  # equal ts: inclusive match
+            (1, "2024-01-01 11:00:00", 3.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        str(r.ts): r.asof_value
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["value"], direction="forward",
+        ).collect()
+    }
+    assert got == {"2024-01-01 10:00:00": 2.0, "2024-01-01 12:00:00": None}
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(df, df, "user_id", "ts", "ts", [], direction="nearest")
