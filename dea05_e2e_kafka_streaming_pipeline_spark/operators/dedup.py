@@ -763,11 +763,32 @@ def apply_dedup_cc(
     pairs: DataFrame,
     id_col: str = "doc_id",
     algorithm: str = "label",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Exact transitive dedup: keep one representative (the minimum id)
-    per connected component of the pair graph."""
+    """Exact transitive dedup: keep one representative per connected
+    component of the pair graph — the minimum id by default, or with
+    ``quality_col`` the HIGHEST-quality member (id ascending as the
+    tie-break), the curation policy that keeps the best near-dup
+    instead of an arbitrary one.
+
+    Cost: the quality policy adds one ranking window over (component,
+    quality) — the component table only (ids + labels + one metric
+    column), never document bodies."""
     comp = connected_components(df, pairs, id_col, algorithm=algorithm)
-    keep = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
+    if quality_col is None:
+        keep = comp.filter(F.col(id_col) == F.col("component_id")).select(id_col)
+    else:
+        from pyspark.sql import Window
+
+        scored = comp.join(df.select(id_col, quality_col), id_col)
+        w = Window.partitionBy("component_id").orderBy(
+            F.desc(quality_col), F.col(id_col)
+        )
+        keep = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col)
+        )
     return df.join(keep, id_col, "left_semi")
 
 

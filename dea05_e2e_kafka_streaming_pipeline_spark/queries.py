@@ -2881,3 +2881,68 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, key="user_id", left_ts="ts", right_ts="ts",
         value_cols=["value"], direction="forward",
     )
+
+
+@register(
+    "dedup_best_quality_docs",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(label) AS component_id FROM reach GROUP BY id
+    ),
+    tq AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks, text FROM documents
+    ), sq AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_token_len
+      FROM tq
+    ), quality AS (
+      SELECT doc_id,
+             round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + alpha_ratio * 0.4
+                   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS qs
+      FROM sq
+    ),
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY q.qs DESC, c.doc_id) AS rn
+      FROM comp c JOIN quality q USING (doc_id)
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN ranked r USING (doc_id) WHERE r.rn = 1
+    """,
+)
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup keeping the HIGHEST-quality member of each
+    near-dup cluster (quality_score desc, id tiebreak) instead of the
+    arbitrary minimum id — the curation-grade representative policy."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup_cc,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    scored = with_text_stats(docs)
+    return apply_dedup_cc(
+        scored, pairs, quality_col="quality_score"
+    ).select("doc_id", "source")

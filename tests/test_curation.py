@@ -211,3 +211,25 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
     with _pytest.raises(ValueError, match="rate"):
         mixture_sample(df, {"keep": 101})
+
+
+def test_apply_dedup_cc_quality_representative(spark):
+    """quality_col keeps the best-scoring member per cluster (id
+    tiebreak), min-id policy unchanged when quality_col is None."""
+    import pyspark.sql.functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup_cc,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )  # {1,2,3} one cluster, {10} singleton
+    best = apply_dedup_cc(docs, pairs, quality_col="quality_score")
+    assert sorted(r.doc_id for r in best.collect()) == [2, 10]  # 0.9 tie -> min id 2
+    minid = apply_dedup_cc(docs, pairs)
+    assert sorted(r.doc_id for r in minid.collect()) == [1, 10]

@@ -145,7 +145,13 @@ def test_ivf_pruned_matches_unpartitioned_pipeline(spark):
 # (connected components executes its convergence loop when the pipeline
 # is constructed) and index builders (the IVF-pruned query materializes
 # the cell-partitioned layout on first use).
-_EAGER_BUILD_OK = {"dedup_cc_components", "ivf_topk_pruned"}
+_EAGER_BUILD_OK = {
+    "dedup_cc_components",
+    "ivf_topk_pruned",
+    # runs connected_components' convergence loop at build, like
+    # dedup_cc_components — the quality-representative variant
+    "dedup_best_quality_docs",
+}
 
 
 def test_registry_plan_build_runs_no_jobs(spark):
