@@ -195,3 +195,51 @@ def test_write_report_lands_summary_json(spark, tmp_path):
     assert on_disk["summary"]["total_checks"] == 1
     assert on_disk["summary"]["passed"] == 1
     assert on_disk["details"][0]["check_name"] == "order_id"
+
+
+def test_observed_audit_batch_piggybacks_metrics(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+        observed_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.5)], "id long, amount double"
+    )
+    out, obs = observed_audit(df, "batch_audit", value_col="amount")
+    assert out.count() == 3  # the action that materializes the metrics
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_nonnull"] == 2
+    assert got["value_sum"] == 15.5
+
+
+def test_observed_audit_streaming_surfaces_per_batch(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+        observed_audit,
+    )
+
+    spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "id long, amount double"
+    ).coalesce(1).write.json(str(tmp_path / "in"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("amount", T.DoubleType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(tmp_path / "in"))
+    observed, name = observed_audit(stream, "stream_audit", value_col="amount")
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    found = None
+    for p in q.recentProgress:
+        om = p.get("observedMetrics") or {}
+        if "stream_audit" in om:
+            found = om["stream_audit"]
+    assert found is not None, "no observed metrics in any progress"
+    assert found["n_rows"] == 2 and found["value_sum"] == 5.0
