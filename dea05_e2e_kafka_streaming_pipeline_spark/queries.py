@@ -2946,3 +2946,94 @@ def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_dedup_cc(
         scored, pairs, quality_col="quality_score"
     ).select("doc_id", "source")
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH a AS (
+      SELECT l_quantity, l_extendedprice,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                    OVER (PARTITION BY l_partkey) AS DOUBLE)
+             / count(*) OVER (PARTITION BY l_partkey) AS avg_q
+      FROM lineitem
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM a WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_q
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: revenue from lineitems
+    below 20% of their part's average quantity — the correlated scalar
+    subquery expressed as a partition window (one shuffle on part key,
+    no self-join re-scan)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_q = (
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.withColumn("__avg", avg_q)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+           o.o_orderkey AS order_id, o.o_orderdate AS order_date,
+           o.o_totalprice AS order_total, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING + semi-enrichment: orders whose total
+    lineitem quantity exceeds 250, joined back to customer — the
+    group-filter-then-enrich shape (aggregate prunes before any join)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey", F.col("__q").cast("double").alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("order_total"),
+            "sum_qty",
+        )
+    )
