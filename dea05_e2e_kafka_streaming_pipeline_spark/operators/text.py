@@ -225,6 +225,55 @@ def bm25_topk(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram cross-entropy (mean −ln p(token), nats) under
+    the corpus's own unigram model — the self-contained stand-in for the
+    KenLM-style perplexity filter every LLM data pipeline runs: documents
+    whose tokens are systematically improbable (boilerplate, encoding
+    garbage, wrong-language residue) score high and get culled.
+
+    Shape for 100 TB: one token-keyed count aggregate (map-side partial,
+    vocabulary-sized result), one stats row broadcast for the corpus
+    total, one join of the exploded tokens against the vocabulary
+    (AQE broadcasts it while it fits; it shuffle-joins on the 64-bit-ish
+    token key beyond that), then a doc-keyed exact aggregate. Nothing
+    touches document bodies after the explode.
+
+    Float discipline: per-token −ln p is quantized to a 1e-9 fixed-point
+    BIGINT before the per-doc sum, so the sum is integer-exact and
+    ORDER-INSENSITIVE — safe under any partial-aggregation schedule and
+    reproducible against the DuckDB oracle, which mirrors the same
+    quantize-then-sum (ln over identical doubles, one final division).
+    Docs with zero alphanumeric tokens drop out (no model support).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("tot"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("tot")) * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            -F.sum("logp_q").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+        ).alias("surprisal_nats"),
+    )
+
+
 def content_fingerprint(col: Column | str) -> Column:
     """Whitespace/case-normalized md5 content fingerprint — THE shared
     exact-dedup key. Single definition on purpose: ``dedup_exact``,

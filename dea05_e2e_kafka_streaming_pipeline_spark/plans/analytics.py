@@ -343,6 +343,150 @@ def approx_distinct_report(
     )
 
 
+def bi_nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped bi-nation trade volume: revenue shipped between
+    two specific nations, per (supplier nation, customer nation, ship
+    year) — both directions kept as separate rows.
+
+    Join strategy for 100 TB: the nation dim filters to TWO rows before
+    joining, so the supplier and customer legs each broadcast a
+    pre-pruned (key → nation name) map; lineitem⋈orders is the one
+    shuffle join. The pair constraint (supp_nation ≠ cust_nation over
+    the two allowed names) rides the post-join filter on two
+    broadcast-provided columns — at most |lineitem| rows evaluated,
+    never materialized per-pair. Ship-year comes from the lineitem row
+    itself, so no extra shuffle for the final 3-key groupBy (year ×
+    2 directed pairs ⇒ tiny result)."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    s = F.broadcast(
+        supplier.join(n2, supplier["s_nationkey"] == n2["n_nationkey"]).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    c = F.broadcast(
+        customer.join(n2, customer["c_nationkey"] == n2["n_nationkey"]).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+    )
+    o = orders.select("o_orderkey", "o_custkey")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("ship_year"),
+            rev.alias("_rev"),
+        )
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
+    )
+
+
+def disjunctive_part_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    branches: tuple[tuple[str, int, float, float], ...] = (
+        ("Brand#1", 5, 1.0, 11.0),
+        ("Brand#2", 10, 10.0, 20.0),
+        ("Brand#3", 15, 20.0, 30.0),
+    ),
+) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an equi-join on
+    the part key whose residual filter is an OR of AND-branches mixing
+    columns from BOTH sides (brand + size from part, quantity from
+    lineitem).
+
+    The scale story is what Catalyst does with the OR: each side's
+    implied disjunction is extracted and PUSHED BELOW the join
+    (PushExtraPredicateThroughJoin), so the part scan reads only the
+    branch brands/sizes and the lineitem scan only the covering
+    quantity range — the join then evaluates the exact cross-side
+    branches on the survivors. One filter expression, no per-branch
+    union-of-scans (which would re-read lineitem once per branch)."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    cond = None
+    for brand, size_max, qty_lo, qty_hi in branches:
+        b = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_max)
+            & (F.col("l_quantity") >= qty_lo)
+            & (F.col("l_quantity") <= qty_hi)
+        )
+        cond = b if cond is None else cond | b
+    return (
+        lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def part_supplier_attr_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    size_max: int = 20,
+    excl_brand: str = "Brand#5",
+    min_acctbal: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity per part attribute: how many
+    DISTINCT suppliers have shipped each (brand, type, size) combination
+    — excluding one brand and every supplier below an account-balance
+    floor (the Q16 complaints NOT-IN rewritten as a join-free pruning
+    of a broadcast exclusion set).
+
+    Scale shape: the excluded-supplier set is an anti-join against a
+    broadcast (bounded: suppliers are a dim); part attrs arrive by
+    broadcast join; the one real shuffle is the distinct-supplier
+    aggregation keyed by (brand, type, size, suppkey) partial-first —
+    count(DISTINCT) over the pre-deduped pairs, not a value shuffle of
+    raw lineitems."""
+    bad = F.broadcast(
+        supplier.filter(F.col("s_acctbal") < min_acctbal).select("s_suppkey")
+    )
+    p = F.broadcast(
+        part.filter(
+            (F.col("p_brand") != excl_brand) & (F.col("p_size") <= size_max)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(bad, lineitem["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, lineitem["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def revenue_by_geo(
     orders: DataFrame,
     customer: DataFrame,

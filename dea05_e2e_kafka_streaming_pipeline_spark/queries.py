@@ -895,6 +895,80 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_surprisal_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), total AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(c.cnt AS DOUBLE) / tot) * 1e9) AS BIGINT)
+               AS logp_q
+      FROM toks t JOIN counts c USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(-CAST(sum(logp_q) AS DOUBLE) / 1e9 / count(*), 6)
+             AS surprisal_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: per-doc mean −ln p(token) under
+    the corpus unigram model, with per-token fixed-point quantization so
+    the doc sum is integer-exact and order-insensitive."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        unigram_surprisal,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_props_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS k_avg,
+           min(k) AS k_min, max(k) AS k_max
+    FROM (
+      SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` payload (the Kafka-message shape the reference ingests,
+    ingestion/s3-orders-ingestion.py:31-40) and aggregate it per event
+    type — ``get_json_object`` is a native Catalyst expression, so the
+    parse runs codegen inside the scan stage with no Python involved;
+    the integer sum is exact, the mean is one final double division."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 6
+            ).alias("k_avg"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@register(
     "clean_corpus_docs",
     oracle=f"""
     WITH t AS (
@@ -2438,6 +2512,115 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "part"),
         max_size=10,
+    )
+
+
+@register(
+    "bi_nation_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      AND nc.n_name IN ('NATION_1', 'NATION_2')
+      AND ns.n_name <> nc.n_name
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_bi_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bi-nation trade volume (both directed pairs, per
+    ship year) — two pre-pruned broadcast legs over one lineitem⋈orders
+    shuffle join."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        bi_nation_trade_volume,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return bi_nation_trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        nation_a="NATION_1",
+        nation_b="NATION_2",
+        date_from="1995-01-01",
+        date_to="1997-01-01",
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2))
+                  - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS revenue,
+      count(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs revenue: Catalyst extracts each
+    side's implied disjunction and pushes it below the join, so neither
+    scan reads rows no branch can accept."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        disjunctive_part_revenue,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return disjunctive_part_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "part_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_size <= 20
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct-supplier count per part attribute with
+    a NOT-IN supplier exclusion, run as a broadcast anti-join."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        part_supplier_attr_counts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return part_supplier_attr_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        size_max=20,
+        excl_brand="Brand#5",
+        min_acctbal=1000.0,
     )
 
 

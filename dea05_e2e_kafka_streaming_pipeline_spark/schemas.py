@@ -162,13 +162,26 @@ def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
     return T.StructType([T.StructField(n, t, True) for n, t in fields])
 
 
-# events.parquet stores ts as TIMESTAMP(NANOS); under the session-wide
-# ``spark.sql.legacy.parquet.nanosAsLong`` policy (session.py) the scan
-# yields a LONG — the explicit read schema must say so, and load_table
-# converts with integer division (ns exceeds double's 53-bit mantissa).
+# events.parquet has shipped ``ts`` as TIMESTAMP(NANOS) in some driver
+# testdata generations and TIMESTAMP(MICROS) in others; load_table sniffs
+# the footer (pyarrow, driver-side metadata read — not a Spark job) and
+# picks the matching schema. NANOS reads go through the session-wide
+# ``spark.sql.legacy.parquet.nanosAsLong`` policy (session.py): the scan
+# yields a LONG and load_table converts with integer division (ns exceeds
+# double's 53-bit mantissa, so ``div``, never ``/``).
 EVENTS_RAW_SCHEMA = _st(
     ("event_id", T.LongType()),
     ("ts", T.LongType()),
+    ("user_id", T.LongType()),
+    ("event_type", T.StringType()),
+    ("value", T.DoubleType()),
+    ("props", T.StringType()),
+)
+
+# MICROS generations map straight onto Spark's native TimestampType.
+EVENTS_TS_SCHEMA = _st(
+    ("event_id", T.LongType()),
+    ("ts", T.TimestampType()),
     ("user_id", T.LongType()),
     ("event_type", T.StringType()),
     ("value", T.DoubleType()),

@@ -156,20 +156,57 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
         ) from exc
 
 
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Sniff the parquet time unit of ``events.ts`` for one testdata dir.
+
+    Driver testdata generations have shipped ``ts`` as TIMESTAMP(NANOS)
+    (rounds 1-2) and TIMESTAMP(MICROS) (round 3) — silently applying the
+    nanos→micros division to a micros file corrupts every timestamp by
+    1000×, so the unit is read from the footer. This is a pyarrow
+    metadata read on the driver (a few KB), NOT a Spark job, so the
+    zero-jobs-at-plan-build registry contract holds; the result is
+    cached per directory.
+    """
+    unit = _EVENTS_TS_UNIT.get(sf_dir)
+    if unit is None:
+        import glob as _glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(path):
+            path = sorted(_glob.glob(os.path.join(path, "*.parquet")))[0]
+        unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+        _EVENTS_TS_UNIT[sf_dir] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) by name.
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright; the session factory sets
+    ``events.parquet`` may store ``ts`` as TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects outright; the session factory sets
     ``spark.sql.legacy.parquet.nanosAsLong`` once, session-wide (see
     session.py — a per-read toggle would silently change later reads),
     so nanos columns arrive as longs and are converted here with integer
     division — ns epoch values exceed double's 53-bit mantissa, so
-    ``div`` (long arithmetic), never ``/``.
+    ``div`` (long arithmetic), never ``/``. MICROS generations read
+    straight into TimestampType with no conversion (see
+    :func:`_events_ts_unit`).
     """
     from dea05_e2e_kafka_streaming_pipeline_spark.schemas import TESTDATA_SCHEMAS
 
     if name == "events":
+        from dea05_e2e_kafka_streaming_pipeline_spark.schemas import EVENTS_TS_SCHEMA
+
+        if _events_ts_unit(sf_dir) != "ns":
+            return spark.read.schema(EVENTS_TS_SCHEMA).parquet(
+                f"{sf_dir}/events.parquet"
+            )
         # defensive for sessions not built by get_spark (runtime-settable)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -145,6 +145,90 @@ def test_promo_revenue_share_matches_oracle(spark, duck):
     )
 
 
+def test_bi_nation_trade_volume_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["bi_nation_trade_volume"](spark, SF_DIR),
+        duck,
+        oracles()["bi_nation_trade_volume"],
+    )
+
+
+def test_disjunctive_part_revenue_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["disjunctive_part_revenue"](spark, SF_DIR),
+        duck,
+        oracles()["disjunctive_part_revenue"],
+    )
+
+
+def test_disjunctive_predicates_push_below_join(spark):
+    # Q19's scale story: each side's implied disjunction is extracted
+    # from the OR-of-ANDs and pushed below the join, so the lineitem
+    # scan carries a quantity bound and the part scan a brand/size
+    # bound BEFORE the join evaluates the exact cross-side branches.
+    plan = (
+        queries()["disjunctive_part_revenue"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = [
+        seg.split("PushedFilters")[1].split("ReadSchema")[0]
+        for seg in plan.split("FileScan parquet")
+        if "PushedFilters" in seg
+    ]
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p or "p_size" in p for p in pushed), pushed
+
+
+def test_part_supplier_diversity_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["part_supplier_diversity"](spark, SF_DIR),
+        duck,
+        oracles()["part_supplier_diversity"],
+    )
+
+
+def test_unigram_surprisal_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["unigram_surprisal_docs"](spark, SF_DIR),
+        duck,
+        oracles()["unigram_surprisal_docs"],
+    )
+
+
+def test_unigram_surprisal_toy_ranks_garbage_high(spark):
+    # 3 docs sharing common tokens + 1 doc of singletons: the singleton
+    # doc must carry the highest mean surprisal (rarest tokens).
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "the cat and the dog"),
+            (4, "zqx jvw pfft"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[4].n_tokens == 3
+    assert all(
+        rows[4].surprisal_nats > rows[i].surprisal_nats for i in (1, 2, 3)
+    )
+
+
+def test_events_props_stats_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["events_props_stats"](spark, SF_DIR),
+        duck,
+        oracles()["events_props_stats"],
+    )
+
+
 def test_local_supplier_volume_pushdown_and_broadcasts(spark):
     plan = (
         queries()["local_supplier_volume"](spark, SF_DIR)

@@ -41,7 +41,7 @@ def test_ingest_to_lake_partitioned(spark, tmp_path):
         date_column="ts",
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     out = spark.read.parquet(str(tmp_path / "lake"))
     assert out.count() == n
     assert "ingest_time" in out.columns and "date" in out.columns
@@ -64,14 +64,14 @@ def test_ingest_checkpoint_exactly_once(spark, tmp_path):
     q = ingest_to_lake(
         file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **kwargs
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     assert spark.read.parquet(str(tmp_path / "lake")).count() == n
 
     # second run, same checkpoint, no new files → no new rows
     q2 = ingest_to_lake(
         file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **kwargs
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)
     assert spark.read.parquet(str(tmp_path / "lake")).count() == n
 
     # new file arrives → only its rows are added
@@ -81,7 +81,7 @@ def test_ingest_checkpoint_exactly_once(spark, tmp_path):
     q3 = ingest_to_lake(
         file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **kwargs
     )
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(600)
     assert spark.read.parquet(str(tmp_path / "lake")).count() == n + m
 
 
@@ -100,7 +100,7 @@ def test_dq_gated_sink_routes_batches(spark, tmp_path):
     q = dq_gated_sink(
         file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **gate_kwargs
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     assert (tmp_path / "curated").exists()
     assert not (tmp_path / "quarantine").exists()
 
@@ -114,7 +114,7 @@ def test_dq_gated_sink_routes_batches(spark, tmp_path):
     q2 = dq_gated_sink(
         file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA), **gate_kwargs
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)
     assert (tmp_path / "quarantine").exists()
     assert spark.read.parquet(str(tmp_path / "curated")).count() == curated_before
 
@@ -161,7 +161,7 @@ def test_dq_gate_kill_and_resume_exactly_once(spark, tmp_path):
             break
         time.sleep(0.2)
     q.stop()
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
     partial = spark.read.parquet(str(tmp_path / "curated")).count()
     assert 0 < partial <= total
 
@@ -171,7 +171,7 @@ def test_dq_gate_kill_and_resume_exactly_once(spark, tmp_path):
         available_now=True,
         **gate_kwargs,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)
     out = spark.read.parquet(str(tmp_path / "curated"))
     assert out.count() == total
     # strict exactly-once: the multiset of event_ids matches the source
@@ -206,7 +206,7 @@ def test_windowed_stats_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got = {
         (str(r.window_start), r.event_type): (r.n_events, r.total_value)
         for r in spark.sql("SELECT * FROM win_stats").collect()
@@ -274,7 +274,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)
     got = spark.sql("SELECT count(*) c FROM ssj").collect()[0].c
     assert got == batch
     assert batch > 0
@@ -320,7 +320,7 @@ def test_dedup_stream_exactly_once_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600)
 
     run()
     out = spark.read.parquet(str(tmp_path / "unique"))
@@ -405,7 +405,7 @@ def test_dedup_stream_watermarked_state_expiry(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     kept = sorted(
         r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
@@ -500,7 +500,7 @@ def test_stream_upsert_sink_converges_across_batches(spark, tmp_path):
         key="order_id",
         available_now=True,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)
     got = {
         r.order_id: r.amount
         for r in spark.read.parquet(str(tmp_path / "silver"))
