@@ -487,6 +487,61 @@ def part_supplier_attr_counts(
     )
 
 
+def quantile_sketch_report(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-key KLL-style approximate percentiles AUDITED against their
+    own rank-error contract — the sketch that replaces exact
+    percentile sorts at 100 TB (mergeable partials, no per-key value
+    shuffle), shipped with its proof.
+
+    ``percentile_approx`` guarantees the returned element's rank is
+    within ``±N/accuracy`` of ``p·N``. The audit computes, for each
+    (key, p): the element's rank interval [count(value < x)+1,
+    count(value ≤ x)] via one conditional re-aggregation against the
+    broadcast sketch results, and flags a violation when that interval
+    misses [floor((p−ε)·N), ceil((p+ε)·N)]. Two scans total (sketch +
+    audit), both single hash aggregates; production callers run only
+    the first.
+    """
+    pcts = F.array(*[F.lit(p) for p in percentiles])
+    sketch = df.groupBy(key_col).agg(
+        F.percentile_approx(value_col, pcts, accuracy).alias("approx_vals"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    exploded = sketch.select(
+        key_col,
+        "n_rows",
+        F.posexplode("approx_vals").alias("p_idx", "approx_val"),
+    )
+    audit = df.join(F.broadcast(exploded), key_col).groupBy(
+        key_col, "p_idx", "approx_val", "n_rows"
+    ).agg(
+        F.sum((F.col(value_col) < F.col("approx_val")).cast("long")).alias("n_lt"),
+        F.sum((F.col(value_col) <= F.col("approx_val")).cast("long")).alias("n_le"),
+    )
+    p_arr = F.array(*[F.lit(float(p)) for p in percentiles])
+    p = F.element_at(p_arr, F.col("p_idx") + 1)
+    eps = F.lit(1.0 / accuracy)
+    n = F.col("n_rows").cast("double")
+    lo = F.floor((p - eps) * n)
+    hi = F.ceil((p + eps) * n)
+    return audit.select(
+        F.col(key_col),
+        p.alias("pct"),
+        F.col("approx_val"),
+        (F.col("n_lt") + 1).alias("min_rank"),
+        F.col("n_le").alias("max_rank"),
+        lo.alias("rank_lo"),
+        hi.alias("rank_hi"),
+        ((F.col("n_le") < lo) | ((F.col("n_lt") + 1) > hi)).alias("violation"),
+    )
+
+
 def revenue_by_geo(
     orders: DataFrame,
     customer: DataFrame,

@@ -895,6 +895,52 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_priority_scd2",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS customer_id, o_orderpriority AS priority,
+             o_orderdate AS ts, o_orderkey AS seq,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), v AS (
+      SELECT customer_id, priority, ts, seq FROM ch
+      WHERE prev IS NULL OR prev <> priority
+    )
+    SELECT customer_id, priority,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           CAST(row_number() OVER w2 AS INTEGER) AS version,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM v WINDOW w2 AS (PARTITION BY customer_id ORDER BY ts, seq)
+    """,
+)
+def q_customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history built from a change log (each
+    customer's order stream read as priority updates): no-op updates
+    collapse, validity intervals come from one lead() pass — a single
+    shuffle on the key, no previous-version self-join."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import scd2_history
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return scd2_history(
+        changes,
+        key_col="customer_id",
+        attr_cols=("priority",),
+        seq_cols=("ts", "seq"),
+    )
+
+
+@register(
     "unigram_surprisal_docs",
     oracle=f"""
     WITH toks AS (
@@ -2762,6 +2808,39 @@ def q_approx_reach_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return approx_distinct_report(events, "event_type", "user_id", rsd=0.01).filter(
         F.col("rel_err") > 0.05
+    )
+
+
+@register(
+    "quantile_sketch_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS DOUBLE) AS pct,
+           CAST(NULL AS DOUBLE) AS approx_val,
+           CAST(NULL AS BIGINT) AS min_rank,
+           CAST(NULL AS BIGINT) AS max_rank
+    WHERE 1 = 0
+    """,
+)
+def q_quantile_sketch_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the approximate-percentile sketch: audit
+    every (event_type, percentile) against percentile_approx's rank-error
+    guarantee and emit violations — the oracle expects zero rows (the
+    contract the 100 TB percentile path rests on, asserted inside the
+    engine where the sketch actually runs)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        quantile_sketch_report,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        quantile_sketch_report(events, "event_type", "value", accuracy=1000)
+        .filter(F.col("violation"))
+        .select("event_type", "pct", "approx_val", "min_rank", "max_rank")
     )
 
 

@@ -369,3 +369,31 @@ def test_pack_sequences_partitions_stream_without_gaps(spark):
         assert (ends == starts).all()
         assert (g.n_tokens > 0).all()
         assert ((g.token_end - g.token_start) == g.n_tokens).all()
+
+
+def test_quantile_sketch_report_toy_exact_ranks(spark):
+    # 1..1000 in one key: p50 element's rank interval must straddle 500
+    # and the audit must accept it at any reasonable accuracy.
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        quantile_sketch_report,
+    )
+
+    df = spark.range(1, 1001).selectExpr("'k' as k", "cast(id as double) v")
+    rows = {
+        round(r.pct, 2): r
+        for r in quantile_sketch_report(
+            df, "k", "v", percentiles=(0.5, 0.99), accuracy=10000
+        ).collect()
+    }
+    p50 = rows[0.5]
+    assert p50.min_rank == p50.max_rank == int(p50.approx_val)
+    assert p50.rank_lo <= p50.min_rank <= p50.rank_hi
+    assert not p50.violation and not rows[0.99].violation
+
+
+def test_quantile_sketch_violations_zero(spark, duck):
+    assert_matches_oracle(
+        queries()["quantile_sketch_violations"](spark, SF_DIR),
+        duck,
+        oracles()["quantile_sketch_violations"],
+    )

@@ -91,3 +91,90 @@ def test_salted_join_rejects_right_outer(spark):
     dim = spark.range(5).selectExpr("cast(id as int) k")
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(fact, dim, "k", how="right")
+
+
+def test_scd2_history_suppression_intervals_versions(spark):
+    """No-op updates collapse; intervals are half-open and chained;
+    the last surviving version is current."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10, 100),
+            (1, "A", 20, 101),  # no-op update: suppressed
+            (1, "B", 30, 102),
+            (1, "A", 40, 103),  # back to A: NEW version, not merged
+            (2, "X", 10, 104),
+        ],
+        "k long, attr string, ts long, seq long",
+    )
+    rows = scd2_history(
+        df, key_col="k", attr_cols=("attr",), seq_cols=("ts", "seq")
+    ).collect()
+    k1 = sorted((r for r in rows if r.k == 1), key=lambda r: r.version)
+    assert [(r.attr, r.valid_from, r.valid_to, r.version, r.is_current) for r in k1] == [
+        ("A", 10, 30, 1, False),
+        ("B", 30, 40, 2, False),
+        ("A", 40, None, 3, True),
+    ]
+    (k2,) = [r for r in rows if r.k == 2]
+    assert (k2.version, k2.is_current, k2.valid_to) == (1, True, None)
+
+
+def test_scd2_history_delete_closes_interval(spark):
+    """A delete closes the open interval without emitting a version;
+    a later re-insert of the SAME image starts a fresh version (the
+    suppression lag never compares across the delete marker). Version
+    numbering keeps the delete epoch's gap."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10, False),
+            (1, None, 20, True),  # delete
+            (1, "A", 30, False),  # re-insert of identical image
+        ],
+        "k long, attr string, ts long, is_del boolean",
+    )
+    rows = sorted(
+        scd2_history(
+            df,
+            key_col="k",
+            attr_cols=("attr",),
+            seq_cols=("ts",),
+            delete_col="is_del",
+        ).collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.attr, r.valid_from, r.valid_to, r.version, r.is_current) for r in rows] == [
+        ("A", 10, 20, 1, False),
+        ("A", 30, None, 3, True),  # version 2 was the delete epoch
+    ]
+
+
+def test_scd2_history_single_exchange(spark):
+    """The lag/lead/row_number windows must share ONE shuffle."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import scd2_history
+
+    df = spark.range(100).selectExpr(
+        "id % 10 as k", "cast(id % 3 as string) attr", "id as ts"
+    )
+    plan = (
+        scd2_history(df, key_col="k", attr_cols=("attr",), seq_cols=("ts",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_customer_priority_scd2_matches_oracle(spark, duck):
+    from dea05_e2e_kafka_streaming_pipeline_spark.queries import oracles, queries
+
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        queries()["customer_priority_scd2"](spark, SF_DIR),
+        duck,
+        oracles()["customer_priority_scd2"],
+    )
