@@ -60,3 +60,80 @@ def session_summary(
         F.max("session_seq").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-progression funnel (view → click → purchase): per user,
+    the earliest strictly-increasing completion time of each step — the
+    MATCH_RECOGNIZE-class sequence analytic Spark has no native operator
+    for, built as ONE hash aggregate.
+
+    Semantics are the standard greedy funnel: step 1 completes at the
+    user's first step-1 event; step i at the first step-i event STRICTLY
+    after step i-1's completion (equal timestamps never chain). Greedy
+    earliest-first is completion-maximal, so this matches the
+    min-then-min join formulation exactly (the DuckDB oracle in
+    queries.py uses that formulation — different plan, same rows).
+
+    Shape for 100 TB: the scan filters to the step event types
+    (pushed), then a single groupBy(user) collects (ts, type) pairs —
+    the per-user payload is bounded by that user's step events, and the
+    sort + left-fold run inside the aggregate's projection, not as a
+    window or self-join chain. One shuffle total; the k-step fold is a
+    codegen array expression, no Python. Users with no step-1 event are
+    dropped (they are not IN the funnel).
+
+    Output: ``user_col``, one ``<step>_ts`` per step (NULL once the
+    progression stops), ``stage_reached`` (1-based count of completed
+    steps).
+    """
+    if len(steps) < 2:
+        raise ValueError("event_funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("event_funnel steps must be distinct event types")
+    k = len(steps)
+    events = (
+        df.filter(F.col(type_col).isin(*steps))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                        F.col(type_col).alias("tp")))
+            ).alias("__evs")
+        )
+    )
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+
+    def fold(acc, e):
+        slots = []
+        for i, step in enumerate(steps):
+            prev_ok = (
+                F.lit(True)
+                if i == 0
+                else acc[i - 1].isNotNull() & (e["ts"] > acc[i - 1])
+            )
+            slots.append(
+                F.when(acc[i].isNotNull(), acc[i]).otherwise(
+                    F.when((e["tp"] == step) & prev_ok, e["ts"])
+                )
+            )
+        return F.array(*slots)
+
+    folded = events.select(
+        user_col, F.aggregate("__evs", init, fold).alias("__f")
+    )
+    out = folded.select(
+        user_col,
+        *[F.col("__f")[i].alias(f"{s}_ts") for i, s in enumerate(steps)],
+    ).filter(F.col(f"{steps[0]}_ts").isNotNull())
+    stage = None
+    for i in range(k):
+        c = F.col(f"{steps[i]}_ts").isNotNull().cast("int")
+        stage = c if stage is None else stage + c
+    return out.withColumn("stage_reached", stage)

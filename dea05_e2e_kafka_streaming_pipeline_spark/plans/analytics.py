@@ -487,6 +487,70 @@ def part_supplier_attr_counts(
     )
 
 
+def sole_late_supplier(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_after_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q21-shaped blame query: suppliers who were the ONLY late
+    shipper on an order that involved at least one other supplier
+    ("late" = shipped more than ``late_after_days`` after the order
+    date; the testdata has no commit/receipt dates, so order-date lag
+    stands in for Q21's receipt-vs-commit lag).
+
+    Q21's correlated EXISTS / NOT EXISTS pair is decorrelated into two
+    order-keyed aggregates — EXISTS(other supplier on the order) ⇒
+    distinct-supplier count ≥ 2; NOT EXISTS(other LATE supplier) ⇒
+    late-supplier count = 1 (the candidate being that one) — the
+    rewrite Catalyst itself would have to produce from the subquery
+    form, stated directly. Every join and aggregate is keyed on
+    l_orderkey, so the exchanges line up (one shuffle partitioning
+    reused across the pipeline); the supplier dim broadcasts at the
+    end.
+    """
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = (
+        li.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_after_days} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    # the EXISTS side only matters for orders that HAVE a late
+    # candidate — semi-join first so the distinct-supplier count runs
+    # over the late orders' lineitems, not the whole fact table
+    late_orders = late.select("l_orderkey").distinct()
+    multi = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(late_orders, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late_supp"))
+        .filter(F.col("n_late_supp") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(sole, "l_orderkey")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def quantile_sketch_report(
     df: DataFrame,
     key_col: str,

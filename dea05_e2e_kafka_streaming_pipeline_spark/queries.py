@@ -2812,6 +2812,87 @@ def q_approx_reach_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sole_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM li
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name AS supplier_name, count(*) AS numwait
+    FROM late t JOIN supplier s ON t.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS / NOT-EXISTS blame query, decorrelated
+    into order-keyed aggregates (the oracle keeps the correlated
+    subquery form — same rows, independent plans)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        sole_late_supplier,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return sole_late_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        late_after_days=90,
+    )
+
+
+@register(
+    "event_funnel_users",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+           CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END)
+                AS INTEGER) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_event_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel: per-user earliest strictly-ordered
+    completion times in ONE hash aggregate (sorted fold inside the
+    aggregate projection) — the oracle proves the greedy fold equals
+    the min-then-min join formulation."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+        event_funnel,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return event_funnel(
+        load_table(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+@register(
     "quantile_sketch_violations",
     bench=False,
     oracle="""

@@ -397,3 +397,63 @@ def test_quantile_sketch_violations_zero(spark, duck):
         duck,
         oracles()["quantile_sketch_violations"],
     )
+
+
+def test_event_funnel_toy_ordering_and_strictness(spark):
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+        event_funnel,
+    )
+
+    T = lambda s: dt.datetime.fromisoformat(f"2024-01-01 00:00:{s:02d}")
+    df = spark.createDataFrame(
+        [
+            # u1: full progression, with a decoy purchase BEFORE click
+            (1, T(1), "view"), (1, T(2), "purchase"), (1, T(3), "click"),
+            (1, T(4), "purchase"),
+            # u2: click at the SAME instant as view — strictness blocks it
+            (2, T(5), "view"), (2, T(5), "click"),
+            # u3: click only, no view: not in the funnel at all
+            (3, T(1), "click"), (3, T(2), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        r.user_id: r
+        for r in event_funnel(df, ("view", "click", "purchase")).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].stage_reached == 3
+    assert (rows[1].view_ts, rows[1].click_ts, rows[1].purchase_ts) == (
+        T(1), T(3), T(4),
+    )  # the T(2) purchase decoy is skipped; the post-click one counts
+    assert rows[2].stage_reached == 1 and rows[2].click_ts is None
+
+
+def test_event_funnel_rejects_bad_steps(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+        event_funnel,
+    )
+
+    df = spark.createDataFrame([(1, None, "x")], "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="at least 2"):
+        event_funnel(df, ("view",))
+    with pytest.raises(ValueError, match="distinct"):
+        event_funnel(df, ("view", "view"))
+
+
+def test_event_funnel_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["event_funnel_users"](spark, SF_DIR),
+        duck,
+        oracles()["event_funnel_users"],
+    )
+
+
+def test_sole_late_supplier_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["sole_late_supplier"](spark, SF_DIR),
+        duck,
+        oracles()["sole_late_supplier"],
+    )
