@@ -487,6 +487,54 @@ def part_supplier_attr_counts(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    cohort_type: str = "signup",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    ``cohort_type`` event, counted as active in each later week they
+    produced ANY event — the (cohort_week, week_offset, n_active)
+    triangle every growth dashboard draws.
+
+    Shape for 100 TB: activity is pre-deduplicated to DISTINCT
+    (user, week) pairs BEFORE the cohort join (map-side reduction from
+    |events| to at most |users|·|weeks| rows — orders of magnitude at
+    event-stream densities), the cohort table is |users|-sized (AQE
+    broadcasts it at test scale, shuffle-joins on the user key beyond),
+    and the final distinct-count aggregate runs over the already-small
+    pair set. Weeks truncate to Monday in both engines; events BEFORE
+    the user's cohort week are excluded (negative offsets are
+    pre-signup activity, not retention).
+    """
+    week = lambda c: F.date_trunc("week", F.col(c))
+    cohorts = (
+        events.filter(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(week(ts_col)).alias("cohort_week"))
+    )
+    activity = events.select(
+        F.col(user_col), week(ts_col).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, user_col)
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            user_col,
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+
+
 def sole_late_supplier(
     lineitem: DataFrame,
     orders: DataFrame,

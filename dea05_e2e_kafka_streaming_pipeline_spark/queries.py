@@ -2812,6 +2812,37 @@ def q_approx_reach_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.activity_week) / 7
+                AS INTEGER) AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    WHERE a.activity_week >= c.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention triangle — activity deduplicated
+    to (user, week) pairs before the cohort join, so the expensive
+    stage shrinks from |events| to |users|·|weeks|."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        cohort_retention,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "sole_late_supplier",
     oracle="""
     WITH li AS (

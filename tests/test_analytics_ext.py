@@ -457,3 +457,60 @@ def test_sole_late_supplier_matches_oracle(spark, duck):
         duck,
         oracles()["sole_late_supplier"],
     )
+
+
+def test_cohort_retention_toy(spark):
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        cohort_retention,
+    )
+
+    # Mondays: 2024-01-01, -08, -15
+    T = lambda d, h=0: dt.datetime.fromisoformat(f"2024-01-{d:02d} {h:02d}:00:00")
+    df = spark.createDataFrame(
+        [
+            (1, T(1), "signup"),   # cohort week 0 (Jan 1)
+            (1, T(3), "click"),    # same week: offset 0 (deduped w/ signup)
+            (1, T(16), "view"),    # week of Jan 15: offset 2
+            (2, T(9), "signup"),   # cohort week Jan 8
+            (2, T(2), "click"),    # PRE-signup activity: excluded
+            (3, T(5), "view"),     # never signed up: not in any cohort
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_active
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_cohort_retention_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        queries()["cohort_retention_weekly"](spark, SF_DIR),
+        duck,
+        oracles()["cohort_retention_weekly"],
+    )
+
+
+def test_event_funnel_single_exchange(spark):
+    # the funnel is ONE hash aggregate: exactly one shuffle on the user
+    # key, the sort + fold run inside the aggregate's projection.
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+        event_funnel,
+    )
+
+    df = load_table(spark, SF_DIR, "events")
+    plan = (
+        event_funnel(df, ("view", "click", "purchase"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
