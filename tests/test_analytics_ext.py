@@ -514,3 +514,26 @@ def test_event_funnel_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_new_tpch_shapes_join_strategies(spark):
+    # bi_nation: two pre-pruned broadcast legs, no nested loop, one
+    # hash exchange (the final 3-key groupBy). part_supplier: the
+    # NOT-IN exclusion must plan as a BROADCAST anti-join.
+    plan_bi = (
+        queries()["bi_nation_trade_volume"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan_bi
+    assert plan_bi.count("Exchange hashpartitioning") == 1
+
+    plan_ps = (
+        queries()["part_supplier_diversity"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan_ps
+    assert "LeftAnti, BuildRight" in plan_ps  # broadcast anti-join
