@@ -191,3 +191,50 @@ def write_json_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the OPTIMIZE half of lakehouse table
+    maintenance (the reference's streaming ingester writes one object
+    per ≤5-record flush, ingestion/s3-orders-ingestion.py:33-58 — at
+    scale that accretes millions of tiny files and every scan pays the
+    per-file open cost).
+
+    Sizing comes from the scan's own ``_metadata.file_size`` (one
+    aggregate job, no driver-side listing): the table is rewritten into
+    ``ceil(total_bytes / target_file_bytes)`` files via round-robin
+    repartition — parallel-write-friendly and size-balanced, unlike
+    ``coalesce`` which caps write parallelism at the output file count.
+    With ``partition_by``, rows are repartitioned on the partition
+    columns first so each Hive partition compacts into few full files.
+
+    Writes to a NEW prefix (``out_path``) and returns the output file
+    count: Spark cannot safely read and overwrite the same path in one
+    job, and atomic swap is a catalog/table-format concern (Delta's
+    OPTIMIZE does it transactionally; on plain parquet the caller swaps
+    the prefix after validation).
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import (
+        file_inventory,
+    )
+
+    df = spark.read.parquet(in_path)
+    inv = file_inventory(df).agg(
+        F.sum("size_bytes").alias("bytes"), F.count(F.lit(1)).alias("files")
+    ).collect()[0]
+    total = inv["bytes"] or 0
+    n_files = max(1, -(-int(total) // int(target_file_bytes)))
+    if partition_by:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+        writer = out.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        out = df.repartition(n_files)
+        writer = out.write.mode("overwrite")
+    writer.parquet(out_path)
+    return n_files

@@ -24,6 +24,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -76,4 +77,85 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered-progression funnel — the stateful twin of
+    ``operators.sessionize.event_funnel``: per user, the earliest
+    strictly-increasing completion time of each step, updated as events
+    arrive and emitted for every user touched in a micro-batch.
+
+    State per key is ``len(steps)`` microsecond timestamps (fixed-width
+    — the store scales with |users|, never |events|). Each micro-batch
+    sorts its own rows by event time and advances the same greedy fold
+    the batch operator runs; because completed slots are monotone (a
+    slot, once set, never moves), in-order delivery reproduces the
+    batch result EXACTLY (asserted in tests). An event arriving LATE —
+    after a later-timestamped event already advanced the next slot —
+    cannot retroactively improve earlier slots; that is the standard
+    streaming-vs-batch divergence for out-of-order input, and the
+    checkpoint keeps whatever the stream actually saw.
+
+    Emitted rows mirror the batch operator's columns (``<step>_ts``,
+    ``stage_reached``); users that have not reached step 1 emit
+    nothing.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_stream needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_stream steps must be distinct event types")
+    k = len(steps)
+    out_schema = T.StructType(
+        [T.StructField(user_col, T.LongType())]
+        + [T.StructField(f"{s}_ts", T.TimestampType()) for s in steps]
+        + [T.StructField("stage_reached", T.IntegerType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"s{i}_us", T.LongType()) for i in range(k)]
+    )
+
+    def update(key, pdfs, state):
+        slots = list(state.get) if state.exists else [None] * k
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col)
+        for _, r in rows.iterrows():
+            ts_us = int(pd.Timestamp(r[ts_col]).value // 1000)
+            tp = r[type_col]
+            for i, step in enumerate(steps):
+                if slots[i] is None and tp == step:
+                    if i == 0 or (
+                        slots[i - 1] is not None and ts_us > slots[i - 1]
+                    ):
+                        slots[i] = ts_us
+                    break
+        state.update(tuple(slots))
+        if slots[0] is None:
+            return iter(())
+        out = {user_col: [key[0]]}
+        reached = 0
+        for i, s in enumerate(steps):
+            out[f"{s}_ts"] = [
+                pd.Timestamp(slots[i], unit="us") if slots[i] is not None else pd.NaT
+            ]
+            reached += slots[i] is not None
+        out["stage_reached"] = [reached]
+        return iter((pd.DataFrame(out),))
+
+    return (
+        events.filter(F.col(type_col).isin(*steps))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -4,6 +4,7 @@ windowed aggregation streaming/batch equivalence, synthetic sources."""
 import time
 
 import pyspark.sql.functions as F
+import pytest
 
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
     DataQualityValidator,
@@ -523,3 +524,92 @@ def test_windowed_stats_sliding_double_counts(spark):
     )
     total = out.agg(F.sum("n_events").alias("s")).collect()[0].s
     assert total == 2 * events.count()
+
+
+def test_funnel_stream_matches_batch_across_batches(spark, tmp_path):
+    """In-order streaming funnel must equal the batch fold once all
+    events are drained — state (the completed slots) carries across
+    micro-batches, so the progression can START in batch 1 and FINISH
+    in batch 2."""
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+        event_funnel,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    T_ = lambda s: dt.datetime.fromisoformat(f"2024-01-01 00:00:{s:02d}")
+    schema = "user_id long, ts timestamp, event_type string"
+    b1 = [(1, T_(1), "view"), (2, T_(2), "view"), (1, T_(3), "click")]
+    b2 = [(1, T_(4), "purchase"), (2, T_(2), "click"), (3, T_(9), "click")]
+    # u1 completes across the batch boundary; u2's click shares the view's
+    # timestamp (strictness blocks it); u3 never views.
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "ev")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "ev")
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    ev_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = file_stream(
+        spark, str(tmp_path / "ev"), ev_schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    steps = ("view", "click", "purchase")
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_updates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    emitted = spark.sql("SELECT * FROM funnel_updates").collect()
+    # slots are monotone: the row with max stage_reached IS the final state
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.stage_reached > final[r.user_id].stage_reached:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in event_funnel(
+            spark.createDataFrame(b1 + b2, schema), steps
+        ).collect()
+    }
+    assert set(final) == set(batch) == {1, 2}
+    for uid, br in batch.items():
+        sr = final[uid]
+        assert sr.stage_reached == br.stage_reached
+        for s in steps:
+            assert getattr(sr, f"{s}_ts") == getattr(br, f"{s}_ts")
+    # and the cross-batch completion really happened in batch 2
+    assert final[1].stage_reached == 3
+
+
+def test_funnel_stream_rejects_bad_steps(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_stream(df, ("view",))
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_stream(df, ("view", "view"))
