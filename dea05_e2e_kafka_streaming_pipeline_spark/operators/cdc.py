@@ -201,3 +201,70 @@ def decode_cdc_orders(df: DataFrame) -> DataFrame:
     return flat.withColumn(
         "order_amount", F.col("order_amount").cast("decimal(10,2)").cast("double")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    compare_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two snapshots of the same table — the
+    INVERSE of :func:`apply_cdc_changes`: given yesterday's and today's
+    images, emit the minimal change rows (``op`` ∈ i/u/d) that a CDC
+    log would have carried (Delta calls this Change Data Feed; on plain
+    parquet it is how a pipeline without CDC taps still feeds
+    incremental consumers).
+
+    Semantics: full outer join on the key. Key only in ``new`` → ``i``
+    (insert, after-image); only in ``old`` → ``d`` (delete,
+    before-image — what a Debezium delete carries); in both →
+    ``u`` ONLY when some ``compare_cols`` value differs (null-safe
+    comparison: NULL→value and value→NULL are real updates, NULL→NULL
+    is not). Unchanged rows are dropped — the output is the delta, not
+    the table.
+
+    Scale shape: ONE full-outer shuffle join on the key, then a
+    null-safe struct inequality filter — no per-column join chains, no
+    row hashing pass (struct equality short-circuits in codegen). At
+    100 TB both snapshots partition by the same key expression, so a
+    bucketed/pre-partitioned layout makes this exchange-free.
+    """
+    if compare_cols is None:
+        compare_cols = tuple(
+            c for c in new.columns if c not in key_cols
+        )
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__oimg"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__nimg"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}") == F.col(f"__nk_{c}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    op = (
+        F.when(~in_old, F.lit("i"))
+        .when(~in_new, F.lit("d"))
+        .when(~F.col("__oimg").eqNullSafe(F.col("__nimg")), F.lit("u"))
+    )
+    img = F.when(in_new, F.col("__nimg")).otherwise(F.col("__oimg"))
+    keyed = [
+        F.coalesce(F.col(f"__nk_{c}"), F.col(f"__ok_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keyed,
+            "op",
+            *[img[c].alias(c) for c in compare_cols],
+        )
+    )

@@ -2812,6 +2812,67 @@ def q_approx_reach_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH oldt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 0
+    ), newt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'i'
+                WHEN n.o_orderkey IS NULL THEN 'd'
+                ELSE 'u' END AS op,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey
+                ELSE o.o_custkey END AS o_custkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+                ELSE o.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+                ELSE o.o_totalprice END AS o_totalprice
+    FROM oldt o FULL JOIN newt n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_custkey IS DISTINCT FROM n.o_custkey
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed emulation: diff a simulated yesterday snapshot
+    (10% of keys missing → inserts; stale totals on finished orders →
+    updates; shifted phantom keys → deletes) against today's orders —
+    one full-outer join + null-safe struct inequality."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import snapshot_diff
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    stale = orders.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "F", F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    phantoms = orders.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    old = stale.unionByName(phantoms)
+    return snapshot_diff(
+        old,
+        orders,
+        key_cols=("o_orderkey",),
+        compare_cols=("o_custkey", "o_orderstatus", "o_totalprice"),
+    )
+
+
+@register(
     "cohort_retention_weekly",
     oracle="""
     WITH cohorts AS (

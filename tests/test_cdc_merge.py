@@ -178,3 +178,64 @@ def test_customer_priority_scd2_matches_oracle(spark, duck):
         duck,
         oracles()["customer_priority_scd2"],
     )
+
+
+def test_snapshot_diff_ops_and_null_safety(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 5.0), (3, "c", None), (4, "d", 1.0)],
+        "k long, attr string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),    # unchanged: dropped
+         (2, "b", 5.0),     # NULL -> value: update
+         (3, "c", None),    # NULL == NULL: unchanged, dropped
+         (5, "e", 9.0)],    # new key: insert; key 4 gone: delete
+        "k long, attr string, v double",
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, key_cols=("k",)).collect()}
+    assert {k: r.op for k, r in rows.items()} == {2: "u", 4: "d", 5: "i"}
+    assert rows[2].attr == "b"       # after-image for updates
+    assert rows[4].attr == "d"       # before-image for deletes
+    assert rows[5].v == 9.0
+
+
+def test_snapshot_diff_roundtrip_through_merge(spark):
+    """CDF closure: applying the emitted diff to the OLD snapshot with
+    the CDC merge operator must reconstruct the NEW snapshot exactly."""
+    import pyspark.sql.functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+        apply_cdc_changes,
+        snapshot_diff,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    new = load_table(spark, "/root/testdata/sf0.001", "orders").select(*cols)
+    old = new.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    )
+    changes = (
+        snapshot_diff(old, new, key_cols=("o_orderkey",))
+        .withColumnRenamed("op", "_cdc_op")
+        .withColumn("_cdc_ts_ms", F.lit(1).cast("long"))
+    )
+    rebuilt = apply_cdc_changes(old, changes, key="o_orderkey")
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_snapshot_diff_matches_oracle(spark, duck):
+    from dea05_e2e_kafka_streaming_pipeline_spark.queries import oracles, queries
+
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        queries()["snapshot_diff_orders"](spark, SF_DIR),
+        duck,
+        oracles()["snapshot_diff_orders"],
+    )
