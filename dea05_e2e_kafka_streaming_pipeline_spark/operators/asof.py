@@ -30,15 +30,25 @@ def asof_join(
     value_cols: list[str],
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``prefix``-renamed
     ``right_ts`` and ``value_cols`` from the matched right row (NULLs
     when none). ``direction="backward"`` (default) matches the LATEST
     right row at or before the left timestamp; ``"forward"`` the
     EARLIEST right row at or after it — same single-shuffle
-    union + last(ignorenulls) plan, with the window order mirrored."""
+    union + last(ignorenulls) plan, with the window order mirrored.
+
+    ``tolerance_seconds`` bounds the match the way pandas
+    ``merge_asof(tolerance=...)`` does: a matched right row farther
+    than the bound from the left timestamp is treated as NO match (all
+    as-of columns NULL). Applied as a post-projection over the same
+    plan — no extra shuffle, and the window still finds the nearest
+    row first, so the bound never skips PAST a valid nearer match."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError("tolerance_seconds must be >= 0")
     left_cols = left.columns
     r = right.select(
         F.col(key),
@@ -81,6 +91,16 @@ def asof_join(
             for c in carried
         ],
     )
+    if tolerance_seconds is None:
+        within = F.lit(True)
+    else:
+        within = (
+            F.abs(
+                F.unix_micros(F.col("__ts"))
+                - F.unix_micros(F.col(f"__f_{prefix}{right_ts}"))
+            )
+            <= int(tolerance_seconds * 1_000_000)
+        )
     return filled.filter(F.col("__is_right") == 0).select(
         F.col(key),
         F.col("__ts").alias(left_ts),
@@ -89,7 +109,10 @@ def asof_join(
             for c in left_cols
             if c not in (key, left_ts)
         ],
-        *[F.col(f"__f_{c}").alias(c) for c in carried],
+        *[
+            F.when(within, F.col(f"__f_{c}")).otherwise(F.lit(None)).alias(c)
+            for c in carried
+        ],
     )
 
 

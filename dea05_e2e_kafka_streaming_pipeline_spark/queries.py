@@ -1609,6 +1609,56 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clicks_asof_views_bounded",
+    bench=False,
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts,
+             max(value) AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), matched AS (
+      SELECT c.event_id, c.user_id, c.ts, c.value,
+             v.ts AS asof_ts, v.value AS asof_value
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND c.ts >= v.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN date_diff('microsecond', asof_ts, ts) <= 3600000000
+                THEN asof_ts END AS asof_ts,
+           CASE WHEN date_diff('microsecond', asof_ts, ts) <= 3600000000
+                THEN asof_value END AS asof_value
+    FROM matched
+    """,
+)
+def q_asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)
+    semantics): a view more than 1 hour before the click no longer
+    counts — the oracle applies the same bound over DuckDB's native
+    ASOF JOIN."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], tolerance_seconds=3600,
+    )
+
+
+@register(
     "events_interval_join",
     oracle="""
     WITH iv AS (

@@ -145,3 +145,66 @@ def test_asof_join_rejects_unknown_direction(spark):
     df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(df, df, "user_id", "ts", "ts", [], direction="nearest")
+
+
+def test_asof_join_tolerance_bounds_matches(spark):
+    """A match farther than the tolerance becomes a non-match (all
+    as-of columns NULL); matches inside the bound are untouched, and
+    the bound never skips past the nearest row."""
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}")
+    clicks = spark.createDataFrame(
+        [(1, T(100)), (1, T(500)), (2, T(50))],
+        "user_id long, ts timestamp",
+    )
+    views = spark.createDataFrame(
+        [(1, T(90), "v1"), (1, T(120), "v2"), (2, T(0), "v0")],
+        "user_id long, ts timestamp, page string",
+    )
+    out = {
+        (r.user_id, r.ts): r
+        for r in asof_join(
+            clicks, views, "user_id", "ts", "ts", ["page"],
+            tolerance_seconds=30,
+        ).collect()
+    }
+    # click@100: nearest backward view@90, 10s away -> matched
+    assert out[(1, T(100))].asof_page == "v1"
+    # click@500: nearest view@120, 380s away -> outside tolerance
+    assert out[(1, T(500))].asof_page is None
+    assert out[(1, T(500))].asof_ts is None
+    # user 2: view@0 is 50s away -> outside 30s bound
+    assert out[(2, T(50))].asof_page is None
+
+    # same data without tolerance keeps all matches
+    loose = {
+        (r.user_id, r.ts): r
+        for r in asof_join(clicks, views, "user_id", "ts", "ts", ["page"]).collect()
+    }
+    assert loose[(1, T(500))].asof_page == "v2"
+    assert loose[(2, T(50))].asof_page == "v0"
+
+
+def test_asof_join_rejects_negative_tolerance(spark):
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="tolerance_seconds"):
+        asof_join(df, df, "user_id", "ts", "ts", [], tolerance_seconds=-1)
+
+
+def test_clicks_asof_bounded_matches_oracle(spark, duck):
+    from dea05_e2e_kafka_streaming_pipeline_spark.queries import oracles, queries
+
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        queries()["clicks_asof_views_bounded"](spark, SF_DIR),
+        duck,
+        oracles()["clicks_asof_views_bounded"],
+    )
