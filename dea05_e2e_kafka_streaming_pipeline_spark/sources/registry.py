@@ -36,6 +36,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across SCHEMA GENERATIONS — files written before a
+    column existed read as NULL for it (the additive-evolution story
+    Delta gives for free, reproduced on plain parquet; the reference's
+    Delta sink relies on ``overwriteSchema``,
+    mage-programs/orders_delta_lake.py:53).
+
+    ``mergeSchema`` reconciles ALL file footers instead of sampling one
+    — a real (driver-side, metadata-only) cost at millions of files,
+    which is why it is a separate reader and not the default:
+    :func:`read_parquet` stays one-footer fast for stable-schema
+    tables, and tables under active evolution should graduate to a
+    table format with a tracked schema. Type WIDENING conflicts
+    (int→long etc.) still fail loudly — additive columns only.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """JSON-lines lake scan (reference curated/data_quality.py:131-132).
 

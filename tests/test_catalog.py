@@ -156,3 +156,23 @@ def test_compact_parquet_partitioned_layout(spark, tmp_path):
     a = spark.read.parquet(src)
     b = spark.read.parquet(out)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_read_parquet_evolved_across_generations(spark, tmp_path):
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_parquet_evolved,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None  # old generation: NULL for the new column
+    assert rows[2].score == 9.5
