@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Driver-mirror correctness sweep: run every ``__spark_entry__.queries()``
+entry on Spark and its ``oracle_sql()`` twin on DuckDB over the same parquet
+tables, then compare row count, column names, and a column-name-sorted value
+hash — the same contract the round driver applies at sf=0.01.
+
+Usage:  python selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry
+from dea05_e2e_kafka_streaming_pipeline_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+        # Spark hands back datetime.datetime, DuckDB pd.Timestamp —
+        # normalize both to one textual form
+        return pd.Timestamp(v).isoformat()
+    return str(v)
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        ",".join(_norm_cell(v) for v in rec) for rec in df.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: spark: {e}")
+            bad.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ROWS {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: duckdb: {e}")
+            bad.append(name)
+            continue
+        cols_ok = sorted(got.columns) == sorted(want.columns)
+        rows_ok = len(got) == len(want)
+        hash_ok = cols_ok and rows_ok and _value_hash(got) == _value_hash(want)
+        status = "OK  " if (cols_ok and rows_ok and hash_ok) else "FAIL"
+        if status == "FAIL":
+            bad.append(name)
+            detail = (
+                f" cols={cols_ok} rows={rows_ok}({len(got)}/{len(want)})"
+                f" hash={hash_ok}"
+            )
+        else:
+            detail = f" {len(got)} rows"
+        print(f"{status} {name}:{detail}")
+    spark.stop()
+    print(f"\n{len(bad)} failures" + (f": {bad}" if bad else ""))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
