@@ -47,6 +47,8 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
     kmeans_centroids,
     knn_join,
     lsh_topk,
+    semantic_dedup,
+    semantic_dedup_pairs,
     with_ivf_cell,
     with_lsh_bucket,
 )
@@ -89,6 +91,8 @@ __all__ = [
     "normalize_cdc",
     "resize_images",
     "salted_join",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "session_summary",
     "sessionize",
     "simhash_pairs",

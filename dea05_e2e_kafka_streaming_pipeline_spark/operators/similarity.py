@@ -540,3 +540,85 @@ def ivf_topk_pruned(
     df = spark.read.parquet(index_path)
     cand = df.filter(F.col("ivf_cell").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.85,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    block_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    scorer: str = "numpy",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs for semantic dedup
+    (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): assign every
+    vector to a coarse k-means cell (trained on a deterministic
+    sample, :func:`kmeans_centroids`) and score pairs ONLY inside a
+    cell — the clustering bounds the pair space exactly the way LSH
+    bands bound MinHash, turning O(n²) into Σ cell².
+
+    ``block_col`` overrides the k-means cell with an existing
+    deterministic blocking column (a label, a shard, a persisted
+    ``ivf_cell``) — same plan, SQL-oracle-expressible blocking.
+
+    Scale shape: the expensive piece is :func:`cosine_near_dup_pairs`'s
+    equi-join on the cell id; cells come from one Arrow-batched argmin
+    pass. At 100 TB you persist the cell column at ingest
+    (:func:`ivf_write_index`) and this becomes a co-partitioned
+    self-join with no assignment cost at all."""
+    if block_col is None:
+        if centroids is None:
+            centroids = kmeans_centroids(
+                df, n_centroids=n_centroids, seed=seed, vec_col=vec_col,
+                id_col=id_col,
+            )
+        df = with_ivf_cell(df, centroids, vec_col)
+        block_col = "ivf_cell"
+    return cosine_near_dup_pairs(
+        df, threshold=threshold, block_col=block_col, vec_col=vec_col,
+        id_col=id_col, scorer=scorer,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.85,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    block_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quality_col: str | None = None,
+    algorithm: str = "label",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication: drop all but one representative of every
+    transitive group of embedding-cosine near-duplicates, comparing
+    only within coarse k-means cells (or ``block_col``). Returns the
+    KEPT subset of ``df`` with its original schema — the min-id member
+    per connected group, or the highest-``quality_col`` member.
+
+    Composition of proven parts: cell assignment
+    (:func:`with_ivf_cell`) → blocked exact pair scoring
+    (:func:`cosine_near_dup_pairs`) → transitive closure + retention
+    (``apply_dedup_cc`` — label propagation or large-star/small-star).
+    Rows with NULL embeddings never pair, so they are always kept.
+
+    Guarantees (asserted by the `semantic_dedup_violations` registry
+    query): no two kept rows in the same cell score >= threshold, and
+    every dropped row had at least one >= threshold neighbor."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup_cc,
+    )
+
+    pairs = semantic_dedup_pairs(
+        df, threshold=threshold, centroids=centroids,
+        n_centroids=n_centroids, block_col=block_col, vec_col=vec_col,
+        id_col=id_col, seed=seed,
+    )
+    return apply_dedup_cc(
+        df, pairs, id_col=id_col, algorithm=algorithm, quality_col=quality_col
+    )

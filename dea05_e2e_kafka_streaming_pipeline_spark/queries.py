@@ -3583,3 +3583,127 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_balance"),
         )
     )
+
+
+_SEMDEDUP_COS = (
+    "round(list_cosine_similarity("
+    "list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "semantic_dedup_label",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_SEMDEDUP_COS} >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (
+      SELECT id AS vec_id, min(label) AS component_id
+      FROM reach GROUP BY id
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e JOIN comp c ON e.vec_id = c.vec_id
+    WHERE c.vec_id = c.component_id
+    """,
+)
+def q_semantic_dedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup) under deterministic label blocking:
+    within-block cosine>=0.3 pairs -> transitive closure -> keep the
+    min-id representative per near-dup group. The label-blocked run is
+    plan-identical to the k-means-cell production path
+    (`semantic_dedup_kmeans`) but SQL-expressible, so the full pipeline
+    (blocked pair scoring + CC + retention semi-join) earns a
+    hash-matched row. Oracle: DuckDB recursive-CTE reachability."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, block_col="label").select(
+        "vec_id", "label"
+    )
+
+
+@register("semantic_dedup_kmeans")
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production semantic dedup: coarse k-means cells (8 centroids,
+    deterministic seeded sample) bound the pair space; cosine>=0.3
+    within a cell; min-id representative per connected group. Cell
+    assignment depends on the trained quantizer, so this row is
+    rows-only — the machinery is pinned by the hash-matched
+    `semantic_dedup_label` (same pipeline, SQL-expressible blocking)
+    and the zero-row `semantic_dedup_violations` invariants."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    return semantic_dedup(emb, threshold=0.3, centroids=cents).select(
+        "vec_id", "label"
+    )
+
+
+@register(
+    "semantic_dedup_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS violation
+    WHERE 1 = 0
+    """,
+)
+def q_semantic_dedup_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable invariants of the k-means semantic-dedup path, asserted
+    inside the engine where the quantizer actually runs (oracle expects
+    ZERO rows):
+
+    - `kept_near_dup`: two KEPT vectors in the same cell scoring >=
+      threshold — impossible if the transitive closure is correct (they
+      would share a component and only one could be kept).
+    - `dropped_without_neighbor`: a DROPPED vector that appears in no
+      >=threshold pair — dropping it would be unjustified."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    pairs = semantic_dedup_pairs(emb, threshold=0.3, centroids=cents)
+    kept = semantic_dedup(emb, threshold=0.3, centroids=cents).select("vec_id")
+    paired = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    kept_pairs = (
+        pairs.join(kept.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi")
+        .join(kept.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi")
+        .select(F.col("id_a").alias("vec_id"))
+        .withColumn("violation", F.lit("kept_near_dup"))
+    )
+    dropped_unjustified = (
+        emb.select("vec_id")
+        .join(kept, "vec_id", "left_anti")
+        .join(paired, "vec_id", "left_anti")
+        .withColumn("violation", F.lit("dropped_without_neighbor"))
+    )
+    return kept_pairs.unionByName(dropped_unjustified)

@@ -496,3 +496,52 @@ def test_quantize_embeddings_semantics(spark):
     assert flat.codes == [0] * 16 and flat.recon_err == 0.0
     with pytest.raises(ValueError, match="bits"):
         quantize_embeddings(df, bits=32)
+
+
+def test_semantic_dedup_basic(spark):
+    """Two tight clusters + one outlier: each cluster collapses to its
+    min-id member, the outlier survives, and quality retention keeps
+    the best-scored member instead."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 9.0),
+        (2, [0.99, 0.05, 0.0], 1.0),
+        (3, [0.98, 0.08, 0.0], 5.0),
+        (4, [0.0, 1.0, 0.0], 2.0),
+        (5, [0.0, 0.99, 0.05], 8.0),
+        (6, [0.0, 0.0, 1.0], 3.0),  # outlier: nothing near it
+        (7, None, 0.0),  # null embedding: never pairs, always kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, quality double"
+    )
+    kept = semantic_dedup(df, threshold=0.9, n_centroids=2)
+    assert sorted(r.vec_id for r in kept.select("vec_id").collect()) == [1, 4, 6, 7]
+    best = semantic_dedup(df, threshold=0.9, n_centroids=2, quality_col="quality")
+    # cluster A keeps 1 (q=9), cluster B keeps 5 (q=8)
+    assert sorted(r.vec_id for r in best.select("vec_id").collect()) == [1, 5, 6, 7]
+
+
+def test_semantic_dedup_label_matches_oracle(spark, duck):
+    from dea05_e2e_kafka_streaming_pipeline_spark import queries as registry
+
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    name = "semantic_dedup_label"
+    assert_matches_oracle(
+        registry.queries()[name](spark, SF_DIR), duck, registry.oracles()[name]
+    )
+
+
+def test_semantic_dedup_kmeans_invariants(spark):
+    """The zero-row violation contract of the production k-means path,
+    asserted directly (same pipeline the registry exposes)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark import queries as registry
+
+    from tests.conftest import SF_DIR
+
+    out = registry.queries()["semantic_dedup_violations"](spark, SF_DIR)
+    assert out.count() == 0
