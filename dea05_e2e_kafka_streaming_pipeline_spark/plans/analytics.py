@@ -682,3 +682,257 @@ def revenue_by_geo(
             .alias("revenue"),
         )
     )
+
+
+def priority_waiting_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q4-shaped order-priority checking: count orders placed in a
+    quarter that had at least one lineitem shipped more than
+    ``late_days`` after the order date, per priority (the schema lacks
+    commit/receipt dates, so "late" is shipdate vs orderdate + N).
+
+    The EXISTS becomes a LEFT SEMI join — Spark never materializes the
+    multi-lineitem match, and the order-date window is pushed to the
+    orders scan before the join, so the semi join probes only one
+    quarter of orders. The residual late-ship predicate (a cross-table
+    comparison) rides the join condition; the post-semi aggregate is
+    5 rows."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.date_add(o["o_orderdate"], late_days)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    market_region: str = "ASIA",
+    share_nation: str = "NATION_8",
+    part_keys: DataFrame | None = None,
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within one region's
+    customer market (optionally restricted to a part segment via
+    ``part_keys``), the share of revenue supplied by one nation, per
+    order year.
+
+    Scale shape: customer×nation×region collapses to a broadcast
+    (custkey) filter set for the market region; supplier×nation to a
+    broadcast (suppkey → is_share_nation) map; the single shuffle join
+    is lineitem⋈orders. The share is a conditional sum over the joined
+    rows — numerator and denominator in ONE aggregate pass, not two
+    plans over the fact table."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    market_nations = nation.join(
+        region.filter(F.col("r_name") == market_region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey")
+    mkt_cust = F.broadcast(
+        customer.join(
+            market_nations, customer["c_nationkey"] == market_nations["n_nationkey"]
+        ).select("c_custkey")
+    )
+    supp = F.broadcast(
+        supplier.join(
+            nation.select("n_nationkey", "n_name"),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        ).select(
+            "s_suppkey", (F.col("n_name") == share_nation).alias("_is_share")
+        )
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_partkey", rev.alias("_rev"))
+    if part_keys is not None:
+        li = li.join(F.broadcast(part_keys), li["l_partkey"] == part_keys[part_keys.columns[0]], "left_semi")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(mkt_cust, o["o_custkey"] == mkt_cust["c_custkey"], "left_semi")
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("order_year")
+        .agg(
+            F.sum(F.when(F.col("_is_share"), F.col("_rev")))
+            .cast("double")
+            .alias("share_revenue"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "market_share",
+            F.round(F.col("share_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_pattern: str = "bolt",
+    cost_factor: str = "0.60",
+) -> DataFrame:
+    """TPC-H Q9-shaped product profit: for parts whose name contains a
+    pattern, profit per (supplier nation, order year). The schema has
+    no partsupp.ps_supplycost, so unit cost is ``cost_factor`` ×
+    p_retailprice — same expression shape (a per-row join-derived
+    cost), different constant.
+
+    Scale shape: the part filter collapses to a broadcast (partkey →
+    retailprice) map BEFORE the fact join (contains() can't push to the
+    lineitem scan, but it prunes the broadcast build side); supplier →
+    nation is a second broadcast; orders joins shuffled only to fetch
+    the year. Profit is exact decimal arithmetic per row, summed as
+    decimal, surfaced as double — partitioning-order independent."""
+    profit = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+        - F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(cost_factor).cast("decimal(4,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    p = F.broadcast(
+        part.filter(F.col("p_name").contains(name_pattern)).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    s = F.broadcast(
+        supplier.join(
+            nation.select("n_nationkey", "n_name"),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = orders.select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+    return (
+        lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"])
+        .join(s, lineitem["l_suppkey"] == s["s_suppkey"])
+        .join(o, lineitem["l_orderkey"] == o["o_orderkey"])
+        .groupBy("supp_nation", "order_year")
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+def returnflag_priority_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12-shaped shipping-category audit: per lineitem category
+    (return flag stands in for the absent ship mode), how many of the
+    year's shipments belonged to critical-priority orders vs not — the
+    two counts as conditional sums in one pass.
+
+    Scale shape: the date window pushes to the lineitem scan; the join
+    fetches only (orderkey → priority); the aggregate is map-side
+    combinable to |flags| rows."""
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = orders.select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_priority_count"),
+        )
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_status: str = "P",
+) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT OUTER
+    join customers to their (filtered) orders, count per customer —
+    customers with no qualifying orders count 0 — then histogram the
+    counts: (order_count, number of customers with that count).
+
+    Scale shape: two aggregates, each map-side combinable. The first
+    groups the join output by custkey (the join's own key, so AQE
+    coalesces without an extra shuffle); the second groups |customers|
+    rows by a small-cardinality count. The status filter must sit on
+    the ORDERS side before the outer join (in the WHERE it would turn
+    the outer join inner and silently drop zero-order customers)."""
+    o = orders.filter(F.col("o_orderstatus") != exclude_status).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return (
+        per_cust.groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+    )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: each supplier's revenue over one
+    quarter, keeping the supplier(s) whose revenue equals the maximum
+    (ties kept, as the spec's scalar-subquery formulation does).
+
+    Scale shape: the revenue aggregate reduces the fact table to
+    |suppliers| rows BEFORE any window; the max-selection is a rank()
+    over an empty partition — on one aggregate row per supplier, not on
+    lineitem. The supplier dim then broadcast-joins onto ≤ tie-count
+    rows."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    w = Window.orderBy(F.desc("total_revenue"))
+    best = (
+        per_supp.withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return best.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        best["l_suppkey"] == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "total_revenue")

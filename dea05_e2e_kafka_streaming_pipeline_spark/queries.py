@@ -3707,3 +3707,216 @@ def q_semantic_dedup_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("violation", F.lit("dropped_without_neighbor"))
     )
     return kept_pairs.unionByName(dropped_unjustified)
+
+
+@register(
+    "priority_waiting_orders",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q_priority_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS count: orders in one quarter with a
+    lineitem shipped >90 days late, per priority — the EXISTS runs as a
+    LEFT SEMI join with the late-ship residual on the join condition."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        priority_waiting_orders,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return priority_waiting_orders(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH joined AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2))
+                  - CAST(l.l_discount AS DECIMAL(4,2))) AS rev,
+             ns.n_name = 'NATION_8' AS is_share
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND o.o_custkey IN (
+          SELECT c.c_custkey
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+        )
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN is_share THEN rev END) AS DOUBLE)
+             AS share_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           round(CAST(SUM(CASE WHEN is_share THEN rev END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS market_share
+    FROM joined GROUP BY 1
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_8's revenue share of the
+    ASIA customer market per order year — numerator and denominator as
+    conditional sums in ONE aggregate over one shuffle join."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        nation_market_share,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return nation_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT n.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2))
+                       - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(0.60 AS DECIMAL(4,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit by (supplier nation, order year) for parts
+    named like '%bolt%' — two broadcast dims + one shuffle join, exact
+    decimal profit arithmetic (supply cost = 0.60 × retail price; the
+    schema has no partsupp)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        product_type_profit,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return product_type_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "returnflag_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional counts per lineitem category (return
+    flag stands in for ship mode): critical vs other order priorities,
+    one pass, map-side combinable."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        returnflag_priority_counts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return returnflag_priority_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT order_count, count(*) AS customer_count
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS order_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped order-count histogram: LEFT OUTER join keeps
+    zero-order customers (the status filter sits on the orders side
+    BEFORE the join), then two map-side-combinable aggregates."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        customer_order_distribution,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, p.total_revenue
+    FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    WHERE p.total_revenue = (SELECT max(total_revenue) FROM per_supp)
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarter revenue per supplier, keep
+    the max (ties kept) — rank() over the |suppliers|-row aggregate,
+    never over the fact table."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        top_supplier_revenue,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return top_supplier_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )

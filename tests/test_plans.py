@@ -151,6 +151,10 @@ _EAGER_BUILD_OK = {
     # runs connected_components' convergence loop at build, like
     # dedup_cc_components — the quality-representative variant
     "dedup_best_quality_docs",
+    # semantic dedup closes its pair graph with the same CC loop
+    "semantic_dedup_label",
+    "semantic_dedup_kmeans",
+    "semantic_dedup_violations",
 }
 
 
@@ -172,3 +176,42 @@ def test_registry_plan_build_runs_no_jobs(spark):
         assert after == before, (
             f"{name}: building the DataFrame ran {after - before} Spark job(s)"
         )
+
+
+def test_priority_waiting_semi_join_with_pushdown(spark):
+    """Q4 shape: the EXISTS must plan as a semi join (no materialized
+    multi-match) and the quarter window must reach the orders scan."""
+    plan = _plan(spark, "priority_waiting_orders")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_product_type_profit_broadcast_dims(spark):
+    """Q9 shape: the name-filtered part map and supplier→nation map must
+    both broadcast; the only shuffle join fetches the order year."""
+    plan = _plan(spark, "product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_window_after_aggregate(spark):
+    """Q15 shape: the rank window must run over the per-supplier
+    aggregate, not the fact table — in the plan the Window sits above
+    a HashAggregate and below the supplier join."""
+    plan = _plan(spark, "top_supplier_revenue")
+    # the tree prints parents first, so the Window line precedes its
+    # HashAggregate child — assert the structure via the rank-pushdown
+    # rewrite instead: WindowGroupLimit keeps only rank<=1 rows
+    # per-partition BEFORE the single-partition exchange
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "HashAggregate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_customer_order_distribution_outer_join_preserved(spark):
+    """Q13 shape: the status filter must sit below the LEFT OUTER join
+    (filtering the orders side), never above it (which would drop
+    zero-order customers)."""
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    assert "Not(EqualTo(o_orderstatus,P))" in plan  # pushed to orders scan
