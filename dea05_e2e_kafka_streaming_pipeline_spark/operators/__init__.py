@@ -52,6 +52,11 @@ from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
     with_ivf_cell,
     with_lsh_bucket,
 )
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+    cms_build,
+    cms_estimates,
+    cms_heavy_hitters,
+)
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.skew import salted_join
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
     with_fingerprint,
@@ -74,6 +79,9 @@ __all__ = [
     "apply_dedup_cc",
     "connected_components",
     "asof_join",
+    "cms_build",
+    "cms_estimates",
+    "cms_heavy_hitters",
     "cosine_near_dup_pairs",
     "cosine_topk",
     "decode_cdc_orders",

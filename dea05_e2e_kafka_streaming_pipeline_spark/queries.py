@@ -3920,3 +3920,84 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+def _cms_oracle(width: int, depth: int, threshold: int) -> str:
+    """DuckDB mirror of the count-min pipeline: identical md5-derived
+    buckets, identical min-over-rows estimate."""
+    bucket = (
+        "CAST(('0x' || substr(md5({r} || ':' || tok), 1, 8))::BIGINT "
+        f"% {width} AS INTEGER)"
+    )
+    rows_union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS row, {bucket.format(r=i)} AS bucket, tok FROM toks"
+        for i in range(depth)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), fan AS (
+      {rows_union}
+    ), sketch AS (
+      SELECT row, bucket, count(*) AS cnt FROM fan GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT tok FROM toks
+    ), cfan AS (
+      {rows_union.replace("FROM toks", "FROM cand")}
+    ), est AS (
+      SELECT c.tok, CAST(min(s.cnt) AS BIGINT) AS est_count
+      FROM cfan c JOIN sketch s ON c.row = s.row AND c.bucket = s.bucket
+      GROUP BY 1
+    )
+    SELECT tok, est_count FROM est WHERE est_count >= {threshold}
+    """
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle(16, 3, 500))
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (width 16 × depth 3, threshold
+    500): the sketch builds in one bounded aggregate pass (≤ 48
+    counters regardless of corpus size) and broadcasts back for the
+    estimate join. The deliberately small width forces bucket
+    collisions, so the min-over-rows estimate logic is actually
+    exercised, not vacuous. md5-derived buckets make the whole pipeline
+    DuckDB-reproducible — a hash-matched row, rare for sketches."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, threshold=500, width=16, depth=3)
+
+
+@register(
+    "cms_overestimate_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS tok,
+           CAST(NULL AS BIGINT) AS est_count,
+           CAST(NULL AS BIGINT) AS exact_count
+    WHERE 1 = 0
+    """,
+)
+def q_cms_overestimate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min contract, asserted inside the engine: estimates
+    NEVER undercount (est >= exact for every token), hence heavy
+    hitters have no false negatives. Oracle expects zero rows."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        cms_estimates,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = cms_estimates(docs, width=16, depth=3)
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "tok").filter(F.col("est_count") < F.col("exact_count"))
