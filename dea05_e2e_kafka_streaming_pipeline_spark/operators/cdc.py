@@ -268,3 +268,30 @@ def snapshot_diff(
             *[img[c].alias(c) for c in compare_cols],
         )
     )
+
+
+def scd2_snapshot(history: DataFrame, as_of) -> DataFrame:
+    """Point-in-time (AS OF) snapshot over an :func:`scd2_history`
+    table: the version of every key whose half-open validity interval
+    ``[valid_from, valid_to)`` contains ``as_of`` — the query Delta's
+    ``VERSION AS OF`` time travel answers from its log, answered here
+    from the dimension history itself (works on any storage, and at
+    row granularity rather than table-commit granularity).
+
+    Keys deleted before ``as_of`` (interval closed, no successor) and
+    keys born after it simply produce no row.
+
+    Scale shape: a pure filter — no join, no shuffle. On a history
+    table written sorted/partitioned by ``valid_from`` (e.g. via
+    write_zordered), the ``valid_from <= as_of`` predicate prunes
+    row groups by footer min/max, so old snapshots read a fraction of
+    the history."""
+    # string timestamps cast explicitly; numeric/other sequence domains
+    # (scd2_history accepts any orderable seq col) compare as-is
+    ts = F.lit(as_of)
+    if isinstance(as_of, str):
+        ts = ts.cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    )

@@ -4001,3 +4001,58 @@ def q_cms_overestimate_violations(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     return est.join(exact, "tok").filter(F.col("est_count") < F.col("exact_count"))
+
+
+@register(
+    "customer_priority_asof",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS customer_id, o_orderpriority AS priority,
+             o_orderdate AS ts, o_orderkey AS seq,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ), v AS (
+      SELECT customer_id, priority, ts, seq FROM ch
+      WHERE prev IS NULL OR prev <> priority
+    ), hist AS (
+      SELECT customer_id, priority,
+             ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to,
+             CAST(row_number() OVER w2 AS INTEGER) AS version,
+             (lead(ts) OVER w2 IS NULL) AS is_current
+      FROM v WINDOW w2 AS (PARTITION BY customer_id ORDER BY ts, seq)
+    )
+    SELECT customer_id, priority, valid_from, valid_to, version, is_current
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '1998-06-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-01')
+    """,
+)
+def q_customer_priority_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension snapshot: every customer's priority
+    version valid AS OF 1998-06-01, answered by a pure filter over the
+    SCD2 history (no join, no shuffle beyond the history build; footer
+    min/max prunes old snapshots on a valid_from-sorted layout)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+        scd2_history,
+        scd2_snapshot,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    hist = scd2_history(
+        changes,
+        key_col="customer_id",
+        attr_cols=("priority",),
+        seq_cols=("ts", "seq"),
+    )
+    return scd2_snapshot(hist, "1998-06-01")

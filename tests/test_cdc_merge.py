@@ -239,3 +239,32 @@ def test_snapshot_diff_matches_oracle(spark, duck):
         duck,
         oracles()["snapshot_diff_orders"],
     )
+
+
+def test_scd2_snapshot_point_in_time(spark):
+    """AS OF semantics over the history: the containing interval wins;
+    keys deleted before (or born after) the snapshot produce no row;
+    snapshot at exactly valid_from includes the version (half-open)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+        scd2_history,
+        scd2_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10, False), (1, "B", 30, False),   # 1: A@[10,30) B@[30,∞)
+            (2, "X", 15, False), (2, None, 25, True),   # 2: deleted at 25
+            (3, "Z", 40, False),                        # 3: born later
+        ],
+        "k long, attr string, ts long, is_del boolean",
+    )
+    hist = scd2_history(
+        df, key_col="k", attr_cols=("attr",), seq_cols=("ts",),
+        delete_col="is_del",
+    )
+    snap = {r.k: r.attr for r in scd2_snapshot(hist, 30).collect()}
+    assert snap == {1: "B"}  # half-open: B from exactly 30; 2 deleted; 3 unborn
+    snap20 = {r.k: r.attr for r in scd2_snapshot(hist, 20).collect()}
+    assert snap20 == {1: "A", 2: "X"}
+    snap99 = {r.k: r.attr for r in scd2_snapshot(hist, 99).collect()}
+    assert snap99 == {1: "B", 3: "Z"}
