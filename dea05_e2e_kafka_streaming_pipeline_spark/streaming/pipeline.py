@@ -417,3 +417,30 @@ def windowed_event_stats(
             "total_value",
         )
     )
+
+
+def cms_sketch_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming count-min sketch: the SAME plan as the batch
+    :func:`~..operators.sketches.cms_build` (explode tokens → fan to
+    depth (row, bucket) keys → grouped count) run as a stateful
+    streaming aggregation.
+
+    The sketch's fixed key space is what makes this special among
+    streaming aggregates: state is bounded at ``depth × width`` rows
+    FOREVER — no watermark, no eviction, no growth with stream
+    cardinality — while answering frequency estimates over the entire
+    stream history. Checkpointing makes the counts exactly-once across
+    restarts (tested); sink with ``outputMode("complete")`` (the state
+    IS the result and it is tiny) or ``"update"`` for deltas.
+
+    This is the streaming face of the mergeability property the batch
+    tests pin: each micro-batch's partial counts sum into the state
+    exactly like elementwise sketch addition."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import cms_build
+
+    return cms_build(stream, text_col=text_col, width=width, depth=depth)

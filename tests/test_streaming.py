@@ -613,3 +613,64 @@ def test_funnel_stream_rejects_bad_steps(spark):
         funnel_stream(df, ("view",))
     with pytest.raises(ValueError, match="distinct"):
         funnel_stream(df, ("view", "view"))
+
+
+def test_cms_sketch_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming sketch equals the batch sketch over the drained
+    input (state = depth×width rows, no watermark), and a restart from
+    the checkpoint keeps counting — never double-counting the replayed
+    files."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import cms_build
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        cms_sketch_stream,
+    )
+
+    landing = tmp_path / "landing"
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    f1 = [(i, "alpha beta gamma " * (i + 1)) for i in range(4)]
+    spark.createDataFrame(f1, schema).write.mode("append").json(str(landing / "b1"))
+
+    w, d = 8, 3
+
+    def run():
+        stream = file_stream(
+            spark, str(landing / "*"), schema, max_files_per_trigger=1
+        )
+        q = (
+            cms_sketch_stream(stream, width=w, depth=d)
+            .writeStream.format("memory")
+            .queryName("cms_state")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM cms_state").collect()
+    }
+    batch1 = spark.createDataFrame(f1, schema)
+    want = {(r.row, r.bucket): r.cnt for r in cms_build(batch1, width=w, depth=d).collect()}
+    assert got == want
+    assert len(got) <= w * d
+
+    # restart with more data: state continues, replay not double-counted
+    f2 = [(10 + i, "gamma delta " * 3) for i in range(2)]
+    spark.createDataFrame(f2, schema).write.mode("append").json(str(landing / "b2"))
+    run()
+    got2 = {
+        (r.row, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM cms_state").collect()
+    }
+    both = batch1.unionByName(spark.createDataFrame(f2, schema))
+    want2 = {
+        (r.row, r.bucket): r.cnt for r in cms_build(both, width=w, depth=d).collect()
+    }
+    assert got2 == want2
