@@ -4056,3 +4056,51 @@ def q_customer_priority_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_cols=("ts", "seq"),
     )
     return scd2_snapshot(hist, "1998-06-01")
+
+
+@register(
+    "incremental_daily_sales",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           count(o_orderkey) AS total_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(o_totalprice) AS avg_order_value,
+           max(o_totalprice) AS max_order_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_incremental_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance proof: the day-level sales
+    aggregate computed INCREMENTALLY — the fact table split by order-key
+    parity, each half partial-aggregated, the halves merged, the state
+    finalized — must hash-match DuckDB's one-shot GROUP BY over the
+    whole table. Decimal partial sums make the fold order
+    irrelevant; the double conversion happens only at finalize."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_aggregate,
+        incremental_update,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_day", F.col("o_orderdate").cast("date")
+    )
+    keys = ["order_day"]
+    spec = [
+        ("total_orders", "o_orderkey", "count"),
+        ("total_revenue", "o_totalprice", "sum"),
+        ("avg_order_value", "o_totalprice", "avg"),
+        ("max_order_value", "o_totalprice", "max"),
+    ]
+    state = incremental_update(
+        None, orders.filter(F.col("o_orderkey") % 2 == 0), keys, spec
+    )
+    state = incremental_update(
+        state, orders.filter(F.col("o_orderkey") % 2 == 1), keys, spec
+    )
+    return finalize_aggregate(state, keys, spec)

@@ -1,0 +1,65 @@
+"""Incremental aggregate maintenance: merge algebra and equivalence
+with one-shot aggregation."""
+
+from pyspark.sql import functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+    finalize_aggregate,
+    incremental_update,
+    merge_partials,
+    partial_aggregate,
+)
+
+SPEC = [
+    ("n", "v", "count"),
+    ("total", "v", "sum"),
+    ("mean", "v", "avg"),
+    ("lo", "v", "min"),
+    ("hi", "v", "max"),
+]
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k string, v double")
+
+
+def _final(df):
+    return {
+        r.k: (r.n, r.total, r.mean, r.lo, r.hi)
+        for r in finalize_aggregate(df, ["k"], SPEC).collect()
+    }
+
+
+def test_incremental_equals_one_shot(spark):
+    data = [("a", 1.0), ("a", 2.5), ("b", 10.0), ("a", -3.0), ("c", 0.0)]
+    full = partial_aggregate(_rows(spark, data), ["k"], SPEC)
+    state = None
+    for i in range(len(data)):  # one row per "batch" — worst-case folding
+        state = incremental_update(state, _rows(spark, data[i : i + 1]), ["k"], SPEC)
+    assert _final(state) == _final(full)
+
+
+def test_merge_is_associative_and_handles_disjoint_groups(spark):
+    p1 = partial_aggregate(_rows(spark, [("a", 1.0), ("b", 2.0)]), ["k"], SPEC)
+    p2 = partial_aggregate(_rows(spark, [("b", 5.0), ("c", 7.0)]), ["k"], SPEC)
+    p3 = partial_aggregate(_rows(spark, [("c", -1.0)]), ["k"], SPEC)
+    left = merge_partials(merge_partials(p1, p2, ["k"], SPEC), p3, ["k"], SPEC)
+    right = merge_partials(p1, merge_partials(p2, p3, ["k"], SPEC), ["k"], SPEC)
+    assert _final(left) == _final(right)
+    assert _final(left)["a"] == (1, 1.0, 1.0, 1.0, 1.0)  # group in one side only
+
+
+def test_nulls_do_not_count(spark):
+    df = spark.createDataFrame([("a", None), ("a", 4.0)], "k string, v double")
+    state = partial_aggregate(df, ["k"], SPEC)
+    n, total, mean, lo, hi = _final(state)["a"]
+    assert (n, total, mean, lo, hi) == (1, 4.0, 4.0, 4.0, 4.0)
+
+
+def test_unknown_kind_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown agg kind"):
+        partial_aggregate(
+            _rows(spark, [("a", 1.0)]), ["k"], [("x", "v", "median")]
+        )
