@@ -61,3 +61,48 @@ def test_scalar_helpers(spark):
     assert str(r.m) == "12.35"  # decimal(18,2), HALF_UP
     assert r.div0 is None  # zero-guard: NULL, not error/inf
     assert r.div4 == 2.5
+
+
+def test_flatten_struct_recursive_and_depth(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.functions.nested import (
+        flatten_struct,
+    )
+
+    df = spark.sql(
+        "SELECT 1 AS id, named_struct('a', 2, 'b', "
+        "named_struct('c', 3, 'd', array(4, 5))) AS s, array(6) AS arr"
+    )
+    flat = flatten_struct(df)
+    assert flat.columns == ["id", "s_a", "s_b_c", "s_b_d", "arr"]
+    row = flat.collect()[0]
+    assert (row.id, row.s_a, row.s_b_c, row.s_b_d, row.arr) == (1, 2, 3, [4, 5], [6])
+    # bounded depth: inner struct survives whole
+    d1 = flatten_struct(df, max_depth=1)
+    assert d1.columns == ["id", "s_a", "s_b", "arr"]
+    assert d1.collect()[0].s_b.asDict() == {"c": 3, "d": [4, 5]}
+
+
+def test_flatten_struct_collision_raises(spark):
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.functions.nested import (
+        flatten_struct,
+    )
+
+    df = spark.sql("SELECT named_struct('b', 1) AS a, 2 AS a_b")
+    with pytest.raises(ValueError, match="collision"):
+        flatten_struct(df)
+
+
+def test_flatten_struct_is_pure_projection(spark):
+    """No exchange, no aggregate — the flatten must stay scan-side."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.functions.nested import (
+        flatten_struct,
+    )
+
+    df = spark.sql(
+        "SELECT id, named_struct('x', id * 2, 'y', "
+        "named_struct('z', id + 1)) AS s FROM range(10)"
+    )
+    plan = flatten_struct(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "HashAggregate" not in plan
