@@ -936,3 +936,147 @@ def top_supplier_revenue(
         F.broadcast(supplier.select("s_suppkey", "s_name")),
         best["l_suppkey"] == F.col("s_suppkey"),
     ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_center: float = 0.06,
+    disc_band: float = 0.01,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: the canonical pure
+    filter-and-sum — revenue that would be recovered by dropping
+    discounts in a band, for small-quantity lineitems in one year.
+
+    Scale shape: the simplest possible plan and deliberately so — ALL
+    four predicates (date range, discount band, quantity cap) push to
+    the parquet scan as min/max row-group pruning + page filters, the
+    projection reads exactly 2 columns, and the single global sum is a
+    partial+final agg with a 1-row shuffle. At 100 TB this query is
+    I/O-bound on pruned scan throughput, which is the point.
+
+    The discount band compares raw doubles against double literals —
+    deliberately NOT decimal-cast: a cast on the column would block
+    parquet pushdown, and both engines parse the same literal to the
+    same IEEE double, so boundary membership is identical anyway. Only
+    the summed measure goes through exact decimals."""
+    lo = round(disc_center - disc_band, 2)
+    hi = round(disc_center + disc_band, 2)
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= F.lit(lo))
+            & (F.col("l_discount") <= F.lit(hi))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def important_part_value(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#1",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11-shaped important-stock screen, reshaped over lineitem
+    (the testdata has no partsupp table): per-part shipped value
+    (qty × price) within one brand, keeping parts whose value exceeds
+    ``fraction`` of the brand's grand total.
+
+    Scale shape: the classic two-level aggregate with a scalar
+    threshold. The per-part aggregate reduces the fact table to
+    |parts| rows; the grand total re-aggregates THOSE |parts| rows (a
+    second tiny agg, never a second fact scan — Catalyst reuses the
+    exchange); the scalar lands as a broadcast cross-join onto the
+    aggregate, so the fact table is scanned exactly once. The
+    threshold compare is double×double — but membership only, the
+    output values themselves are exact decimal sums, so output hashes
+    are engine-stable for any non-adversarial threshold."""
+    value = F.col("l_quantity").cast("decimal(12,2)") * F.col(
+        "l_extendedprice"
+    ).cast("decimal(12,2)")
+    li = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+        lineitem["l_partkey"] == F.col("p_partkey"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(value).alias("_val_dec")
+    )
+    total = per_part.agg(
+        F.sum("_val_dec").cast("double").alias("_grand_total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val_dec").cast("double")
+            > F.col("_grand_total") * F.lit(fraction)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_val_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+def excess_shipment_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    type_prefix: str = "PROMO",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    factor: float = 1.5,
+) -> DataFrame:
+    """TPC-H Q20-shaped excess-shipment screen, reshaped over lineitem
+    (no partsupp in the testdata): for parts of one type family,
+    find suppliers who shipped MORE than ``factor`` × the per-part
+    average supplier volume in the window — the spec's correlated
+    ``ps_availqty > 0.5 * sum(l_quantity)`` turned into a decorrelated
+    per-(supplier, part) vs per-part comparison, then a distinct
+    supplier roll-up joined to the supplier dim.
+
+    Scale shape: Q20's nested correlated subqueries decorrelate into
+    ONE aggregate at (suppkey, partkey) grain; the per-part average
+    derives from it with a window over partkey (reusing the exchange's
+    partkey co-partitioning — no second fact scan, no self-join). The
+    filtered part dim broadcasts into the fact scan, and the final
+    supplier join runs on ≤|suppliers| aggregated rows."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).join(
+        F.broadcast(
+            part.filter(F.col("p_type").startswith(type_prefix)).select("p_partkey")
+        ),
+        lineitem["l_partkey"] == F.col("p_partkey"),
+    )
+    pair = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty_dec")
+    )
+    # window sums stay decimal (order-insensitive exact); doubles appear
+    # only in the single membership compare and the final projection
+    w = Window.partitionBy("l_partkey")
+    flagged = pair.withColumn(
+        "part_avg_qty",
+        F.sum("_qty_dec").over(w).cast("double") / F.count(F.lit(1)).over(w),
+    ).filter(
+        F.col("_qty_dec").cast("double") > F.col("part_avg_qty") * F.lit(factor)
+    )
+    per_supp = flagged.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("excess_parts"),
+        F.sum("_qty_dec").cast("double").alias("excess_qty"),
+    )
+    return per_supp.join(
+        F.broadcast(supplier.select("s_suppkey", "s_name")),
+        per_supp["l_suppkey"] == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "excess_parts", "excess_qty")

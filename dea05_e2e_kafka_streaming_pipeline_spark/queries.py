@@ -3922,6 +3922,111 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS forecast_revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped filter-and-sum: every predicate pushes to the
+    scan, 2-column projection, 1-row result — the pruned-scan
+    throughput benchmark (plan-asserted in tests/test_plans.py)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        forecast_revenue_change,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "important_part_value",
+    oracle="""
+    WITH pp AS (
+      SELECT l.l_partkey AS p_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(12,2))
+                 * CAST(l.l_extendedprice AS DECIMAL(12,2))) AS val_dec
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#1'
+      GROUP BY 1
+    )
+    SELECT p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+    FROM pp
+    WHERE CAST(val_dec AS DOUBLE)
+          > (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM pp) * 0.001
+    """,
+)
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock screen (reshaped over lineitem —
+    the testdata has no partsupp): per-part value vs a fraction of the
+    grand total, the scalar landing as a broadcast cross-join so the
+    fact scans once."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        important_part_value,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return important_part_value(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "excess_shipment_suppliers",
+    oracle="""
+    WITH pair AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS qty_dec
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type LIKE 'PROMO%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), flagged AS (
+      SELECT l_suppkey, qty_dec
+      FROM (
+        SELECT l_suppkey, qty_dec,
+               CAST(SUM(qty_dec) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY l_partkey) AS part_avg_qty
+        FROM pair
+      )
+      WHERE CAST(qty_dec AS DOUBLE) > part_avg_qty * 1.5
+    ), per_supp AS (
+      SELECT l_suppkey, count(*) AS excess_parts,
+             CAST(SUM(qty_dec) AS DOUBLE) AS excess_qty
+      FROM flagged GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, f.excess_parts, f.excess_qty
+    FROM per_supp f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    """,
+)
+def q_excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-shipment screen: the nested correlated
+    subqueries decorrelated into one (supplier, part)-grain aggregate +
+    a partkey window reusing its exchange — no second fact scan."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        excess_shipment_suppliers,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return excess_shipment_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def _cms_oracle(width: int, depth: int, threshold: int) -> str:
     """DuckDB mirror of the count-min pipeline: identical md5-derived
     buckets, identical min-over-rows estimate."""

@@ -215,3 +215,50 @@ def test_customer_order_distribution_outer_join_preserved(spark):
     plan = _plan(spark, "customer_order_distribution")
     assert "LeftOuter" in plan or "RightOuter" in plan
     assert "Not(EqualTo(o_orderstatus,P))" in plan  # pushed to orders scan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark):
+    """Q6 shape: all four predicates reach the parquet scan and only the
+    2 projected columns (+ filter columns) are read — the query must be
+    I/O-bound on a pruned scan, with a 1-row partial+final aggregate.
+
+    Uses the formatted explain — the simple plan string truncates long
+    PushedFilters lists."""
+    df = registry.queries()["forecast_revenue"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    # pruned read schema: no unrelated wide columns
+    scan = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_returnflag" not in scan and "l_partkey" not in scan
+    assert "HashAggregate" in plan
+
+
+def test_important_part_single_fact_scan(spark):
+    """Q11 shape: the brand-filtered part dim broadcasts, the grand
+    total lands as a broadcast (nested-loop on a 1-row side is fine),
+    and the FACT table is scanned exactly once."""
+    plan = _plan(spark, "important_part_value")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") <= 2  # scan + possible reuse ref
+    assert "EqualTo(p_brand,Brand#1)" in plan
+
+
+def test_excess_shipments_window_reuses_pair_exchange(spark):
+    """Q20 shape: one aggregate at (supp, part) grain; the partkey
+    window must not add a second fact scan, and the type-filtered part
+    dim broadcasts into it."""
+    plan = _plan(spark, "excess_shipment_suppliers")
+    assert "StringStartsWith(p_type,PROMO)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
