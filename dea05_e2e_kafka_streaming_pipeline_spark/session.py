@@ -29,6 +29,18 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Runtime filters for the joins AQE can't broadcast: when one side
+    # of a shuffle join carries a selective filter, inject a bloom
+    # filter of its join keys into the other side's scan — at 100 TB
+    # this is the difference between shuffling the full fact table and
+    # shuffling only rows that can possibly match. Explicit (it IS the
+    # Spark default) because tests/test_runtime_filters.py pins the
+    # behavior; thresholds stay at defaults (creation side ≤ 10 MB
+    # post-filter, application side ≥ 10 GB scan).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # partition-column joins against filtered dims prune fact partitions
+    # at runtime (also the default; pinned by the same test module)
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # Session-wide policy, set HERE rather than toggled per-read (a
     # per-read toggle would silently change the meaning of later reads):
     # parquet TIMESTAMP(NANOS) columns always arrive as nanosecond longs
