@@ -447,6 +447,72 @@ def chunk_documents(
     )
 
 
+def dedup_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document chunk-level dedup (the CCNet paragraph-dedup move
+    at token-window granularity — these corpora have no paragraph
+    breaks): split every document into NON-overlapping
+    ``chunk_tokens``-token windows, fingerprint each window, keep the
+    globally-first occurrence of every fingerprint (ordered by
+    (doc_id, chunk_id)), and reassemble each document from its
+    surviving chunks. Boilerplate shared across documents (headers,
+    navigation, license blocks) disappears from every copy but the
+    first, while unique prose survives untouched.
+
+    Scale shape: chunking is the map-only ``chunk_documents`` pass;
+    winner selection is ONE window over the chunk fingerprint (the
+    chunk text must cross a shuffle anyway for reassembly, so a
+    row_number window on the digest is strictly better than an
+    agg+rejoin which would shuffle it twice); reassembly is one
+    groupBy(doc) with an ``array_sort`` over collected (chunk_id,
+    text) structs — deterministic under any arrival order. Two
+    shuffles total, both keyed on 16-byte digests / doc ids.
+
+    Returns (doc_id, total_chunks, kept_chunks, kept_tokens,
+    dedup_text); documents whose every chunk was seen earlier come
+    back with kept_chunks = 0 and an empty dedup_text — downstream
+    filters drop or keep them by policy.
+    """
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0,
+        text_col=text_col, id_col=id_col,
+    ).withColumn("__fp", F.md5(F.col("chunk_text")))
+    w = Window.partitionBy("__fp").orderBy(id_col, "chunk_id")
+    ranked = chunks.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.sum(F.when(F.col("__rk") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("kept_chunks"),
+            F.sum(
+                F.when(F.col("__rk") == 1, F.col("n_chunk_tokens")).otherwise(0)
+            )
+            .cast("int")
+            .alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rk") == 1,
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+
+
 def pack_training_sequences(
     df: DataFrame,
     seq_len: int = 1024,

@@ -783,6 +783,52 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunks_docs",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, CAST(ceil(len(toks) / 64.0) AS INT)) AS n_chunks
+      FROM d
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             array_to_string(toks[i * 64 + 1 : i * 64 + 64], ' ') AS chunk_text,
+             CAST(least(64, n - i * 64) AS INT) AS n_toks
+      FROM s, UNNEST(range(0, n_chunks)) AS t(i)
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
+             ) AS rk
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS total_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS INT) AS kept_chunks,
+           CAST(sum(CASE WHEN rk = 1 THEN n_toks ELSE 0 END) AS INT)
+             AS kept_tokens,
+           coalesce(
+             string_agg(CASE WHEN rk = 1 THEN chunk_text END,
+                        ' ' ORDER BY chunk_id),
+             '') AS dedup_text
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level dedup (CCNet paragraph-dedup analogue
+    over 64-token windows): first global occurrence of each chunk
+    fingerprint survives, documents reassemble from surviving chunks —
+    two digest/doc-keyed shuffles total."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dedup_chunks,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dedup_chunks(load_table(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+@register(
     "embedding_quantization",
     oracle="""
     WITH e AS (

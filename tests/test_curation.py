@@ -233,3 +233,32 @@ def test_apply_dedup_cc_quality_representative(spark):
     assert sorted(r.doc_id for r in best.collect()) == [2, 10]  # 0.9 tie -> min id 2
     minid = apply_dedup_cc(docs, pairs)
     assert sorted(r.doc_id for r in minid.collect()) == [1, 10]
+
+
+def test_dedup_chunks_drops_shared_boilerplate(spark):
+    """A boilerplate window shared by every document survives only in
+    the first document (by doc_id order); unique prose is untouched;
+    a document that is ALL boilerplate comes back empty with
+    kept_chunks = 0."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dedup_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one full 4-token chunk
+    uniq = {d: " ".join(f"u{d}_{i}" for i in range(4)) for d in (1, 2)}
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq[1]),  # chunks: [boiler, uniq1]
+            (2, boiler + " " + uniq[2]),  # boiler duplicated -> dropped
+            (3, boiler),  # all boilerplate -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_chunks(docs, chunk_tokens=4).collect()
+    }
+    assert out[1].kept_chunks == 2 and out[1].dedup_text == boiler + " " + uniq[1]
+    assert out[2].kept_chunks == 1 and out[2].dedup_text == uniq[2]
+    assert out[3].kept_chunks == 0 and out[3].dedup_text == ""
+    assert out[3].total_chunks == 1 and out[1].kept_tokens == 8
