@@ -829,6 +829,37 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_rowgroup_stats",
+    oracle="""
+    SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+           CAST(row_group_id AS INT) AS row_group,
+           path_in_schema AS column,
+           stats_min_value AS min_value,
+           stats_max_value AS max_value,
+           CAST(stats_null_count AS BIGINT) AS null_count,
+           CAST(num_values AS BIGINT) AS num_values
+    FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+    WHERE path_in_schema IN ('l_orderkey', 'l_suppkey')
+    """,
+)
+def q_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map collection (the ANALYZE step): per-(file, row-group,
+    column) min/max/null stats read from parquet FOOTERS ONLY, fanned
+    out as mapInPandas over the file list — no data pages touched.
+    The oracle is DuckDB's parquet_metadata() over the same file; both
+    engines read the identical footer fields, so values hash-match.
+    (Oracle path is the driver's fixed sf0.01 dataset — the correctness
+    sweep's contract scale; the Spark side derives from sf_dir.)"""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import (
+        rowgroup_stats,
+    )
+
+    return rowgroup_stats(
+        spark, f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_suppkey"]
+    )
+
+
+@register(
     "embedding_quantization",
     oracle="""
     WITH e AS (

@@ -72,6 +72,83 @@ def file_inventory(df: DataFrame) -> DataFrame:
     )
 
 
+def rowgroup_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+) -> DataFrame:
+    """Zone-map collection — per-(file, row-group, column) min/max/null
+    statistics straight from the parquet FOOTERS, the ANALYZE step that
+    feeds data-skipping decisions (which files/row-groups can a
+    predicate possibly match?) without touching data pages.
+
+    Scale shape: the driver only LISTS the dataset (names, no I/O);
+    footer decoding fans out as an Arrow ``mapInPandas`` over the file
+    list, so a million-file lake reads a million footers across the
+    cluster, ~8 KB each, embarrassingly parallel. This is how
+    lakehouse table formats bootstrap their stats tables; on a single
+    local file it degrades to one task.
+
+    min/max surface as STRINGS (the cross-engine common form of footer
+    statistics — DuckDB's ``parquet_metadata()`` does the same);
+    numeric consumers cast back. Only leaf columns with stats are
+    emitted.
+    """
+    import pyarrow.dataset as ds
+
+    files = sorted(ds.dataset(path).files)
+    cols = list(columns)
+
+    def _read_footers(batches):
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            out = []
+            for fpath in batch["file"]:
+                md = pq.ParquetFile(fpath).metadata
+                name_to_idx = {
+                    md.schema.column(i).path: i for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for col in cols:
+                        chunk = row_group.column(name_to_idx[col])
+                        st = chunk.statistics
+                        if st is None:
+                            continue
+                        out.append(
+                            {
+                                "file_name": os.path.basename(fpath),
+                                "row_group": rg,
+                                "column": col,
+                                "min_value": str(st.min) if st.has_min_max else None,
+                                "max_value": str(st.max) if st.has_min_max else None,
+                                "null_count": st.null_count,
+                                "num_values": chunk.num_values,
+                            }
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file_name", "row_group", "column",
+                    "min_value", "max_value", "null_count", "num_values",
+                ],
+            )
+
+    schema = (
+        "file_name string, row_group int, column string, "
+        "min_value string, max_value string, null_count long, num_values long"
+    )
+    return (
+        spark.createDataFrame([(f,) for f in files], "file string")
+        .repartition(max(1, min(len(files), 64)))
+        .mapInPandas(_read_footers, schema=schema)
+    )
+
+
 def delta_history(spark: SparkSession, path: str) -> DataFrame:
     """Delta transaction history (reference delta_metadata.py:114-116).
     Requires delta-spark; raises a clear error otherwise."""

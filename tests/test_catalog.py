@@ -176,3 +176,38 @@ def test_read_parquet_evolved_across_generations(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None  # old generation: NULL for the new column
     assert rows[2].score == 9.5
+
+
+def test_rowgroup_stats_multi_file_matches_footers(spark, tmp_path):
+    """Footer zone-map collection over a MULTI-file dataset: every
+    (file, column) stat row matches what pyarrow reads directly, and
+    the min/max ranges partition cleanly when the write was
+    range-clustered on the stat column."""
+    import pyarrow.parquet as pq
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import (
+        rowgroup_stats,
+    )
+
+    path = str(tmp_path / "clustered")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orders.repartitionByRange(4, "o_orderkey").write.mode("overwrite").parquet(path)
+
+    stats = rowgroup_stats(spark, path, ["o_orderkey"]).collect()
+    # one stats row per (file, row-group) for the single column
+    import glob
+    import os
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    assert {r.file_name for r in stats} == {os.path.basename(f) for f in files}
+    for r in stats:
+        md = pq.ParquetFile(os.path.join(path, r.file_name)).metadata
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        st = md.row_group(r.row_group).column(idx["o_orderkey"]).statistics
+        assert r.min_value == str(st.min) and r.max_value == str(st.max)
+        assert r.null_count == st.null_count
+    # range clustering -> non-overlapping [min, max] intervals across files
+    spans = sorted((int(r.min_value), int(r.max_value)) for r in stats)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
