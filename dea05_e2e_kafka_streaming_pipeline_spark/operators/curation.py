@@ -261,6 +261,37 @@ def hash_sample(
     return df.filter(_sample_bucket(F.col(key_col), salt) < pct)
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment — the split step of a
+    training pipeline as a PURE PROJECTION: each row's md5 bucket of
+    ``key_col`` lands in a cumulative percentage band, so assignment is
+    reproducible run-to-run, stable under repartitioning, needs no
+    side file, and costs one hash per row with no shuffle at any
+    scale. ``splits`` maps label → percentage (must sum to 100);
+    default 98/1/1. ``salt`` re-deals the split without touching data.
+    """
+    splits = splits or {"train": 98, "valid": 1, "test": 1}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100: {splits}")
+    bucket = _sample_bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    hi = 0
+    *head, (last_label, _) = splits.items()
+    for label, pct in head:
+        hi += pct
+        cond = bucket < hi
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    split_col = (
+        expr.otherwise(last_label) if expr is not None else F.lit(last_label)
+    )
+    return df.withColumn("split", split_col)
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, int],

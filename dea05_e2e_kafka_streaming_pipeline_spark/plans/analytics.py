@@ -938,6 +938,84 @@ def top_supplier_revenue(
     ).select("s_suppkey", "s_name", "total_revenue")
 
 
+def exact_moment_correlation(
+    lineitem: DataFrame,
+    x_col: str = "l_quantity",
+    y_col: str = "l_extendedprice",
+) -> DataFrame:
+    """Pearson correlation and sample covariance via EXACT decimal
+    moment sums — the statistical-aggregate discipline for 1000-executor
+    runs: built-in ``corr()``/``covar_samp()`` stream doubles through
+    Welford-style updates whose result depends on partition order, so
+    two runs of the same query can differ in low bits (and never match
+    an external engine). Here the five moments (Σx, Σy, Σxy, Σx², Σy²)
+    aggregate as decimals — associative, commutative, EXACT under any
+    partial-agg schedule — and the textbook formulas evaluate once on
+    the driver-side 1-row result in doubles, identically in any engine.
+
+    Input columns must be fixed-precision reals (2-decimal money/qty
+    here: products fit decimal(25,4), sums decimal(35,4)). One map-side
+    combinable aggregate, 1-row shuffle."""
+    x = F.col(x_col).cast("decimal(12,2)")
+    y = F.col(y_col).cast("decimal(12,2)")
+    m = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return m.select(
+        "n",
+        (cov_num / (n - F.lit(1.0))).alias("covar_samp"),
+        (cov_num / F.sqrt(var_x * var_y)).alias("pearson_corr"),
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equi-width histogram with FIXED bounds via ``width_bucket`` —
+    the one-pass distribution profile (dashboards, drift monitors,
+    data-profiling). Fixed bounds are a design choice, not a
+    limitation: a min/max pre-scan would serialize two passes over
+    100 TB, while domain bounds (price caps, score ranges) are known
+    upfront; out-of-range rows land in the 0 / n+1 overflow buckets
+    the SQL-standard function defines. One map-side-combinable
+    aggregate over ≤ n+2 groups; sums stay decimal-exact.
+
+    The bucket expression is spelled out (floor((v−lo)/width)+1 with
+    width precomputed) rather than calling ``width_bucket``: the
+    explicit form is the same codegen arithmetic AND engine-portable —
+    external oracles reproduce it bit-for-bit without relying on a
+    particular engine's width_bucket edge-case conventions."""
+    v = F.col(value_col)
+    width = (hi - lo) / n_buckets
+    b = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_buckets + 1))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)) + 1)
+    )
+    return (
+        df.groupBy(b.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def forecast_revenue_change(
     lineitem: DataFrame,
     date_from: str = "1996-01-01",

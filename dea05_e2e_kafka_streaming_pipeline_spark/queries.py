@@ -860,6 +860,102 @@ def q_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split_docs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT
+                  % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket < 99 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/valid/test assignment — a pure
+    projection on the md5 bucket of doc_id: reproducible, shuffle-free,
+    repartition-stable (no rand(), no side file)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        assign_splits,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return assign_splits(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+
+
+@register(
+    "price_quantity_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem
+    )
+    SELECT n,
+           (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+             AS covar_samp,
+           (sxy - sx * sy / CAST(n AS DOUBLE))
+             / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                    * (syy - sy * sy / CAST(n AS DOUBLE)))
+             AS pearson_corr
+    FROM m
+    """,
+)
+def q_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / covariance via exact decimal moment sums —
+    order-insensitive under any partial-agg schedule, unlike built-in
+    corr()/covar_samp() whose streaming-double results drift with
+    partition order; final formulas evaluate once on the 1-row result."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        exact_moment_correlation,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return exact_moment_correlation(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "order_price_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 500000.0 THEN 21
+                     ELSE floor((o_totalprice - 0.0) / 25000.0) + 1
+                END AS INT) AS bucket,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width order-value histogram (SQL-standard width_bucket,
+    fixed domain bounds — no serializing min/max pre-scan): one
+    map-side-combinable aggregate over ≤ 22 groups."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        equi_width_histogram,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return equi_width_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500000.0, 20
+    )
+
+
+@register(
     "embedding_quantization",
     oracle="""
     WITH e AS (

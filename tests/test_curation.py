@@ -262,3 +262,31 @@ def test_dedup_chunks_drops_shared_boilerplate(spark):
     assert out[2].kept_chunks == 1 and out[2].dedup_text == uniq[2]
     assert out[3].kept_chunks == 0 and out[3].dedup_text == ""
     assert out[3].total_chunks == 1 and out[1].kept_tokens == 8
+
+
+def test_assign_splits_fractions_and_determinism(spark):
+    """98/1/1 split: labels partition the corpus, assignment is stable
+    across repartitioning, and bad percentages are rejected."""
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        assign_splits,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    out = assign_splits(docs).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) <= {"train", "valid", "test"}
+    assert counts["train"] > counts.get("valid", 0) + counts.get("test", 0)
+    # repartition-stable: same assignment regardless of layout
+    a = {r.doc_id: r.split for r in assign_splits(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_splits(docs.repartition(13)).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        assign_splits(docs, splits={"train": 90, "valid": 5})
