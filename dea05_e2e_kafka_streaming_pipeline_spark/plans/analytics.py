@@ -1016,6 +1016,69 @@ def equi_width_histogram(
     )
 
 
+def gap_fill_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series regularization: a dense per-user DAILY spine over
+    each user's own active span, with missing days filled — zero event
+    counts, last-observation-carried-forward daily value, and
+    days-since-last-activity. The resample/gap-fill/LOCF triple every
+    monitoring or feature-engineering pipeline needs before windowed
+    models, expressed without a calendar table or UDF.
+
+    Scale shape: the raw stream first reduces to (user, day) grain —
+    the only pass over full data; the spine is a per-user
+    ``sequence``/``explode`` bounded by span length, never a cartesian
+    with a calendar dim; the fill windows all partition on user and
+    order by day, sharing one exchange. Values quantize to
+    decimal(18,6) BEFORE summing (a double sum's low bits depend on
+    partition order; the quantized sum is exact and engine-portable).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = events.groupBy(
+        F.col(user_col).alias("user_id"), day.alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_day_sum"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "_day_sum",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.coalesce(
+            F.last("_day_sum", ignorenulls=True).over(w).cast("double"),
+            F.lit(0.0),
+        ).alias("locf_day_value"),
+        F.datediff(
+            F.col("day"),
+            F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w),
+        ).alias("days_since_activity"),
+    )
+
+
 def forecast_revenue_change(
     lineitem: DataFrame,
     date_from: str = "1996-01-01",

@@ -956,6 +956,51 @@ def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS day_sum
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id, CAST(gs AS DATE) AS day
+      FROM span, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(gs)
+    ), joined AS (
+      SELECT s.user_id, s.day,
+             coalesce(d.n_events, 0) AS n_events, d.day_sum
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day, n_events,
+           coalesce(CAST(last_value(day_sum IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 0.0)
+             AS locf_day_value,
+           datediff('day',
+             max(CASE WHEN n_events > 0 THEN day END) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING),
+             day) AS days_since_activity
+    FROM joined
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily spine with zero-filled counts, LOCF daily
+    value, and days-since-activity — resample/gap-fill without a
+    calendar table: per-user sequence/explode bounded by the span,
+    fill windows sharing one user exchange."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        gap_fill_daily,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return gap_fill_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "embedding_quantization",
     oracle="""
     WITH e AS (
