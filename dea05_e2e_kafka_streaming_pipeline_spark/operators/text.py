@@ -288,3 +288,39 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized md5 content fingerprint — the exact-dedup
     key and the cheap doc identity for lineage."""
     return df.select("*", content_fingerprint(text_col).alias("fingerprint"))
+
+
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_postings: int = 32,
+) -> DataFrame:
+    """Search-index materialization: token → (document frequency, total
+    term frequency, sorted sample postings list) — the build step behind
+    keyword retrieval and the stats feeder for :func:`bm25_topk`.
+
+    Scale shape: the explode is immediately re-reduced at (token, doc)
+    grain — the per-token row count is bounded by |docs| BEFORE the
+    token-level shuffle, so a stop-token's postings arrive as one row
+    per containing document, never one per occurrence. The final
+    per-token aggregate carries counts plus a SLICED sample of the
+    sorted postings (``sample_postings`` cap): full postings lists for
+    web-scale stop tokens would concentrate gigabytes into single rows
+    — consumers needing complete lists keep the (token, doc) grain
+    table instead (it IS the index, partitionable by token prefix).
+    """
+    toks = tokens(F.col(text_col))
+    td = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return td.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+        F.slice(
+            F.array_sort(F.collect_list("doc_id")), 1, sample_postings
+        ).alias("postings_sample"),
+    )

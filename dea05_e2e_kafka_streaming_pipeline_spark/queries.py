@@ -1001,6 +1001,35 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inverted_index_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), td AS (
+      SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT token,
+           count(*) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           (array_agg(doc_id ORDER BY doc_id))[1:32] AS postings_sample
+    FROM td GROUP BY 1
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: token → (df, total tf, sorted sample
+    postings). The explode re-reduces at (token, doc) grain before the
+    token shuffle, and postings are capped — stop-token rows stay
+    bounded at any corpus size."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        build_inverted_index,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return build_inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "embedding_quantization",
     oracle="""
     WITH e AS (
