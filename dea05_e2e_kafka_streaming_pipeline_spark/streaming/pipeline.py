@@ -348,6 +348,68 @@ def stream_stream_join(
     return joined.drop("__r_key").withColumnRenamed("__r_ts", out_right_ts)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join against a FIXED dimension
+    snapshot.
+
+    The dim is broadcast-hinted: stream-static joins cannot shuffle the
+    unbounded side on the join key mid-stream, so at 100 TB/day the
+    ONLY viable physical strategy is broadcasting the (bounded) dim to
+    wherever stream partitions already live — the hint makes that
+    explicit rather than trusting size estimation on a moving source.
+    Left join by default: enrichment must not drop events whose dim row
+    is late (the DQ suite screens nulls downstream instead).
+
+    A file-backed static side PINS its file listing when the query
+    starts — overwriting the dim directory mid-query fails the stream
+    (FILE_NOT_EXIST), it does not refresh it. For a dim that updates
+    while the query runs, use :func:`enrich_stream_sink`, which
+    re-reads the dim INSIDE each micro-batch.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def enrich_stream_sink(
+    stream: DataFrame,
+    dim_path: str,
+    on: str | list[str],
+    path: str,
+    checkpoint: str,
+    how: str = "left",
+    available_now: bool = False,
+):
+    """Stream-static enrichment with LIVE dimension refresh: a
+    ``foreachBatch`` sink that re-reads the dim table at the start of
+    every micro-batch, so upstream dim rewrites land in the next batch
+    without restarting the query — the refresh loop the reference's
+    consumer runs by hand each poll, minus the restart.
+
+    Per-batch cost is one dim read (footer + broadcast of a bounded
+    table) — negligible against a micro-batch of stream data; the
+    output parquet appends, so replays after a crash re-derive the
+    same rows (enrichment is deterministic given (batch, dim
+    snapshot); exactly-once landing comes from the checkpoint as in
+    :func:`ingest_to_lake`)."""
+
+    def _enrich(batch_df: DataFrame, epoch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        batch_df.join(F.broadcast(dim), on, how).write.mode("append").parquet(path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sessionized_event_stats(
     stream: DataFrame,
     ts_column: str = "ts",

@@ -674,3 +674,77 @@ def test_cms_sketch_stream_matches_batch_and_survives_restart(spark, tmp_path):
         (r.row, r.bucket): r.cnt for r in cms_build(both, width=w, depth=d).collect()
     }
     assert got2 == want2
+
+
+def test_enrich_stream_static_snapshot_join(spark, tmp_path):
+    """Stream-static broadcast enrichment against a fixed dim
+    snapshot: every streamed event picks up its dim attribute."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        enrich_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [(u, "bronze" if u % 2 else "gold") for u in range(150)],
+        "user_id long, tier string",
+    )
+    n = _land_events_json(spark, tmp_path / "landing", F.col("event_id") < 50)
+    stream = file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .select("event_id", "user_id", "tier")
+        .writeStream.format("memory")
+        .queryName("enriched_snapshot")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM enriched_snapshot").collect()
+    finally:
+        q.stop()
+    assert len(rows) == n
+    assert all(r.tier == ("bronze" if r.user_id % 2 else "gold") for r in rows)
+
+
+def test_enrich_stream_sink_live_dim_refresh(spark, tmp_path):
+    """foreachBatch enrichment re-reads the dim per micro-batch: an
+    in-place dim rewrite between batches lands in the next batch with
+    no query restart (a pinned static side would crash instead)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        enrich_stream_sink,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+
+    def write_dim(tier):
+        spark.createDataFrame(
+            [(u, tier) for u in range(150)], "user_id long, tier string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+
+    write_dim("bronze")
+    _land_events_json(spark, tmp_path / "landing", F.col("event_id") < 50)
+    stream = file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA)
+    q = enrich_stream_sink(
+        stream.select("event_id", "user_id"),
+        dim_path,
+        "user_id",
+        path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        t1 = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
+        assert t1 and set(t1.values()) == {"bronze"}
+        write_dim("gold")
+        _land_events_json(
+            spark, tmp_path / "landing",
+            (F.col("event_id") >= 50) & (F.col("event_id") < 100),
+        )
+        q.processAllAvailable()
+        t2 = {r.event_id: r.tier for r in spark.read.parquet(out).collect()}
+    finally:
+        q.stop()
+    new_ids = set(t2) - set(t1)
+    assert new_ids and all(t2[i] == "gold" for i in new_ids)
+    assert all(t2[i] == "bronze" for i in t1)
