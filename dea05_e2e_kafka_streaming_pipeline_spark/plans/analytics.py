@@ -1016,6 +1016,110 @@ def equi_width_histogram(
     )
 
 
+def rolling_active_users(
+    events: DataFrame,
+    windows: tuple[int, ...] = (1, 7, 28),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling distinct-user counts per day — DAU/WAU/MAU, the growth
+    metrics every engagement dashboard reports. Exact, not sketched:
+    a trailing COUNT(DISTINCT) can't run as a window function, so each
+    (user, day) activity fact is EXPLODED into the future report days
+    it contributes to (≤ max(windows) rows each) and a plain
+    conditional count-distinct aggregate runs per report day.
+
+    Scale shape: the stream first dedups to (user, day) — the only
+    full-data pass; the explode multiplies that bounded activity table
+    by max(windows), NOT the raw events; the per-day aggregate
+    computes all window widths in one pass via conditional distincts.
+    Report days cover only days present in the data (dashboards join
+    a spine separately if they want gap rows)."""
+    max_w = max(windows)
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    activity = (
+        events.select(F.col(user_col).alias("user_id"), day.alias("day"))
+        .distinct()
+    )
+    contrib = activity.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), max_w - 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("report_day"),
+    )
+    report_days = activity.select(F.col("day").alias("report_day")).distinct()
+    aggs = [
+        F.count_distinct(
+            F.when(
+                F.datediff(F.col("report_day"), F.col("active_day")) < w,
+                F.col("user_id"),
+            )
+        ).alias(f"active_{w}d")
+        for w in windows
+    ]
+    return (
+        contrib.join(report_days, "report_day")  # only days that exist
+        .groupBy("report_day")
+        .agg(*aggs)
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two slices of the same
+    measure — the standard drift monitor between a reference window and
+    a current window (feature drift, data-quality regression, training/
+    serving skew). Each side histograms once (map-side combinable, ≤
+    n+2 groups), the bucket tables full-outer join (both tiny), and
+    the per-bucket PSI contribution ``(p_a − p_b)·ln(p_a/p_b)`` is
+    emitted PER BUCKET: consumers sum the column for the headline
+    number, while per-bucket rows localize WHERE the distribution
+    moved. Shares are exact counts over exact totals (one double
+    division); empty buckets clamp to ``eps``; the ln contribution is
+    rounded to 9 decimals so the result is engine-portable (a raw
+    libm ``ln`` may differ in the final ulp across engines — the same
+    fixed-point discipline as unigram surprisal).
+    """
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        return equi_width_histogram(df, value_col, lo, hi, n_buckets).select(
+            "bucket", F.col("n_rows").alias(f"n_{side}")
+        )
+
+    counts = hist(df_a, "a").join(hist(df_b, "b"), "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    pa = F.greatest(
+        F.col("n_a").cast("double") / F.col("_ta").cast("double"), F.lit(eps)
+    )
+    pb = F.greatest(
+        F.col("n_b").cast("double") / F.col("_tb").cast("double"), F.lit(eps)
+    )
+    return joined.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 9).alias("psi_term"),
+    )
+
+
 def gap_fill_daily(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1030,6 +1030,101 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_active_users",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day AS report_day FROM activity
+    ), contrib AS (
+      SELECT a.user_id, a.day AS active_day, CAST(gs AS DATE) AS report_day
+      FROM activity a,
+           UNNEST(generate_series(a.day, a.day + INTERVAL 27 DAY,
+                                  INTERVAL 1 DAY)) AS t(gs)
+    )
+    SELECT c.report_day,
+           count(DISTINCT CASE WHEN datediff('day', active_day, c.report_day) < 1
+                               THEN user_id END) AS active_1d,
+           count(DISTINCT CASE WHEN datediff('day', active_day, c.report_day) < 7
+                               THEN user_id END) AS active_7d,
+           count(DISTINCT CASE WHEN datediff('day', active_day, c.report_day) < 28
+                               THEN user_id END) AS active_28d
+    FROM contrib c JOIN days d ON c.report_day = d.report_day
+    GROUP BY 1
+    """,
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling DAU/WAU/MAU: activity dedups to (user, day) first,
+    each fact explodes into the ≤28 report days it reaches, one
+    conditional count-distinct aggregate serves all three widths."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        rolling_active_users,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "order_price_drift",
+    oracle="""
+    WITH ha AS (
+      SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                       WHEN o_totalprice >= 500000.0 THEN 21
+                       ELSE floor((o_totalprice - 0.0) / 25000.0) + 1
+                  END AS INT) AS bucket, count(*) AS n_a
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ), hb AS (
+      SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                       WHEN o_totalprice >= 500000.0 THEN 21
+                       ELSE floor((o_totalprice - 0.0) / 25000.0) + 1
+                  END AS INT) AS bucket, count(*) AS n_b
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ), counts AS (
+      SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+    ), totals AS (
+      SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts
+    )
+    SELECT bucket, n_a, n_b,
+           round((greatest(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 1e-6)
+                  - greatest(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 1e-6))
+                 * ln(greatest(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 1e-6)
+                      / greatest(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 1e-6)),
+                 9) AS psi_term
+    FROM counts, totals
+    """,
+)
+def q_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between 1996 and 1997 order-value
+    distributions: two tiny histogram aggregates, per-bucket PSI
+    contributions localizing where the distribution moved (sum the
+    column for the headline drift number)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import psi_drift
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        )
+
+    return psi_drift(year(1996), year(1997), "o_totalprice", 0.0, 500000.0, 20)
+
+
+@register(
     "embedding_quantization",
     oracle="""
     WITH e AS (
