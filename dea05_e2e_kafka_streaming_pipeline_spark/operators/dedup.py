@@ -613,8 +613,12 @@ def connected_components(
     are small-diameter by construction. Each round is one shuffle join +
     one aggregate over the EDGE list (never the documents), and the
     label frame is ``localCheckpoint``-ed so lineage stays flat across
-    iterations. Convergence is detected with a count of changed labels
-    (a driver-side scalar per round, not data).
+    iterations. Convergence detection rides the SAME materialization:
+    the changed-flag column is computed inside the round's projection
+    and checked with ``isEmpty()`` over the checkpointed blocks — a
+    take(1) that early-exits on the first changed row, instead of the
+    old-vs-new join+count job that used to double each round's stage
+    count.
 
     ``algorithm="star"``: alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -650,17 +654,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                # a label only ever decreases; strictly-smaller neighbor
+                # min == this round changed something
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
+                .alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if new_labels.filter(F.col("__changed")).isEmpty():
             break
     else:
         raise RuntimeError(
@@ -735,11 +737,14 @@ def _cc_star(
     )
     for _ in range(max_iterations):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges).union(edges.exceptAll(new_edges)).count()
+        # fixpoint test, cheapest-first: both sets are deduped, so equal
+        # cardinality + empty one-sided difference ⇒ set equality (the
+        # old two-sided exceptAll+union scanned both frames twice)
+        converged = new_edges.count() == edges.count() and (
+            new_edges.exceptAll(edges).isEmpty()
         )
         edges = new_edges
-        if changed == 0:
+        if converged:
             break
     else:
         raise RuntimeError(

@@ -188,3 +188,88 @@ def test_cc_star_long_chain(spark):
     )
     got = connected_components(nodes, pairs, algorithm="star", max_iterations=10)
     assert {r.component_id for r in got.collect()} == {0}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 9), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_tokens=st.integers(2, 5),
+)
+def test_dedup_chunks_model(spark, docs, chunk_tokens):
+    """dedup_chunks against a direct python model: same chunking, same
+    first-occurrence-wins keep set, same reassembly — for arbitrary
+    corpora including heavy duplication."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dedup_chunks,
+    )
+
+    texts = {i: " ".join(f"t{v}" for v in toks) for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.total_chunks, r.kept_chunks, r.dedup_text)
+        for r in dedup_chunks(df, chunk_tokens=chunk_tokens).collect()
+    }
+
+    # model: chunk, first-occurrence-wins in (doc_id, chunk_id) order
+    seen: set[str] = set()
+    model: dict[int, tuple[int, int, str]] = {}
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].split()
+        chunks = [
+            " ".join(toks[i : i + chunk_tokens])
+            for i in range(0, len(toks), chunk_tokens)
+        ] or [""]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        model[doc_id] = (
+            len(chunks),
+            len(kept),
+            " ".join(kept),
+        )
+    assert got == model
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    pcts=st.tuples(st.integers(1, 98), st.integers(1, 1)),
+)
+def test_assign_splits_partition_property(spark, keys, pcts):
+    """Split labels partition the input: every row gets exactly one
+    label, labels only from the configured set, and the assignment is
+    a pure function of the key (duplicated keys agree)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        assign_splits,
+    )
+
+    train_pct, valid_pct = pcts
+    splits = {
+        "train": train_pct,
+        "valid": valid_pct,
+        "test": 100 - train_pct - valid_pct,
+    }
+    df = spark.createDataFrame([(k,) for k in keys * 2], "doc_id long")
+    rows = assign_splits(df, splits=splits).collect()
+    assert len(rows) == 2 * len(keys)
+    by_key: dict[int, set] = {}
+    for r in rows:
+        by_key.setdefault(r.doc_id, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_key.values())
+    assert set().union(*by_key.values()) <= set(splits)
