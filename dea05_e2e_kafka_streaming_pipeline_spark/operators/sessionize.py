@@ -137,3 +137,57 @@ def event_funnel(
         c = F.col(f"{steps[i]}_ts").isNotNull().cast("int")
         stage = c if stage is None else stage + c
     return out.withColumn("stage_reached", stage)
+
+
+def session_paths(
+    df: DataFrame,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_seconds: int = 1800,
+    max_path_events: int = 20,
+) -> DataFrame:
+    """Path mining: the most common within-session event-type sequences
+    ("view>view>click…") with session counts — the navigation-pattern
+    report behind journey analysis and funnel DISCOVERY (event_funnel
+    checks one known path; this surfaces which paths exist).
+
+    Scale shape: sessionize shares its user-keyed window exchange; the
+    path string builds per session from an ``array_sort`` over
+    collected (ts, id, type) structs — deterministic under any arrival
+    order, truncated to ``max_path_events`` so a pathological bot
+    session cannot grow a row unboundedly (truncation marked with a
+    '>…' suffix, keeping truncated paths distinct from genuine
+    short ones). The final count-and-top-k aggregate runs on
+    |sessions| rows with TakeOrdered, never a global sort.
+    """
+    s = sessionize(df, user_col, ts_col, id_col, gap_seconds)
+    per_session = s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+            )
+        ).alias("_evs"),
+    )
+    path = F.concat(
+        F.array_join(
+            F.transform(
+                F.slice(F.col("_evs"), 1, max_path_events),
+                lambda e: e[type_col],
+            ),
+            ">",
+        ),
+        F.when(F.col("n_events") > max_path_events, F.lit(">…")).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        per_session.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
+    )

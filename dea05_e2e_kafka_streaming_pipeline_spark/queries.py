@@ -2166,6 +2166,80 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_provenance",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(file_row_number AS BIGINT) AS row_index
+    FROM read_parquet('/root/testdata/sf0.01/documents.parquet',
+                      filename=true, file_row_number=true)
+    """,
+)
+def q_doc_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance from the scan's hidden ``_metadata`` struct
+    — (source file, row index) per document with ZERO extra I/O: the
+    scan itself populates the columns, so lineage tracking at 100 TB
+    costs a projection, not a join against a manifest. Oracle: DuckDB's
+    filename/file_row_number over the same file (driver-contract sf0.01
+    path; the Spark side derives from sf_dir)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0).alias(
+            "file_name"
+        ),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM x
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ), per AS (
+      SELECT user_id, session_seq, count(*) AS n_events,
+             string_agg(CASE WHEN rn <= 20 THEN event_type END,
+                        '>' ORDER BY ts, event_id)
+               || CASE WHEN count(*) > 20 THEN '>…' ELSE '' END AS path
+      FROM r GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM per GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event-type sequences (path mining /
+    journey discovery): sessionize shares its user exchange, paths
+    build from array_sort'd collected structs with bounded truncation,
+    top-k over |sessions| rows."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sessionize import (
+        session_paths,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return session_paths(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_sessionization",
     oracle="""
     WITH x AS (
