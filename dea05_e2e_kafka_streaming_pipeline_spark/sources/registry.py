@@ -24,6 +24,7 @@ captures.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -62,6 +63,38 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     reads catch drift at plan time instead of mid-query.
     """
     return spark.read.schema(schema).json(path)
+
+
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON scan with parse-level quarantine: returns ``(good, bad)``
+    where ``bad`` carries the RAW malformed line in ``corrupt_record``.
+    This is the resilience layer BELOW the DQ suite — the DQ gate
+    screens well-formed rows with bad values; this screens bytes that
+    don't parse at all (truncated producer writes, mixed schemas), which
+    PERMISSIVE mode would otherwise fold in silently as all-NULL rows.
+
+    Scale shape: one scan, two lazy views split on corrupt-record
+    nullness — at 100 TB the bad side is typically ~0 rows, and writing
+    it to a quarantine prefix costs only what's actually malformed.
+    The corrupt column must be both declared in the schema and selected
+    (Spark refuses raw-only queries on it otherwise); callers get it
+    pre-wired here.
+    """
+    full = T.StructType(
+        schema.fields + [T.StructField("corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .json(path)
+        .cache()  # one pass serves both splits; unpersist after landing
+    )
+    good = df.filter(F.col("corrupt_record").isNull()).drop("corrupt_record")
+    bad = df.filter(F.col("corrupt_record").isNotNull()).select("corrupt_record")
+    return good, bad
 
 
 def read_csv(

@@ -106,3 +106,31 @@ def test_flatten_struct_is_pure_projection(spark):
     )
     plan = flatten_struct(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "HashAggregate" not in plan
+
+
+def test_read_json_quarantine_splits_malformed(spark, tmp_path):
+    """Parse-level quarantine: well-formed rows land typed, malformed
+    bytes land raw in the quarantine side, nothing is silently folded
+    into all-NULL rows."""
+    from pyspark.sql import types as T
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_json_quarantine,
+    )
+
+    p = tmp_path / "landing"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"id": 1, "v": "ok"}\n'
+        '{"id": 2 "v": "missing comma"}\n'  # malformed
+        '{"id": 3, "v": "fine"}\n'
+        "not json at all\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    raws = [r.corrupt_record for r in bad.collect()]
+    assert len(raws) == 2 and any("missing comma" in r for r in raws)
+    assert all(r is not None for r in raws)
