@@ -324,3 +324,79 @@ def build_inverted_index(
             F.array_sort(F.collect_list("doc_id")), 1, sample_postings
         ).alias("postings_sample"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary training (Sennrich et al. 2016) —
+    the learned merge table ``(merge_rank, left, right, merged,
+    pair_count)`` for the first ``n_merges`` merges, trained on the
+    corpus's word-frequency table.
+
+    Scale shape — the classic BPE economics, distributed:
+
+    - ONE full-data pass reduces the corpus to ``(word, count)``; at
+      100 TB that vocabulary is still only millions of rows, and every
+      training round runs against IT, never the corpus again.
+    - Each round is one weighted pair-count aggregate over the vocab
+      (posexplode of adjacent symbol pairs × word count) + a 1-row
+      driver fetch of the argmax (deterministic tie-break: count desc,
+      then pair lexicographic) — the inherently sequential part of BPE
+      is the n_merges-long chain itself, not the data volume.
+    - The merge applies as a literal string replace over the
+      space-joined symbol string ``" h e l l o "``: bounded-width rows,
+      no per-symbol UDF, and left-to-right non-overlapping replace-all
+      IS the greedy BPE merge fold (both engines share these replace
+      semantics, which is what makes the oracle exact).
+
+    The merge table is what a tokenizer ships; apply-side encoding
+    replays the merges in rank order.
+    """
+    toks = tokens(F.col(text_col))
+    vocab = (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "s",
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("word"), "(?!^)"), " "),
+                F.lit(" "),
+            ),
+        )
+        .select("n", "s")
+        .localCheckpoint(eager=True)  # rounds iterate on this frame
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pairs = (
+            vocab.select(
+                "n",
+                F.posexplode(F.slice(arr, 1, F.size(arr) - 1)).alias("i", "l"),
+                arr.alias("_a"),
+            )
+            .withColumn("r", F.col("_a")[F.col("i") + 1])
+            .groupBy("l", "r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").first()
+        if top is None:
+            break
+        merges.append((rank, top.l, top.r, top.l + top.r, int(top.cnt)))
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top.l} {top.r} "),
+                F.lit(f" {top.l}{top.r} "),
+            ),
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )

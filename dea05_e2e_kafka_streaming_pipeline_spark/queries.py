@@ -2165,6 +2165,57 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(events, group_extra=["event_type"])
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB mirror of the BPE training loop: the same word-frequency
+    reduction, per-round weighted pair argmax (count desc, pair
+    lexicographic tie-break) and literal ``replace`` merge — replace's
+    left-to-right non-overlapping scan IS the greedy merge fold in
+    both engines, so every round's vocabulary state matches exactly."""
+    parts = [
+        """w AS MATERIALIZED (
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+      ) GROUP BY 1
+    ), v0 AS MATERIALIZED (
+      SELECT n, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+      FROM w
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+      SELECT l, r, sum(n) AS cnt FROM (
+        SELECT n, arr[i] AS l, arr[i+1] AS r
+        FROM (SELECT n, string_split(trim(s), ' ') AS arr FROM v{k - 1}),
+             UNNEST(generate_series(1, len(arr)-1)) AS u(i)
+      ) GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+    ), v{k} AS MATERIALIZED (
+      SELECT n, replace(s,
+        ' ' || (SELECT l FROM p{k}) || ' ' || (SELECT r FROM p{k}) || ' ',
+        ' ' || (SELECT l FROM p{k}) || (SELECT r FROM p{k}) || ' ') AS s
+      FROM v{k - 1}
+    )""")
+    rounds = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + rounds
+
+
+@register("bpe_merges_docs", oracle=_bpe_oracle(8))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (8 merges) on the corpus word-frequency
+    table: one full-data pass builds the vocab, every round is a
+    weighted pair aggregate over vocab rows + a 1-row argmax fetch —
+    the data never re-scans. Oracle replays the identical loop in
+    DuckDB round by round."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bpe_train
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
 @register(
     "doc_provenance",
     oracle="""

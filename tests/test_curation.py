@@ -290,3 +290,44 @@ def test_assign_splits_fractions_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         assign_splits(docs, splits={"train": 90, "valid": 5})
+
+
+def test_bpe_train_matches_python_model(spark):
+    """BPE merge table against a direct python reference on a tiny
+    corpus with known merge order (ties broken lexicographically)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bpe_train
+
+    corpus = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(df, n_merges=5).collect()
+    ]
+
+    # python model: word-frequency BPE with greedy left-to-right merges
+    from collections import Counter
+
+    words = Counter(w for t in corpus for w in t.split())
+    vocab = {w: list(w) for w in words}
+    model = []
+    for rank in range(1, 6):
+        pair_counts: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += words[w]
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        model.append((rank, l, r, l + r, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == model
