@@ -353,8 +353,23 @@ def bpe_train(
       semantics, which is what makes the oracle exact).
 
     The merge table is what a tokenizer ships; apply-side encoding
-    replays the merges in rank order.
+    (:func:`bpe_token_counts`) replays against the trained state via
+    :func:`bpe_train_state`, which returns the final per-word
+    segmentation alongside the merges.
     """
+    merges_df, _ = bpe_train_state(df, n_merges=n_merges, text_col=text_col)
+    return merges_df
+
+
+def bpe_train_state(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`bpe_train` returning ``(merge_table, vocab_state)`` —
+    ``vocab_state`` is ``(word, n, s)`` with ``s`` the word's final
+    space-joined symbol segmentation after all merges: the apply-side
+    lookup table (broadcastable: |vocab| ≪ |corpus|)."""
     toks = tokens(F.col(text_col))
     vocab = (
         df.select(F.explode(toks).alias("word"))
@@ -368,7 +383,6 @@ def bpe_train(
                 F.lit(" "),
             ),
         )
-        .select("n", "s")
         .localCheckpoint(eager=True)  # rounds iterate on this frame
     )
     merges = []
@@ -396,7 +410,45 @@ def bpe_train(
                 F.lit(f" {top.l}{top.r} "),
             ),
         ).localCheckpoint(eager=True)
-    return df.sparkSession.createDataFrame(
+    merges_df = df.sparkSession.createDataFrame(
         merges,
         "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )
+    return merges_df, vocab
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply-side BPE: per-document token counts under the trained
+    merge table — the token-budget accounting a training pipeline runs
+    after choosing a vocabulary (how many sequence slots does each
+    document cost?).
+
+    Scale shape: encoding never re-segments text row by row — each
+    word's final segmentation already exists in the trained vocab
+    state, so encoding is explode(words) ⋈ broadcast(vocab) → sum of
+    per-word symbol counts. Returns (doc_id, n_words, n_bpe_tokens,
+    n_chars) with chars counted over the tokenized words (alphanumeric
+    only, matching the training normalization)."""
+    _, vocab = bpe_train_state(df, n_merges=n_merges, text_col=text_col)
+    seg = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("s")), " ")).alias("_word_toks"),
+        F.length("word").alias("_word_chars"),
+    )
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_word_toks").alias("n_bpe_tokens"),
+            F.sum("_word_chars").alias("n_chars"),
+        )
     )

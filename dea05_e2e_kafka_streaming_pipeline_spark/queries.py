@@ -2165,12 +2165,14 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(events, group_extra=["event_type"])
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """DuckDB mirror of the BPE training loop: the same word-frequency
-    reduction, per-round weighted pair argmax (count desc, pair
-    lexicographic tie-break) and literal ``replace`` merge — replace's
-    left-to-right non-overlapping scan IS the greedy merge fold in
-    both engines, so every round's vocabulary state matches exactly."""
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared CTE chain for the BPE oracles: word-frequency reduction,
+    per-round weighted pair argmax (count desc, pair lexicographic
+    tie-break) and literal ``replace`` merge — replace's left-to-right
+    non-overlapping scan IS the greedy merge fold in both engines, so
+    every round's vocabulary state matches exactly. All CTEs are
+    MATERIALIZED: the naive chain inlines v{k-1} several times per
+    level (exponential blowup — observed as an fd explosion)."""
     parts = [
         """w AS MATERIALIZED (
       SELECT word, count(*) AS n FROM (
@@ -2178,7 +2180,8 @@ def _bpe_oracle(n_merges: int) -> str:
         FROM documents
       ) GROUP BY 1
     ), v0 AS MATERIALIZED (
-      SELECT n, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+      SELECT word, n,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
       FROM w
     )"""
     ]
@@ -2190,17 +2193,54 @@ def _bpe_oracle(n_merges: int) -> str:
              UNNEST(generate_series(1, len(arr)-1)) AS u(i)
       ) GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
     ), v{k} AS MATERIALIZED (
-      SELECT n, replace(s,
+      SELECT word, n, replace(s,
         ' ' || (SELECT l FROM p{k}) || ' ' || (SELECT r FROM p{k}) || ' ',
         ' ' || (SELECT l FROM p{k}) || (SELECT r FROM p{k}) || ' ') AS s
       FROM v{k - 1}
     )""")
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     rounds = "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_rank, l AS \"left\", r AS \"right\", "
         f"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM p{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + rounds
+    return _bpe_ctes(n_merges) + "\n    " + rounds
+
+
+def _bpe_counts_oracle(n_merges: int) -> str:
+    return (
+        _bpe_ctes(n_merges)
+        + f""",
+    seg AS (
+      SELECT word, len(string_split(trim(s), ' ')) AS wt,
+             length(word) AS wc
+      FROM v{n_merges}
+    ), dw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(wt) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(wc) AS BIGINT) AS n_chars
+    FROM dw JOIN seg USING (word) GROUP BY 1"""
+    )
+
+
+@register("bpe_token_counts_docs", oracle=_bpe_counts_oracle(8))
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side BPE token budgeting: per-doc token counts under the
+    trained 8-merge vocab — encoding is explode(words) ⋈ broadcast
+    (trained per-word segmentation), never per-row re-segmentation."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        bpe_token_counts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return bpe_token_counts(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 
 @register("bpe_merges_docs", oracle=_bpe_oracle(8))
