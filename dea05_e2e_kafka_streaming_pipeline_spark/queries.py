@@ -2275,7 +2275,12 @@ def q_doc_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; the Spark side derives from sf_dir)."""
     from pyspark.sql import functions as F
 
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    from dea05_e2e_kafka_streaming_pipeline_spark.schemas import DOCUMENTS_SCHEMA
+
+    # explicit schema: no footer-inference job at plan-build time
+    return spark.read.schema(DOCUMENTS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parquet"
+    ).select(
         "doc_id",
         F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0).alias(
             "file_name"

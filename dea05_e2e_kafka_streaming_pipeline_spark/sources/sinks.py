@@ -238,3 +238,86 @@ def compact_parquet(
         writer = out.write.mode("overwrite")
     writer.parquet(out_path)
     return n_files
+
+
+def delete_keys_rewrite(
+    spark,
+    path: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Targeted hard delete over an immutable parquet table (the
+    GDPR right-to-erasure primitive): locate the FILES that contain any
+    affected key via the scan's ``_metadata.file_path`` (one pushed-
+    down scan), rewrite ONLY those files without the deleted rows, and
+    leave every other file untouched — at 100 TB a delete of a few
+    users rewrites a few hundred MB, never the table. The same
+    copy-on-write move Delta/Iceberg DELETE performs, on plain parquet.
+
+    Files rewrite 1:1 (one replacement per affected file, preserving
+    the layout's file sizing); a file whose every row is deleted is
+    removed. Returns ``{"files_total", "files_rewritten",
+    "rows_deleted"}``. The rewrite materializes via localCheckpoint
+    BEFORE any source file is removed, then lands as new uniquely-named
+    files in the same directory — crash-safe ordering (a crash between
+    write and delete leaves duplicates to re-delete, never data loss).
+    """
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    key_lit = [k for k in keys]
+    affected_files = [
+        r.f
+        for r in (
+            df.filter(F.col(key_col).isin(key_lit))
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        )
+    ]
+    all_files = [
+        r.f
+        for r in df.select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    ]
+    if not affected_files:
+        return {
+            "files_total": len(all_files),
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    victim = df.filter(F.col("_metadata.file_path").isin(affected_files))
+    rows_deleted = victim.filter(F.col(key_col).isin(key_lit)).count()
+    survivors = (
+        victim.filter(~F.col(key_col).isin(key_lit))
+        # 1:1 file replacement keeps the table's file-size profile
+        .repartition(len(affected_files))
+        .localCheckpoint(eager=True)  # materialize before deleting sources
+    )
+    tmp_out = os.path.join(path, f"_rewrite_{uuid.uuid4().hex[:8]}")
+    survivors.write.mode("overwrite").parquet(tmp_out)
+    # move rewritten files up, drop sources — driver-side fs metadata ops
+    for fname in os.listdir(tmp_out):
+        if fname.endswith(".parquet"):
+            os.rename(
+                os.path.join(tmp_out, fname),
+                os.path.join(path, f"rewrite-{uuid.uuid4().hex[:8]}-{fname}"),
+            )
+    import shutil
+
+    shutil.rmtree(tmp_out)
+    for f in affected_files:
+        # _metadata.file_path is a URI ("file:///..." or "file:/...")
+        from urllib.parse import urlparse
+
+        local = urlparse(f).path if "://" in f or f.startswith("file:") else f
+        os.remove(local)
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(affected_files),
+        "rows_deleted": rows_deleted,
+    }

@@ -211,3 +211,38 @@ def test_rowgroup_stats_multi_file_matches_footers(spark, tmp_path):
     spans = sorted((int(r.min_value), int(r.max_value)) for r in stats)
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi < b_lo
+
+
+def test_delete_keys_rewrite_touches_only_affected_files(spark, tmp_path):
+    """GDPR targeted delete: only files containing affected keys are
+    rewritten; untouched files keep their identity (same path), all
+    non-deleted rows survive, deleted keys are gone."""
+    import glob
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+        delete_keys_rewrite,
+    )
+
+    path = str(tmp_path / "users")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    # range-cluster so the victim keys live in ONE file
+    orders.repartitionByRange(4, "o_custkey").write.parquet(path)
+    before = set(glob.glob(f"{path}/part-*.parquet"))
+    total_before = spark.read.parquet(path).count()
+
+    victims = [0, 1, 2]
+    stats = delete_keys_rewrite(spark, path, "o_custkey", victims)
+    assert stats["files_rewritten"] == 1
+    assert stats["rows_deleted"] > 0
+
+    after_df = spark.read.parquet(path)
+    assert after_df.filter(F.col("o_custkey").isin(victims)).count() == 0
+    assert after_df.count() == total_before - stats["rows_deleted"]
+    # the three untouched range files are byte-identical survivors
+    after = set(glob.glob(f"{path}/part-*.parquet"))
+    assert len(before & after) == 3
+    assert all(os.path.exists(f) for f in before & after)
+    # idempotent second pass: nothing left to rewrite
+    again = delete_keys_rewrite(spark, path, "o_custkey", victims)
+    assert again["files_rewritten"] == 0 and again["rows_deleted"] == 0

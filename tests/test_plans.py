@@ -155,6 +155,11 @@ _EAGER_BUILD_OK = {
     "semantic_dedup_label",
     "semantic_dedup_kmeans",
     "semantic_dedup_violations",
+    # BPE training is an inherently sequential merge chain: each round's
+    # argmax is a driver action by design (the corpus itself is read
+    # once; rounds iterate on the checkpointed word-frequency table)
+    "bpe_merges_docs",
+    "bpe_token_counts_docs",
 }
 
 
