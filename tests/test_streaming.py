@@ -748,3 +748,74 @@ def test_enrich_stream_sink_live_dim_refresh(spark, tmp_path):
     new_ids = set(t2) - set(t1)
     assert new_ids and all(t2[i] == "gold" for i in new_ids)
     assert all(t2[i] == "bronze" for i in t1)
+
+
+def test_visit_count_stream_stateful_processor(spark, tmp_path):
+    """Spark 4 StatefulProcessor API (transformWithStateInPandas):
+    runs for real where the protobuf package exists; otherwise the
+    operator must fail fast with the actionable gating error (this
+    container lacks protobuf - same pattern as the Delta/Avro jars)."""
+    import pytest as _pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.stateful import (
+        visit_count_stream,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    _land_events_json(spark, tmp_path / "landing", F.col("event_id") < 200)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "landing"))
+    )
+    if not has_protobuf:
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            visit_count_stream(stream)
+        return
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            visit_count_stream(stream)
+            .writeStream.format("memory")
+            .queryName("visit_counts")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.user_id: r.n
+            for r in spark.sql(
+                "SELECT user_id, max(n_events) AS n FROM visit_counts GROUP BY 1"
+            ).collect()
+        }
+        want = {
+            r.user_id: r.n
+            for r in load_table(spark, SF_SMOKE, "events")
+            .filter(F.col("event_id") < 200)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
