@@ -158,6 +158,42 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_region_sales",
+    oracle=f"""
+    {_ENTITY_CTES}
+    SELECT c.region AS region,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue
+    FROM o JOIN c USING (customer_id)
+    GROUP BY 1
+    """,
+)
+def q_salted_region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's deliberately skewed join (50 customer ids carry
+    every order — SURVEY §7.4 risk 5) executed through the explicit
+    salt-split: fact rows scatter across num_salts sub-keys, the dim
+    replicates n×, and each hot customer's rows land on n reducers
+    instead of one. The oracle is the PLAIN join — salting must be
+    invisible in the result, which is exactly what the hash-match
+    proves (AQE skew-join stays on as the first line of defense;
+    this is the fallback when the planner can't see the skew)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.skew import salted_join
+
+    orders = load_orders(spark, sf_dir)
+    customers = load_customers(spark, sf_dir).select("customer_id", "region")
+    joined = salted_join(orders, customers, "customer_id", num_salts=8)
+    return joined.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("order_amount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_revenue"),
+    )
+
+
+@register(
     "daily_sales_distinct",
     oracle=f"""
     {_ENTITY_CTES}
