@@ -29,13 +29,22 @@ def write_parquet_partitioned(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     max_records_per_file: int = 5_000_000,
+    compression: str | None = None,
 ) -> None:
     """Partitioned Parquet write.
 
     ``maxRecordsPerFile`` caps file size at scale; Hive-style
     ``partitionBy`` preserves downstream static/dynamic partition pruning.
+
+    ``compression``: None inherits the session codec (Spark default:
+    snappy). At 100 TB the usual choice is ``zstd`` — ~25-30% smaller
+    files than snappy at similar scan throughput, which is pure S3/
+    network savings on every downstream read; pass it per-table here
+    or set ``spark.sql.parquet.compression.codec`` session-wide.
     """
     writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -246,3 +246,22 @@ def test_delete_keys_rewrite_touches_only_affected_files(spark, tmp_path):
     # idempotent second pass: nothing left to rewrite
     again = delete_keys_rewrite(spark, path, "o_custkey", victims)
     assert again["files_rewritten"] == 0 and again["rows_deleted"] == 0
+
+
+def test_write_parquet_zstd_codec(spark, tmp_path):
+    """Per-table codec override: zstd files are readable and smaller
+    than snappy for this data."""
+    import glob
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+        write_parquet_partitioned,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").coalesce(1)
+    a, b = str(tmp_path / "snappy"), str(tmp_path / "zstd")
+    write_parquet_partitioned(orders, a, compression="snappy")
+    write_parquet_partitioned(orders, b, compression="zstd")
+    assert spark.read.parquet(b).count() == orders.count()
+    size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
+    assert size(b) < size(a)

@@ -256,6 +256,12 @@ def test_important_part_single_fact_scan(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("lineitem.parquet") <= 2  # scan + possible reuse ref
     assert "EqualTo(p_brand,Brand#1)" in plan
+    # after execution, AQE's final plan must REUSE the per-part
+    # aggregate exchange for the grand total (one physical fact scan)
+    df = registry.queries()["important_part_value"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
 
 
 def test_excess_shipments_window_reuses_pair_exchange(spark):
