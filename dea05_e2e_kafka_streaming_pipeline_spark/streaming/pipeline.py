@@ -410,6 +410,72 @@ def enrich_stream_sink(
     return writer.start()
 
 
+def incremental_gold_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    spec: list[tuple[str, str, str]],
+    available_now: bool = False,
+):
+    """Streaming materialized view: maintain a gold aggregate
+    incrementally from a stream, with EXACT results under replays.
+
+    The trap this design avoids: ``foreachBatch`` is at-least-once — a
+    crash between the state write and the checkpoint commit re-runs
+    the epoch, and a read-merge-overwrite state table would then
+    double-count the batch. Here each epoch writes its OWN partial-
+    state directory ``epoch=<id>`` (plans/incremental.py
+    ``partial_aggregate``), so a replayed epoch OVERWRITES its own
+    partials — idempotent by layout, no transaction log needed. The
+    view is read with :func:`read_incremental_gold`, which merges all
+    epoch partials (associative/commutative fold) and finalizes —
+    bit-identical to the one-shot batch aggregate over the same rows.
+
+    Cost per batch: one shuffle of the batch to its partial state
+    (tiny: one row per touched group). Read-side merge cost grows with
+    epoch count — compact epochs periodically with the same
+    ``merge_partials`` fold (any merge tree yields the same state)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        partial_aggregate,
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        part = partial_aggregate(batch_df, keys, spec)
+        part.write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_gold(
+    spark,
+    state_path: str,
+    keys: list[str],
+    spec: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Read-side of :func:`incremental_gold_sink`: fold every epoch's
+    partial state (one aggregate over the small state table) and
+    finalize to the gold metrics."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_aggregate,
+        merge_partials,
+    )
+
+    state = spark.read.parquet(state_path).drop("epoch")
+    # merge_partials(a, b) with an empty b == a single groupBy fold of
+    # the union; reuse it directly on the already-unioned epoch rows
+    empty = state.limit(0)
+    merged = merge_partials(state, empty, keys, spec)
+    return finalize_aggregate(merged, keys, spec)
+
+
 def sessionized_event_stats(
     stream: DataFrame,
     ts_column: str = "ts",
