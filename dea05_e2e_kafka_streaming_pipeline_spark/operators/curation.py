@@ -594,3 +594,27 @@ def pack_training_sequences(
             + 1
         ).alias("n_seqs"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    privacy gate a dataset passes before release: every combination of
+    quasi-identifiers (an *equivalence class*) must cover at least
+    ``k`` individuals, or those rows are re-identifiable by linking.
+    Returns one row per equivalence class with its size and an
+    ``at_risk`` flag; a release gate is ``at_risk`` count == 0, and
+    the fix is generalizing (bucketing) the offending columns and
+    re-auditing.
+
+    One map-side-combinable aggregate at quasi-identifier grain — at
+    100 TB the output is |distinct combinations|, and the audit
+    composes with :func:`~.quality` gates like any other check."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < k)
+    )

@@ -158,6 +158,33 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_customers",
+    oracle=f"""
+    {_ENTITY_CTES}
+    SELECT region, customer_tenure_days AS tenure_days,
+           count(*) AS class_size,
+           count(*) < 5 AS at_risk
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the customer quasi-identifiers
+    (region, tenure): every equivalence class under k is a linking
+    re-identification risk — the privacy release gate, one aggregate
+    at quasi-identifier grain."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        k_anonymity_report,
+    )
+
+    customers = load_customers(spark, sf_dir).select(
+        "region", F.col("customer_tenure_days").alias("tenure_days")
+    )
+    return k_anonymity_report(customers, ["region", "tenure_days"], k=5)
+
+
+@register(
     "salted_region_sales",
     oracle=f"""
     {_ENTITY_CTES}
