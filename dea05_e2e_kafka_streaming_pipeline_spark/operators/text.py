@@ -422,6 +422,7 @@ def bpe_token_counts(
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Apply-side BPE: per-document token counts under the trained
     merge table — the token-budget accounting a training pipeline runs
@@ -433,8 +434,10 @@ def bpe_token_counts(
     state, so encoding is explode(words) ⋈ broadcast(vocab) → sum of
     per-word symbol counts. Returns (doc_id, n_words, n_bpe_tokens,
     n_chars) with chars counted over the tokenized words (alphanumeric
-    only, matching the training normalization)."""
-    _, vocab = bpe_train_state(df, n_merges=n_merges, text_col=text_col)
+    only, matching the training normalization). Pass a pre-trained
+    ``vocab`` (from :func:`bpe_train_state`) to skip re-training."""
+    if vocab is None:
+        _, vocab = bpe_train_state(df, n_merges=n_merges, text_col=text_col)
     seg = vocab.select(
         "word",
         F.size(F.split(F.trim(F.col("s")), " ")).alias("_word_toks"),

@@ -2297,13 +2297,37 @@ def _bpe_counts_oracle(n_merges: int) -> str:
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side BPE token budgeting: per-doc token counts under the
     trained 8-merge vocab — encoding is explode(words) ⋈ broadcast
-    (trained per-word segmentation), never per-row re-segmentation."""
+    (trained per-word segmentation), never per-row re-segmentation;
+    the trained state is shared with `bpe_merges_docs` (one training
+    run per process)."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
         bpe_token_counts,
     )
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
-    return bpe_token_counts(load_table(spark, sf_dir, "documents"), n_merges=8)
+    _, vocab = _bpe_state(sf_dir)
+    return bpe_token_counts(
+        load_table(spark, sf_dir, "documents"), n_merges=8, vocab=vocab
+    )
+
+
+@lru_cache(maxsize=None)
+def _bpe_state(sf_dir: str, n_merges: int = 8):
+    """One BPE training run shared by the train and apply queries (the
+    trained state is checkpointed DataFrames; re-training for the
+    apply query would repeat the whole merge chain). Keyed per process
+    — exactly the lifetime of the session the frames belong to."""
+    from pyspark.sql import SparkSession
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        bpe_train_state,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    spark = SparkSession.getActiveSession()
+    return bpe_train_state(
+        load_table(spark, sf_dir, "documents"), n_merges=n_merges
+    )
 
 
 @register("bpe_merges_docs", oracle=_bpe_oracle(8))
@@ -2313,10 +2337,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted pair aggregate over vocab rows + a 1-row argmax fetch —
     the data never re-scans. Oracle replays the identical loop in
     DuckDB round by round."""
-    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bpe_train
-    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
-
-    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+    merges, _ = _bpe_state(sf_dir)
+    return merges
 
 
 @register(
