@@ -185,6 +185,59 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "referral_tree_rollup",
+    oracle=f"""
+    {_ENTITY_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
+    closure(ancestor, descendant) AS (
+      SELECT customer_id, customer_id FROM c
+      UNION ALL
+      SELECT cl.ancestor, ch.customer_id
+      FROM c ch JOIN closure cl
+        ON CAST(floor(ch.customer_id / 10) AS BIGINT) = cl.descendant
+       AND ch.customer_id >= 10
+    )
+    SELECT cl.ancestor AS customer_id,
+           count(DISTINCT cl.descendant) - 1 AS n_descendants,
+           CAST(coalesce(SUM(CAST(o.order_amount AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS subtree_revenue,
+           count(o.order_id) AS subtree_orders
+    FROM closure cl LEFT JOIN o ON o.customer_id = cl.descendant
+    GROUP BY 1
+    """,
+)
+def q_referral_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup via a NATIVE ``WITH RECURSIVE`` CTE (Spark
+    4): the ancestor-descendant closure of a synthetic referral forest
+    (parent = customer_id/10 — deterministic, strictly decreasing,
+    hence acyclic, which is required: Spark's recursive CTEs support
+    UNION ALL only), then subtree revenue/order rollups per ancestor.
+    Recursion depth is the hierarchy depth (~4 here); each round is
+    one join — the same SQL text runs on DuckDB, demonstrating
+    engine-level recursive-query parity rather than a hand-built
+    iterative loop (which ``connected_components`` provides for
+    CYCLIC graphs, where UNION-dedup recursion is unavailable)."""
+    load_orders(spark, sf_dir).createOrReplaceTempView("ref_o")
+    load_customers(spark, sf_dir).createOrReplaceTempView("ref_c")
+    return spark.sql("""
+    WITH RECURSIVE closure(ancestor, descendant) AS (
+      SELECT customer_id, customer_id FROM ref_c
+      UNION ALL
+      SELECT cl.ancestor, ch.customer_id
+      FROM ref_c ch JOIN closure cl
+        ON CAST(floor(ch.customer_id / 10) AS BIGINT) = cl.descendant
+       AND ch.customer_id >= 10
+    )
+    SELECT cl.ancestor AS customer_id,
+           count(DISTINCT cl.descendant) - 1 AS n_descendants,
+           CAST(coalesce(SUM(CAST(o.order_amount AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS subtree_revenue,
+           count(o.order_id) AS subtree_orders
+    FROM closure cl LEFT JOIN ref_o o ON o.customer_id = cl.descendant
+    GROUP BY 1
+    """)
+
+
+@register(
     "salted_region_sales",
     oracle=f"""
     {_ENTITY_CTES}
