@@ -238,6 +238,43 @@ def q_referral_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, then typed
+    ``try_variant_get`` extraction — the open-schema path for payloads
+    whose shape drifts (vs ``get_json_object`` string re-parsing per
+    field, see `events_props_stats`). At scale VARIANT parses each
+    payload once into a binary-encoded form; every later field access
+    is a cheap typed probe, and unexpected shapes yield NULL instead
+    of failing the pipeline."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "long")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing_k"),
+    )
+
+
+@register(
     "salted_region_sales",
     oracle=f"""
     {_ENTITY_CTES}
