@@ -330,3 +330,31 @@ def delete_keys_rewrite(
         "files_rewritten": len(affected_files),
         "rows_deleted": rows_deleted,
     }
+
+
+def mark_deleted(spark, path: str, key_col: str, keys: list) -> None:
+    """Merge-on-read delete marker (the deletion-vector half of the
+    delete tradeoff; :func:`delete_keys_rewrite` is copy-on-write):
+    append the deleted keys to a ``_deletes`` sidecar under the table
+    path — an O(|keys|) write with ZERO data-file rewrites. Reads go
+    through :func:`read_with_deletes`, which anti-joins the (small,
+    broadcast) marker set. CoW pays at delete time and keeps reads
+    clean; MoR pays a broadcast anti-join on every read until a
+    compaction applies the markers via ``delete_keys_rewrite`` and
+    clears the sidecar — the same economics Delta deletion vectors /
+    Iceberg delete files implement."""
+    spark.createDataFrame([(k,) for k in keys], f"{key_col} long").write.mode(
+        "append"
+    ).parquet(f"{path}/_deletes")
+
+
+def read_with_deletes(spark, path: str, key_col: str) -> DataFrame:
+    """Read a parquet table minus its ``_deletes`` sidecar markers
+    (broadcast anti-join; no markers → plain scan)."""
+    import os
+
+    df = spark.read.parquet(path)
+    if not os.path.isdir(f"{path}/_deletes"):
+        return df
+    dels = spark.read.parquet(f"{path}/_deletes").distinct()
+    return df.join(F.broadcast(dels), key_col, "left_anti")

@@ -265,3 +265,37 @@ def test_write_parquet_zstd_codec(spark, tmp_path):
     assert spark.read.parquet(b).count() == orders.count()
     size = lambda p: sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
     assert size(b) < size(a)
+
+
+def test_mor_deletes_and_cow_compaction_agree(spark, tmp_path):
+    """Merge-on-read markers hide rows immediately with zero rewrites;
+    applying them via the CoW rewrite then clearing the sidecar yields
+    the same table with clean reads."""
+    import shutil
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+        delete_keys_rewrite,
+        mark_deleted,
+        read_with_deletes,
+    )
+
+    path = str(tmp_path / "t")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orders.repartitionByRange(4, "o_custkey").write.parquet(path)
+    victims = [0, 1, 2]
+
+    mark_deleted(spark, path, "o_custkey", victims)
+    mor = read_with_deletes(spark, path, "o_custkey")
+    assert mor.filter(F.col("o_custkey").isin(victims)).count() == 0
+    want = mor.count()
+    # raw read still has the rows (no rewrite happened)
+    assert spark.read.parquet(path).where(
+        ~F.col("o_custkey").isin(victims) | F.col("o_custkey").isin(victims)
+    ).count() > want
+
+    # compaction: apply markers CoW, clear sidecar
+    delete_keys_rewrite(spark, path, "o_custkey", victims)
+    shutil.rmtree(f"{path}/_deletes")
+    clean = read_with_deletes(spark, path, "o_custkey")
+    assert clean.count() == want
+    assert clean.filter(F.col("o_custkey").isin(victims)).count() == 0
