@@ -851,3 +851,45 @@ def edit_distance_pairs(
         .filter(F.col("edit_distance") >= 0)  # -1 = early-exited above bound
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def dedup_incremental_batch(
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup for BATCH ingestion against a persisted
+    fingerprint store (the batch twin of ``dedup_stream``'s streaming
+    state): keep batch rows whose content fingerprint is new — both
+    against history (anti-join the store) and within the batch
+    (first-id-wins window) — then append the survivors' fingerprints
+    to the store. Re-running daily ingestion never re-admits content
+    seen on any earlier day, without rescanning history.
+
+    Scale shape: the store holds ONE 16-byte digest row per unique
+    document ever admitted; the anti-join shuffles digests, not
+    bodies, and at 100 TB the store is bucketable by digest prefix so
+    the join co-partitions. The store append is the only write —
+    callers land the surviving documents wherever the pipeline puts
+    them. First call (no store yet) admits the whole deduped batch.
+    """
+    spark = batch.sparkSession
+    fp = content_fingerprint(text_col).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    in_batch_first = (
+        batch.select("*", fp)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    try:
+        store = spark.read.parquet(store_path)
+        fresh = in_batch_first.join(store, "__fp", "left_anti")
+    except Exception:  # first batch: no store yet
+        fresh = in_batch_first
+    # materialize survivors before appending their fingerprints (the
+    # append must not re-trigger the anti-join against a moving store)
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.select("__fp").write.mode("append").parquet(store_path)
+    return fresh.drop("__fp")

@@ -545,3 +545,30 @@ def test_semantic_dedup_kmeans_invariants(spark):
 
     out = registry.queries()["semantic_dedup_violations"](spark, SF_DIR)
     assert out.count() == 0
+
+
+def test_dedup_incremental_batch_across_days(spark, tmp_path):
+    """Day 2 re-submissions of day-1 content are rejected by the
+    fingerprint store; novel content is admitted; within-batch dups
+    keep the lowest id."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        dedup_incremental_batch,
+    )
+
+    store = str(tmp_path / "fps")
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    kept1 = dedup_incremental_batch(day1, store)
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 3]
+
+    day2 = spark.createDataFrame(
+        [(10, "ALPHA   beta"), (11, "delta"), (12, "delta")],
+        "doc_id long, text string",
+    )  # 10 = normalized dup of day-1 content
+    kept2 = dedup_incremental_batch(day2, store)
+    assert sorted(r.doc_id for r in kept2.collect()) == [11]
+    # replaying day 2 admits nothing (store already has delta)
+    kept2b = dedup_incremental_batch(day2, store)
+    assert kept2b.count() == 0
