@@ -299,3 +299,28 @@ def test_mor_deletes_and_cow_compaction_agree(spark, tmp_path):
     clean = read_with_deletes(spark, path, "o_custkey")
     assert clean.count() == want
     assert clean.filter(F.col("o_custkey").isin(victims)).count() == 0
+
+
+def test_analyze_table_feeds_catalog_stats(spark, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS populates the
+    catalog row count and per-column NDV/min/max — the stats surface a
+    cost-based optimizer (and human capacity planning) consumes; at
+    100 TB these come from the same command scheduled post-ingest."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orders.write.mode("overwrite").saveAsTable("stats_orders")
+    try:
+        spark.sql(
+            "ANALYZE TABLE stats_orders COMPUTE STATISTICS "
+            "FOR COLUMNS o_orderkey, o_totalprice"
+        )
+        row = spark.sql("DESCRIBE TABLE EXTENDED stats_orders").collect()
+        stats = {r.col_name: r.data_type for r in row}
+        assert "Statistics" in stats and "rows" in stats["Statistics"]
+        col = spark.sql(
+            "DESCRIBE EXTENDED stats_orders o_orderkey"
+        ).collect()
+        info = {r.info_name: r.info_value for r in col}
+        assert int(info["distinct_count"]) > 0
+        assert info["min"] == "0"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_orders")
