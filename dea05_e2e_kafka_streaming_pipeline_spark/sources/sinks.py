@@ -358,3 +358,30 @@ def read_with_deletes(spark, path: str, key_col: str) -> DataFrame:
         return df
     dels = spark.read.parquet(f"{path}/_deletes").distinct()
     return df.join(F.broadcast(dels), key_col, "left_anti")
+
+
+def drop_partitions_older_than(
+    path: str,
+    partition_col: str,
+    cutoff: str,
+) -> list[str]:
+    """Retention sweep on a Hive-partitioned table: drop every
+    ``<partition_col>=<value>`` directory whose value sorts strictly
+    below ``cutoff`` (ISO dates compare lexicographically). Partition
+    drops are THE retention mechanism at 100 TB — a directory unlink
+    per expired day, zero data reads, zero rewrites — which is why
+    time-partitioned layouts (``ingest_to_lake``'s date partitions)
+    are non-negotiable for data with a TTL. Returns the dropped
+    partition values."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return []
+    dropped = []
+    prefix = f"{partition_col}="
+    for name in sorted(os.listdir(path)):
+        if name.startswith(prefix) and name[len(prefix):] < cutoff:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(name[len(prefix):])
+    return dropped
