@@ -1,19 +1,23 @@
-"""Minimal pure-Python Avro Object Container File reader.
+"""Minimal pure-Python Avro Object Container File reader AND writer.
 
 Implements the subset of the public Apache Avro 1.11 specification
 (container header/blocks, zigzag varints, primitives, records, unions,
-enums, arrays, maps, fixed; null/deflate codecs) needed to decode
-Debezium CDC topic dumps. This container ships neither spark-avro nor
-fastavro, but the reference's only ground-truth CDC captures are Avro
-files (reference ``testing/streaming.public.order.avro`` /
-``...customers.avro``, read there with fastavro at
+enums, arrays, maps, fixed; null/deflate codecs; decimal / date /
+timestamp logical types) needed to decode — and, since round 3, to
+re-encode — Debezium CDC topic dumps. This container ships neither
+spark-avro nor fastavro, but the reference's only ground-truth CDC
+captures are Avro files (reference ``testing/streaming.public.order.avro``
+/ ``...customers.avro``, read there with fastavro at
 ``testing/read_avro.py:1-6``) — this reader exists so the engine's CDC
 operators are tested against the REAL captures, not just synthesized
-envelopes.
+envelopes, and the writer closes the Avro ROUND TRIP (encode → decode is
+the identity, property-tested against those captures) so jar-less
+environments can also produce Avro for downstream consumers.
 
 Scope note: this is a test/fixture utility, not the 100 TB ingest path —
-at scale Avro decode runs JVM-side via spark-avro (``read_avro`` in
-``sources/registry.py``); this module's job is correctness ground truth.
+at scale Avro encode/decode runs JVM-side via spark-avro (``read_avro``
+in ``sources/registry.py``); this module's job is correctness ground
+truth plus the distributed fallback paths in ``registry``/``sinks``.
 """
 
 from __future__ import annotations
@@ -196,6 +200,267 @@ def read_avro_bytes(buf: bytes, name: str = "<bytes>") -> tuple[dict, list]:
     return schema, records
 
 
+class _Writer:
+    """Byte accumulator with Avro primitive encoders (mirror of
+    ``_Reader``; spec: binary encoding)."""
+
+    def __init__(self) -> None:
+        self.parts: list[bytes] = []
+
+    def write(self, b: bytes) -> None:
+        self.parts.append(b)
+
+    def long(self, n: int) -> None:
+        z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+        out = bytearray()
+        while True:
+            byte = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(byte | 0x80)
+            else:
+                out.append(byte)
+                break
+        self.parts.append(bytes(out))
+
+    def bytes_(self, b: bytes) -> None:
+        self.long(len(b))
+        self.parts.append(bytes(b))
+
+    def string(self, s: str) -> None:
+        self.bytes_(s.encode("utf-8"))
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def encode_decimal(value, scale: int) -> bytes:
+    """Inverse of :func:`decode_decimal`: minimal two's-complement
+    big-endian unscaled int (what spark-avro/Connect produce)."""
+    unscaled = int(decimal.Decimal(value).scaleb(scale).to_integral_value())
+    length = max(1, (unscaled.bit_length() + 8) // 8)  # +8: sign bit room
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def _union_index(schema: list, value) -> int:
+    """Pick the union branch for a Python value. The subset we emit is
+    Debezium/Spark-shaped: ``["null", T]`` (or the reverse) — a null
+    value takes the "null" branch, anything else the sole other one."""
+    if value is None:
+        for i, s in enumerate(schema):
+            if s == "null":
+                return i
+        raise ValueError(f"avro: null value for non-nullable union {schema!r}")
+    non_null = [(i, s) for i, s in enumerate(schema) if s != "null"]
+    if len(non_null) != 1:
+        raise ValueError(f"avro: ambiguous multi-type union {schema!r}")
+    return non_null[0][0]
+
+
+def _encode(schema, value, w: _Writer, names: dict) -> None:
+    """Mirror of ``_decode``: write ``value`` under the writer schema."""
+    import datetime as _dt
+
+    if isinstance(schema, list):  # union: long index, then value
+        idx = _union_index(schema, value)
+        w.long(idx)
+        _encode(schema[idx], value, w, names)
+        return
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(f["type"], None if value is None else value.get(f["name"]), w, names)
+            return
+        if t == "enum":
+            w.long(schema["symbols"].index(value))
+            return
+        if t == "fixed":
+            if len(value) != schema["size"]:
+                raise ValueError(
+                    f"avro: fixed size mismatch {len(value)} != {schema['size']}"
+                )
+            w.write(bytes(value))
+            return
+        if t == "array":
+            if value:
+                w.long(len(value))
+                for item in value:
+                    _encode(schema["items"], item, w, names)
+            w.long(0)
+            return
+        if t == "map":
+            if value:
+                w.long(len(value))
+                for k, v in value.items():
+                    w.string(k)
+                    _encode(schema["values"], v, w, names)
+            w.long(0)
+            return
+        logical = schema.get("logicalType")
+        if t == "bytes" and (logical == "decimal" or "scale" in schema):
+            if isinstance(value, (decimal.Decimal, int, float)):
+                value = encode_decimal(value, int(schema.get("scale", 0)))
+            w.bytes_(value)
+            return
+        if t == "int" and logical == "date" and isinstance(value, _dt.date):
+            w.long((value - _dt.date(1970, 1, 1)).days)
+            return
+        if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+            if isinstance(value, _dt.datetime):
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+                unit = 1_000_000 if logical == "timestamp-micros" else 1_000
+                value = round((value - epoch).total_seconds() * unit)
+            w.long(value)
+            return
+        _encode(t, value, w, names)  # annotated primitive / named ref
+        return
+    if schema in _PRIMITIVES:
+        if schema == "null":
+            return
+        if schema == "boolean":
+            w.write(b"\x01" if value else b"\x00")
+        elif schema in ("int", "long"):
+            w.long(int(value))
+        elif schema == "float":
+            w.write(struct.pack("<f", value))
+        elif schema == "double":
+            w.write(struct.pack("<d", value))
+        elif schema == "bytes":
+            w.bytes_(bytes(value))
+        else:  # string
+            w.string(value)
+        return
+    if schema in names:
+        _encode(names[schema], value, w, names)
+        return
+    raise ValueError(f"avro: unsupported type {schema!r}")
+
+
+def write_avro_bytes(
+    schema,
+    records,
+    codec: str = "null",
+    sync: bytes | None = None,
+    block_records: int = 4096,
+) -> bytes:
+    """Encode records into an in-memory Avro Object Container.
+
+    ``sync`` defaults to a DIGEST of the schema rather than the spec's
+    random marker so output is byte-deterministic (same schema + records
+    → same file; the spec only requires the 16 bytes be consistent
+    within a file). ``block_records`` bounds block size so decoders
+    never inflate more than one block at a time."""
+    import hashlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
+    if sync is None:
+        sync = hashlib.md5(schema_json.encode()).digest()
+    if len(sync) != 16:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    names: dict = {}
+    _register_names(schema, names)
+    w = _Writer()
+    w.write(_MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    w.long(len(meta))
+    for k, v in sorted(meta.items()):
+        w.string(k)
+        w.bytes_(v)
+    w.long(0)
+    w.write(sync)
+    records = list(records)
+    for start in range(0, len(records), block_records):
+        chunk = records[start : start + block_records]
+        bw = _Writer()
+        for rec in chunk:
+            _encode(schema, rec, bw, names)
+        block = bw.getvalue()
+        if codec == "deflate":
+            block = zlib.compress(block)[2:-4]  # raw stream, matching -15 inflate
+        w.long(len(chunk))
+        w.long(len(block))
+        w.write(block)
+        w.write(sync)
+    return w.getvalue()
+
+
+def write_avro(
+    path: str,
+    schema,
+    records,
+    codec: str = "null",
+    sync: bytes | None = None,
+    block_records: int = 4096,
+) -> None:
+    """Write an Avro Object Container File (inverse of :func:`read_avro`)."""
+    buf = write_avro_bytes(schema, records, codec=codec, sync=sync,
+                           block_records=block_records)
+    with open(path, "wb") as f:
+        f.write(buf)
+
+
+def spark_schema_to_avro(schema, name: str = "topLevelRecord") -> dict:
+    """Spark StructType → Avro writer-schema JSON (inverse of
+    :func:`avro_to_spark_type`, same subset spark-avro maps): nullable
+    field → ``["null", T]`` union, DecimalType → bytes logical decimal,
+    DateType → int logical date, TimestampType → long timestamp-micros."""
+    from pyspark.sql import types as T
+
+    def field_type(dt, fname: str):
+        if isinstance(dt, T.StructType):
+            return spark_schema_to_avro(dt, name=f"{name}_{fname}")
+        if isinstance(dt, T.ArrayType):
+            inner = field_type(dt.elementType, fname)
+            if dt.containsNull:
+                inner = ["null", inner]
+            return {"type": "array", "items": inner}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("avro: map keys must be strings")
+            inner = field_type(dt.valueType, fname)
+            if dt.valueContainsNull:
+                inner = ["null", inner]
+            return {"type": "map", "values": inner}
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        prim = {
+            T.BooleanType: "boolean",
+            T.IntegerType: "int",
+            T.ShortType: "int",
+            T.ByteType: "int",
+            T.LongType: "long",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.BinaryType: "bytes",
+            T.StringType: "string",
+        }
+        for cls, avro_t in prim.items():
+            if isinstance(dt, cls):
+                return avro_t
+        raise ValueError(f"avro: unsupported Spark type {dt!r}")
+
+    fields = []
+    for f in schema.fields:
+        ft = field_type(f.dataType, f.name)
+        if f.nullable:
+            ft = ["null", ft]
+        fields.append({"name": f.name, "type": ft, "default": None}
+                      if f.nullable else {"name": f.name, "type": ft})
+    return {"type": "record", "name": name, "fields": fields}
+
+
 def decode_decimal(raw: bytes, scale: int) -> decimal.Decimal:
     """Avro logical decimal: two's-complement big-endian unscaled int
     (what spark-avro/Connect produce for Debezium money columns)."""
@@ -240,6 +505,60 @@ def walk_decimals(record, schema, names: dict | None = None, ns: str | None = No
     return record
 
 
+def walk_logicals(record, schema, names: dict | None = None):
+    """Superset of :func:`walk_decimals`: convert every logical-typed
+    primitive in a decoded record to its Python-native form in place —
+    bytes decimal → ``Decimal``, int date → ``datetime.date``, long
+    timestamp-micros/millis → ``datetime.datetime`` (naive UTC, matching
+    spark-avro under the session's UTC timezone policy)."""
+    import datetime as _dt
+
+    if names is None:
+        names = {}
+        _register_names(schema, names)
+
+    def convert(value, s):
+        if value is None:
+            return None
+        if isinstance(s, list):
+            non_null = [x for x in s if x != "null"]
+            return convert(value, non_null[0]) if len(non_null) == 1 else value
+        if isinstance(s, str):
+            if s in names:
+                return convert(value, names[s])
+            return value
+        if not isinstance(s, dict):
+            return value
+        t = s["type"]
+        logical = s.get("logicalType")
+        if t == "bytes" and (logical == "decimal" or "scale" in s):
+            if isinstance(value, bytes):
+                return decode_decimal(value, int(s.get("scale", 0)))
+            return value
+        if t == "int" and logical == "date" and isinstance(value, int):
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=value)
+        if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+            if isinstance(value, int):
+                unit = 1_000_000 if logical == "timestamp-micros" else 1_000
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    seconds=value / unit
+                )
+            return value
+        if t == "record" and isinstance(value, dict):
+            for f in s["fields"]:
+                value[f["name"]] = convert(value.get(f["name"]), f["type"])
+            return value
+        if t == "array" and isinstance(value, list):
+            return [convert(v, s["items"]) for v in value]
+        if t == "map" and isinstance(value, dict):
+            return {k: convert(v, s["values"]) for k, v in value.items()}
+        if isinstance(t, (dict, str)) and t not in _PRIMITIVES:
+            return convert(value, t)
+        return value
+
+    return convert(record, schema)
+
+
 def avro_to_spark_type(schema, names: dict | None = None):
     """Writer-schema JSON → Spark DataType (the subset Debezium uses).
 
@@ -275,13 +594,25 @@ def avro_to_spark_type(schema, names: dict | None = None):
         if t == "fixed":
             return T.BinaryType()
         if t == "array":
-            return T.ArrayType(avro_to_spark_type(schema["items"], names))
+            items = schema["items"]
+            nullable = isinstance(items, list) and "null" in items
+            return T.ArrayType(avro_to_spark_type(items, names), nullable)
         if t == "map":
-            return T.MapType(T.StringType(), avro_to_spark_type(schema["values"], names))
+            values = schema["values"]
+            nullable = isinstance(values, list) and "null" in values
+            return T.MapType(
+                T.StringType(), avro_to_spark_type(values, names), nullable
+            )
         if t == "bytes" and (schema.get("logicalType") == "decimal" or "scale" in schema):
             return T.DecimalType(
                 int(schema.get("precision", 38)), int(schema.get("scale", 0))
             )
+        if t == "int" and schema.get("logicalType") == "date":
+            return T.DateType()
+        if t == "long" and schema.get("logicalType") in (
+            "timestamp-micros", "timestamp-millis",
+        ):
+            return T.TimestampType()
         return avro_to_spark_type(t, names)
     prim = {
         "null": None,
@@ -310,6 +641,6 @@ def read_avro_as_dataframe(spark, path: str):
     envelopes remain readable in jar-less environments)."""
     schema, records = read_avro(path)
     for rec in records:
-        walk_decimals(rec, schema)
+        walk_logicals(rec, schema)
     spark_schema = avro_to_spark_type(schema)
     return spark.createDataFrame(records, spark_schema)

@@ -185,7 +185,7 @@ def read_avro_distributed(
             for p, buf in zip(pdf["path"], pdf["content"]):
                 schema, records = avro_lite.read_avro_bytes(bytes(buf), name=p)
                 for rec in records:
-                    avro_lite.walk_decimals(rec, schema)
+                    avro_lite.walk_logicals(rec, schema)
                 frames.append(pd.DataFrame.from_records(records, columns=names))
             if frames:
                 yield pd.concat(frames)

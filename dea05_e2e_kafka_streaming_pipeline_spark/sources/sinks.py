@@ -360,6 +360,52 @@ def read_with_deletes(spark, path: str, key_col: str) -> DataFrame:
     return df.join(F.broadcast(dels), key_col, "left_anti")
 
 
+def write_avro_distributed(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    record_name: str = "topLevelRecord",
+) -> dict:
+    """Jar-less DISTRIBUTED Avro sink: each partition encodes its rows
+    with the vendored pure-Python writer (``sources/avro_lite.py``) and
+    lands one container file — the write-side twin of
+    ``registry.read_avro_distributed`` (round-trip property-tested,
+    including against the schema of the reference's real Debezium
+    captures ``testing/streaming.public.order.avro``).
+
+    The work unit is a PARTITION → one ``part-NNNNN.avro`` object, the
+    same one-file-per-task shape as Spark's own file sinks; a
+    ``_SUCCESS`` marker lands only after the action completes, so
+    readers never observe a half-written directory as complete. Encoding
+    runs row-at-a-time in Python — acceptable for a SINK (write path is
+    I/O-bound; this is the jar-less fallback, spark-avro's JVM writer is
+    the 100 TB path). Requires a filesystem all executors can reach
+    (true in local mode and on any shared/posix mount; object stores
+    need the JVM writer). Returns the Avro writer schema used.
+    """
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources import avro_lite
+
+    schema = avro_lite.spark_schema_to_avro(df.schema, name=record_name)
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        records = [r.asDict(recursive=True) for r in rows]
+        if not records:
+            return
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.avro")
+        avro_lite.write_avro(out, schema, records, codec=codec)
+
+    df.foreachPartition(write_partition)
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return schema
+
+
 def drop_partitions_older_than(
     path: str,
     partition_col: str,
