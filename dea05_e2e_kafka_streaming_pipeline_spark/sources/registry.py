@@ -55,6 +55,16 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC lake scan — the other columnar interchange format Spark
+    ships natively (orc-core is bundled with core Spark, no extra jar).
+    Same optimizer story as parquet: embedded schema, predicate
+    pushdown into stripe/row-group indexes, column pruning, vectorized
+    read. The reference is parquet/delta-only; ORC rounds out the
+    engine's lake-format surface for Hive-lineage estates."""
+    return spark.read.orc(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """JSON-lines lake scan (reference curated/data_quality.py:131-132).
 

@@ -50,6 +50,28 @@ def write_parquet_partitioned(
     writer.parquet(path)
 
 
+def write_orc_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+    compression: str | None = None,
+) -> None:
+    """Partitioned ORC write — same layout discipline as
+    :func:`write_parquet_partitioned` (Hive-style partition dirs,
+    bounded file sizes) on the other bundled columnar format. ORC's
+    built-in stripe/row-group min-max indexes give the same
+    footer-level pruning the parquet zone maps provide; default codec
+    differs (ORC: zlib) unless overridden."""
+    writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def zorder_value(
     cols: list[str],
     stats: dict[str, tuple[float, float]],

@@ -1,0 +1,61 @@
+"""ORC lake format (sources/registry.py:read_orc,
+sources/sinks.py:write_orc_partitioned): round-trip fidelity, Hive
+partition layout, and the same optimizer guarantees the parquet path is
+plan-tested for — predicate pushdown and partition pruning must reach
+the ORC scan."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import load_orders
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import read_orc
+from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+    write_orc_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_sample(spark, path: str):
+    df = load_orders(spark, SF).withColumn(
+        "order_year", F.year("order_date").cast("string")
+    )
+    write_orc_partitioned(df, path, partition_by=["order_year"])
+    return df
+
+
+def test_orc_round_trip(spark, tmp_path):
+    out = str(tmp_path / "orders_orc")
+    df = _write_sample(spark, out)
+    # partition-column type inference reads "order_year=1995" back as
+    # int — normalize to the written string type for value comparison
+    back = read_orc(spark, out).withColumn(
+        "order_year", F.col("order_year").cast("string")
+    )
+    assert sorted(back.columns) == sorted(df.columns)
+    want = sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+    got = sorted(map(tuple, back.select(*sorted(df.columns)).collect()))
+    assert got == want
+    # Hive-style partition dirs on disk
+    years = [d for d in os.listdir(out) if d.startswith("order_year=")]
+    assert len(years) > 1
+
+
+def test_orc_partition_pruning_and_pushdown(spark, tmp_path):
+    out = str(tmp_path / "orders_orc2")
+    _write_sample(spark, out)
+    pruned = read_orc(spark, out).filter(
+        (F.col("order_year") == "1995") & (F.col("order_amount") > 100000)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter prunes directories; amount predicate pushes into
+    # the ORC stripe indexes
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "PushedFilters: [IsNotNull(order_amount), GreaterThan(order_amount" in plan
+    n_all = read_orc(spark, out).count()
+    n_pruned = pruned.count()
+    assert 0 < n_pruned < n_all
