@@ -145,6 +145,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PREFIX-FILTERED exact Jaccard pairs — same output as
+    :func:`ngram_jaccard_pairs`, far fewer candidates (the PPJoin/
+    AllPairs family's core pruning, Xiao et al. WWW'08 / Bayardo et al.
+    WWW'07, re-expressed as DataFrame ops).
+
+    Theorem used: under ANY fixed total order on shingles, if
+    J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets whose
+    overlap is ≥ o must collide within their first
+    ``|S| − o + 1 ≤ ⌊(1−τ)·|S|⌋ + 1`` elements. So indexing only that
+    PREFIX of each document's hash-sorted shingle array (the fixed
+    order = the 64-bit hash order) still surfaces every qualifying
+    pair; everything else never enters the join. At τ=0.8 the inverted
+    index shrinks ~5× and — because candidate volume is quadratic in
+    posting-list length — candidate pairs shrink far more; stop-shingle
+    skew shrinks with it (a hot shingle only hurts when it lands in
+    prefixes). Verification computes the EXACT intersection from the
+    full sorted arrays carried to the (small) candidate set; at very
+    large |sh| swap the array carry for a second posting-list join.
+
+    Bound arithmetic is done with an epsilon before ``floor`` so float
+    jitter can only ENLARGE the prefix (extra candidates are harmless;
+    a short prefix would drop true pairs).
+    """
+    df = _spread(df)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.transform(word_shingles(text_col, k), lambda x: F.xxhash64(x))
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
+    prefix_len = F.least(
+        F.floor((1.0 - threshold) * F.col("n_sh") + F.lit(1e-9)).cast("int") + 1,
+        F.col("n_sh"),
+    )
+    inv = sh.select(
+        "id", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("s")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    left = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    right = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jaccard = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        verified.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def apply_dedup(
     df: DataFrame,
     pairs: DataFrame,

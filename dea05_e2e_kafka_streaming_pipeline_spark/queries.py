@@ -800,9 +800,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=f"""
+# Shared by ngram_jaccard_pairs and its prefix-filtered twin: both
+# produce EXACTLY the same pairs, so one DuckDB oracle checks both.
+_NGRAM_JACCARD_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
     ), d AS (
@@ -823,8 +823,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
     FROM p
     WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.2
-    """,
-)
+    """
+
+
+@register("ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram set-Jaccard near-dup pairs via inverted index
     (explode shingle → equi-join → count common) — no O(n²) cross join."""
@@ -834,6 +836,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register("ngram_jaccard_prefix", oracle=_NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact Jaccard pairs through the PPJoin-style
+    prefix-filtered plan (operators/dedup.py:ngram_jaccard_pairs_prefix):
+    only each document's hash-order shingle PREFIX enters the inverted
+    index, shrinking candidate volume quadratically while keeping the
+    result exact — hash-matched against the identical DuckDB oracle as
+    `ngram_jaccard_pairs`, which is the completeness proof (a dropped
+    true pair would break the hash)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), threshold=0.2
     )
 

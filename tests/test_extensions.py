@@ -70,6 +70,55 @@ def test_ngram_jaccard_finds_near_dup_only(docs):
     assert pairs[(0, 1)] == 1.0
 
 
+def test_prefix_filtered_jaccard_equals_full_index(spark):
+    """ngram_jaccard_pairs_prefix must return EXACTLY the pairs of the
+    full-index plan at several thresholds (completeness is the whole
+    point of the prefix-filter theorem), on real corpus data."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for tau in (0.2, 0.5, 0.8):
+        full = sorted(
+            map(tuple, ngram_jaccard_pairs(corpus, threshold=tau).collect())
+        )
+        pre = sorted(
+            map(tuple, ngram_jaccard_pairs_prefix(corpus, threshold=tau).collect())
+        )
+        assert pre == full, f"prefix filter diverged at tau={tau}"
+        assert len(full) > 0  # non-vacuous at every threshold
+
+
+def test_prefix_filter_shrinks_inverted_index(spark):
+    """The indexed posting volume under prefix filtering must be a
+    strict subset of the full index (the candidate-reduction that makes
+    this the 100 TB plan) — measured, not assumed."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        word_shingles,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    tau = 0.8
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = corpus.select(word_shingles("text", 3).alias("sh")).withColumn(
+        "n", F.size("sh")
+    )
+    totals = sh.agg(
+        F.sum("n").alias("full"),
+        F.sum(
+            F.least(
+                F.floor((1.0 - tau) * F.col("n") + F.lit(1e-9)).cast("int") + 1,
+                F.col("n"),
+            )
+        ).alias("prefix"),
+    ).first()
+    assert totals.prefix < totals.full * 0.35  # ≥ ~3× smaller at τ=0.8
+
+
 def test_minhash_matches_exact_on_high_similarity(docs):
     """LSH with 64 hashes must recover every pair the exact method finds
     at high similarity (recall ≈ 1 for J ≥ 0.7)."""
