@@ -13,6 +13,87 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order global row numbering WITHOUT the single-reducer
+    collapse of ``row_number() OVER (ORDER BY ...)`` — Spark plans that
+    window as an Exchange to ONE partition, which is the canonical
+    100 TB anti-pattern (one task sorts the world).
+
+    Plan instead (the DataFrame form of RDD ``zipWithIndex``):
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+       key — a normal range shuffle, every partition sorted and
+       globally ordered BETWEEN partitions;
+    2. one Arrow ``mapInPandas`` pass stamps (partition id, local row
+       number) with zero shuffle;
+    3. per-partition counts (a ≤ num_partitions-row aggregate) come
+       back to the driver, prefix-summed into offsets, and broadcast-
+       joined back: ``rn = offset[pid] + local_rn``.
+
+    The numbered stream is ``persist()``-ed because steps 2→3 take two
+    actions over it; at lake scale the natural form of this operator is
+    "write the range-sorted table, then number from file row counts" —
+    the in-memory persist is the interactive equivalent. ``order_cols``
+    must be a total order (include a unique tie-break) for the result
+    to be deterministic.
+
+    Also the exact-ntile building block: ``bucket = 1 +
+    (rn-1)*k/total`` gives equal-frequency buckets without the
+    unpartitioned ``ntile`` window (see ``customer_spend_quartiles``'s
+    scale note).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__lrn", T.LongType(), False),
+        ]
+    )
+
+    def number(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__pid"] = pid
+            pdf["__lrn"] = np.arange(seen + 1, seen + 1 + len(pdf), dtype="int64")
+            seen += len(pdf)
+            yield pdf
+
+    local = ranged.mapInPandas(number, out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lrn"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: filter on ship
     date (pushed to the parquet scan) → groupBy(returnflag, linestatus)

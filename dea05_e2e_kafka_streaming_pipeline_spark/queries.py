@@ -840,6 +840,43 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_global_rownum",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id, rn, ((rn - 1) * 4) // total + 1 AS bucket FROM n
+    """,
+)
+def q_documents_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order global row numbering + exact equal-frequency
+    4-bucket assignment via plans/analytics.py:global_row_number — the
+    zipWithIndex-style range-partitioned plan, NOT the single-reducer
+    `row_number() OVER (ORDER BY ...)` window the oracle uses (same
+    rows, opposite scaling: the engine plan's widest exchange is a
+    range shuffle across all partitions; plan-asserted no
+    SinglePartition exchange in tests/test_plans.py)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_row_number,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    numbered = global_row_number(docs, ["doc_id"])
+    total = numbered.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        numbered.crossJoin(F.broadcast(total))
+        .withColumn("bucket", F.expr("((rn - 1) * 4) div total + 1"))
+        .select("doc_id", "rn", "bucket")
+    )
+
+
 @register("ngram_jaccard_prefix", oracle=_NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME exact Jaccard pairs through the PPJoin-style

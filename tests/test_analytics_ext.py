@@ -537,3 +537,32 @@ def test_new_tpch_shapes_join_strategies(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan_ps
     assert "LeftAnti, BuildRight" in plan_ps  # broadcast anti-join
+
+
+def test_global_row_number_matches_window(spark):
+    """global_row_number under a scrambled multi-partition input must
+    equal the single-partition row_number window (the semantics oracle),
+    and the persisted numbering must be stable across re-reads."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_row_number,
+    )
+
+    df = (
+        spark.range(0, 1000)
+        .select((F.col("id") * 2654435761 % 1013).alias("key"), "id")
+        .repartition(7)
+    )
+    got = {
+        (r.key, r.id): r.rn
+        for r in global_row_number(df, ["key", "id"], num_partitions=5).collect()
+    }
+    want = {
+        (r.key, r.id): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("key", "id"))
+        ).collect()
+    }
+    assert got == want

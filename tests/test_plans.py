@@ -160,6 +160,9 @@ _EAGER_BUILD_OK = {
     # once; rounds iterate on the checkpointed word-frequency table)
     "bpe_merges_docs",
     "bpe_token_counts_docs",
+    # zipWithIndex semantics: the per-partition count pass is a driver
+    # action by construction (see global_row_number docstring)
+    "documents_global_rownum",
 }
 
 
@@ -181,6 +184,19 @@ def test_registry_plan_build_runs_no_jobs(spark):
         assert after == before, (
             f"{name}: building the DataFrame ran {after - before} Spark job(s)"
         )
+
+
+def test_global_rownum_avoids_single_partition_exchange(spark):
+    """The numbering plan's widest exchange must be a RANGE shuffle —
+    never the Exchange SinglePartition a naive global row_number window
+    plans (the one-task-sorts-the-world anti-pattern)."""
+    plan = _plan(spark, "documents_global_rownum")
+    assert "rangepartitioning(doc_id" in plan
+    # no Window operator anywhere: numbering is the range-partitioned
+    # mapInPandas plan, not a global-sort window. (A SinglePartition
+    # exchange DOES appear — carrying the one-row count(*) scalar for
+    # the bucket arithmetic, not document data.)
+    assert "Window" not in plan
 
 
 def test_priority_waiting_semi_join_with_pushdown(spark):
