@@ -160,3 +160,78 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
         raise RuntimeError(
             "Delta history needs the delta-spark package on the classpath"
         ) from exc
+
+
+def pruned_parquet_scan(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    value_type: str = "double",
+) -> tuple[DataFrame, list[str], list[str]]:
+    """DATA SKIPPING from the zone maps :func:`rowgroup_stats` collects:
+    scan only the files whose footer [min, max] for ``column`` can
+    intersect ``[lo, hi]`` (either bound may be None = unbounded).
+
+    This is the manual form of what lakehouse table formats do with
+    their stats tables — and the payoff of range-clustered layouts
+    (``repartitionByRange``/Z-order writers in ``sinks``): on a table
+    range-sorted by ``column``, a narrow predicate keeps O(1) of the
+    files regardless of table size, BEFORE any Spark scan is planned.
+    The stats pass is footer-metadata only (distributed, ~8 KB/file);
+    the keep/drop decision is driver-side over one row per file. Files
+    lacking stats for the column are conservatively KEPT, and the exact
+    predicate is re-applied to the scan, so pruning can never change
+    results — only skip I/O.
+
+    ``value_type`` is the cast applied to the footer's string-form
+    min/max before comparison ("double", "date", "string", ...);
+    ``lo``/``hi`` must be of a comparable Python type.
+
+    Returns ``(dataframe, kept_files, all_files)`` so callers (and
+    tests) can observe the skip rate.
+    """
+    import os
+
+    import pyarrow.dataset as ds
+
+    def _cast(c: str):
+        return F.col(c).cast(value_type)
+
+    per_file = (
+        rowgroup_stats(spark, path, [column])
+        .groupBy("file_name")
+        .agg(
+            F.min(_cast("min_value")).alias("mn"),
+            F.max(_cast("max_value")).alias("mx"),
+            F.sum(
+                F.when(
+                    F.col("min_value").isNull() | F.col("max_value").isNull(), 1
+                ).otherwise(0)
+            ).alias("no_stats"),
+        )
+        .collect()
+    )
+    keep = set()
+    for r in per_file:
+        if r.no_stats or r.mn is None or r.mx is None:
+            keep.add(r.file_name)  # unknown range: must scan
+            continue
+        if lo is not None and r.mx < lo:
+            continue
+        if hi is not None and r.mn > hi:
+            continue
+        keep.add(r.file_name)
+    all_files = sorted(ds.dataset(path).files)
+    kept = [f for f in all_files if os.path.basename(f) in keep]
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(column) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(column) <= F.lit(hi))
+    if kept:
+        df = spark.read.parquet(*kept).filter(pred)
+    else:  # every file pruned: empty result with the table's schema
+        df = spark.read.parquet(path).filter(F.lit(False))
+    return df, kept, all_files

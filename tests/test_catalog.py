@@ -350,3 +350,57 @@ def test_retention_sweep_drops_expired_partitions(spark, tmp_path):
     assert str(kept.agg(F.min("date")).collect()[0][0]) >= "2024-01-10"
     # idempotent
     assert drop_partitions_older_than(path, "date", "2024-01-10") == []
+
+
+def test_pruned_scan_skips_files_and_preserves_results(spark, tmp_path):
+    """On a range-clustered layout a narrow predicate must keep a
+    minority of files, and the pruned scan must return exactly the rows
+    of the full scan + filter (pruning is an I/O optimization, never a
+    semantics change)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import (
+        pruned_parquet_scan,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import (
+        load_orders,
+    )
+
+    out = str(tmp_path / "orders_ranged")
+    orders = load_orders(spark, "/root/testdata/sf0.001")
+    # range-clustered on the skip column: 8 files, each a tight slice
+    orders.repartitionByRange(8, "order_amount").write.parquet(out)
+
+    df, kept, all_files = pruned_parquet_scan(
+        spark, out, "order_amount", lo=10_000.0, hi=40_000.0
+    )
+    assert len(all_files) == 8
+    assert 0 < len(kept) <= 3  # narrow slice of a ranged layout
+    want = sorted(
+        map(
+            tuple,
+            orders.filter(F.col("order_amount").between(10_000.0, 40_000.0))
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, df.select(*orders.columns).collect()))
+    assert got == want
+
+
+def test_pruned_scan_empty_range_keeps_schema(spark, tmp_path):
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import (
+        pruned_parquet_scan,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import (
+        load_orders,
+    )
+
+    out = str(tmp_path / "orders_ranged2")
+    orders = load_orders(spark, "/root/testdata/sf0.001")
+    orders.repartitionByRange(4, "order_amount").write.parquet(out)
+    df, kept, _ = pruned_parquet_scan(
+        spark, out, "order_amount", lo=1e12, hi=2e12
+    )
+    assert kept == []
+    assert df.count() == 0
+    assert sorted(df.columns) == sorted(orders.columns)
