@@ -350,3 +350,51 @@ def observed_audit(
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """ONE-SCAN column profiler (the Deequ/Glue-profiler shape the
+    reference's DQ suite gestures at with its per-check jobs —
+    reference curated/data_quality.py:37-39 runs a job per column; this
+    runs one for the whole table): per column — row total, null count,
+    distinct count, min and max (cast to string AFTER the native-type
+    min/max, so numeric ordering is preserved).
+
+    All per-column aggregates land in a single ``agg`` (one scan); the
+    per-column reshape afterward is a zero-cost projection + explode of
+    a one-row frame. ``approx=True`` swaps exact countDistinct (which
+    plans an Expand — fine at audit scale, heavy at 100 TB) for
+    approx_count_distinct's one-pass HLL sketch; exact is the default
+    because it is the oracle-checkable form.
+    """
+    cols = columns or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            distinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__total").alias("total"),
+            (F.col("__total") - F.col(f"__nn_{c}")).alias("nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -840,6 +840,50 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COL = """
+    SELECT '{c}' AS col_name, count(*) AS total,
+           count(*) - count({c}) AS nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM o
+"""
+
+
+@register(
+    "profile_orders",
+    oracle=(
+        f"WITH o AS (SELECT order_id, order_date, "
+        f"CAST(order_amount AS DECIMAL(18,2)) AS order_amount, customer_id "
+        f"FROM ({ORDERS_SQL}))\n"
+        + " UNION ALL ".join(
+            _PROFILE_COL.format(c=c)
+            for c in ("order_id", "order_date", "order_amount", "customer_id")
+        )
+    ),
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile (operators/quality.py:profile_table) over
+    the orders entity: per column — total, nulls, exact distinct,
+    native-ordered min/max as strings. The amount column is cast to
+    decimal(18,2) first so its string form is engine-exact. The oracle
+    computes each column's stats independently; the engine computes all
+    of them in ONE aggregate (the reference ran a Spark job per column,
+    curated/data_quality.py:37-39)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+        profile_table,
+    )
+
+    orders = load_orders(spark, sf_dir).withColumn(
+        "order_amount", F.col("order_amount").cast("decimal(18,2)")
+    )
+    return profile_table(
+        orders, ["order_id", "order_date", "order_amount", "customer_id"]
+    )
+
+
 @register(
     "documents_global_rownum",
     oracle="""

@@ -243,3 +243,43 @@ def test_observed_audit_streaming_surfaces_per_batch(spark, tmp_path):
             found = om["stream_audit"]
     assert found is not None, "no observed metrics in any progress"
     assert found["n_rows"] == 2 and found["value_sum"] == 5.0
+
+
+def test_profile_table_single_scan_and_values(spark):
+    """profile_table: one scan feeds every column's stats, and the
+    numbers are right on a frame with planted nulls/dups."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "id int, tag string",
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["id"].total == 4 and prof["id"].nulls == 1
+    assert prof["id"].n_distinct == 3
+    assert prof["id"].min_value == "1" and prof["id"].max_value == "3"
+    assert prof["tag"].nulls == 1 and prof["tag"].n_distinct == 2
+
+    # numeric min/max must use NATIVE ordering before the string cast
+    df2 = spark.createDataFrame([(9,), (10,)], "n int")
+    p2 = profile_table(df2).collect()[0]
+    assert p2.min_value == "9" and p2.max_value == "10"
+
+    # single scan: exactly one parquet read in the registered query plan
+    from dea05_e2e_kafka_streaming_pipeline_spark import queries as registry
+
+    plan = (
+        registry.queries()["profile_orders"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+    # approx mode swaps the Expand-planning exact distinct for HLL
+    prof_a = {r.col_name: r for r in profile_table(df, approx=True).collect()}
+    assert prof_a["id"].n_distinct == 3  # HLL exact at tiny cardinality
