@@ -378,6 +378,43 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", *out_cols, red.alias("text_redacted"))
 
 
+# HTML markup extraction — the first stage of every web-scrape corpus
+# (WET/warc-derived text cleanup). Patterns are alternation-light and
+# ASCII so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+_HTML_SCRIPT = r"(?s)<(script|style)[^>]*>.*?</(script|style)>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"<[^>]+>"
+_HTML_ENTITIES = (  # decoded in declaration order, &amp; deliberately last
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def with_html_stripped(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Markup removal for web-scraped documents: drop <script>/<style>
+    blocks WITH their payload (code is not prose), drop comments, strip
+    the remaining tags, decode the common entities, collapse
+    whitespace. Attaches ``n_tags`` (tags stripped, counted after the
+    block/comment removal so script internals don't inflate it) and
+    ``text_clean``. Pure regexp projection — zero shuffle, no UDF."""
+    c = F.col(text_col)
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(c, _HTML_SCRIPT, " "), _HTML_COMMENT, " "
+    )
+    n_tags = F.regexp_count(no_blocks, F.lit(_HTML_TAG))
+    clean = F.regexp_replace(no_blocks, _HTML_TAG, " ")
+    for ent, repl in _HTML_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(repl))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(
+        "*", n_tags.alias("n_tags"), clean.alias("text_clean")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary
 # ---------------------------------------------------------------------------

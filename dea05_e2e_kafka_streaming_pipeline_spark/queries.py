@@ -3112,6 +3112,72 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "html_strip_docs",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+               '<html><head><script type="text/javascript">var x=1;</script>'
+               || '</head><body><h1>Title ' || CAST(doc_id AS VARCHAR)
+               || '</h1><!-- nav chrome --><p class="lead">' || text
+               || ' &amp; more &lt;3</p></body></html>'
+             ELSE text END AS text
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS t
+      FROM planted
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(t, '<[^>]+>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS text_clean
+    FROM stripped
+    """,
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scrape markup removal (operators/curation.py:
+    with_html_stripped): script/style payloads dropped, comments
+    dropped, tags stripped and counted, entities decoded, whitespace
+    collapsed. HTML is planted deterministically on every 10th doc in
+    BOTH engines (the corpus itself is plain text) so every rule is
+    exercised for real."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        with_html_stripped,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(
+                    '<html><head><script type="text/javascript">var x=1;'
+                    "</script></head><body><h1>Title "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit('</h1><!-- nav chrome --><p class="lead">'),
+                F.col("text"),
+                F.lit(" &amp; more &lt;3</p></body></html>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return with_html_stripped(planted).select("doc_id", "n_tags", "text_clean")
+
+
+@register(
     "pii_redaction_docs",
     oracle=r"""
     WITH planted AS (

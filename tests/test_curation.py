@@ -331,3 +331,27 @@ def test_bpe_train_matches_python_model(spark):
                     i += 1
             vocab[w] = out
     assert got == model
+
+
+def test_html_strip_known_document(spark):
+    """Every rule on one crafted document: script payload dropped,
+    comment dropped, tags counted and stripped, entities decoded,
+    whitespace collapsed."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        with_html_stripped,
+    )
+
+    html = (
+        '<html><head><style>.x{color:red}</style>'
+        "<script>var hidden = 'SECRET';</script></head>"
+        "<body><h1>Hello</h1><!-- chrome -->"
+        '<p class="a">A &amp; B &lt;ok&gt; &quot;q&quot; &nbsp;end</p>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain text")], "id int, text string")
+    rows = {r.id: r for r in with_html_stripped(df).collect()}
+    assert rows[1].text_clean == 'Hello A & B <ok> "q" end'
+    assert "SECRET" not in rows[1].text_clean  # script payload gone
+    # tags counted after block removal: html,head,/head,body,h1,/h1,p,/p,/body,/html
+    assert rows[1].n_tags == 10
+    assert rows[2].text_clean == "plain text" and rows[2].n_tags == 0
