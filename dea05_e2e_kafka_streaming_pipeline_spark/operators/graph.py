@@ -1,0 +1,87 @@
+"""Iterative graph analytics over edge DataFrames.
+
+Connected components (the transitive-dedup workhorse) lives in
+``operators/dedup.py``; this module adds rank propagation. The engine
+has no graph abstraction and needs none — a graph IS an edge DataFrame,
+and each iteration is one join + one aggregate, the same shuffle
+economics as everything else at 100 TB (shuffle keys are vertex ids,
+payloads are single longs; document bodies never move).
+
+Determinism discipline: ranks are SCALED INTEGERS (fixed-point), all
+arithmetic is integer multiply/floor-divide, and integer sums are
+order-insensitive under any partial-aggregation schedule — so a
+1000-executor run, a local[32] run, and a DuckDB oracle produce
+BIT-IDENTICAL ranks (float PageRank drifts with partition order, which
+is why the float form can never be hash-checked across engines; same
+policy as ``unigram_surprisal_docs``'s per-token quantization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank scale: ranks live in [0, SCALE] ≈ [0.0, 1.0]
+SCALE = 1_000_000_000_000
+
+
+def pagerank_fixed_point(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """PageRank with integer fixed-point arithmetic, exact across
+    engines and cluster layouts.
+
+    Per iteration (the standard power step, damping d = damping_pct %):
+
+        r'(v) = ((100-d)·scale) div (100·N)  +  (d · Σ_{u→v} r(u) div deg(u)) div 100
+
+    with every operation an integer multiply or floor-divide. Dangling
+    mass is dropped (the common simplification) — both engines apply
+    the identical formula, so results still hash-match. Plan shape per
+    round: edges ⋈ ranks (shuffle on src) → groupBy dst sum (shuffle on
+    dst) → left join back to vertices; out-degrees compute once. N
+    rides along as a broadcast one-row aggregate, so building the plan
+    runs ZERO driver jobs (registry lazy-build rule) and `iterations`
+    bounds plan depth — for long chains, localCheckpoint per round as
+    in ``connected_components``.
+
+    Returns ``(id_col, rank_fp)`` — rank_fp/scale is the conventional
+    float rank.
+    """
+    keep = 100 - damping_pct
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_df = vertices.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = (
+        vertices.select(F.col(id_col).alias("v"))
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("r", F.expr(f"{scale} div __n"))
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.select("v", "r"), e.src == F.col("v"))
+            .join(deg, "src")
+            .select(F.col("dst").alias("v"), F.expr("r div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("v", "__n")
+            .join(contribs, "v", "left")
+            .withColumn(
+                "r",
+                F.expr(
+                    f"({keep} * {scale}) div (100 * __n)"
+                    f" + ({damping_pct} * coalesce(s, 0)) div 100"
+                ),
+            )
+            .drop("s")
+        )
+    return ranks.select(F.col("v").alias(id_col), F.col("r").alias("rank_fp"))

@@ -921,6 +921,64 @@ def q_documents_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
+    """Unrolled fixed-point PageRank (one CTE pair per iteration) over
+    the exact-Jaccard pair graph — DuckDB `//` and Spark `div` are the
+    same floor division on bigints, and integer sums are
+    order-insensitive, so the ranks hash-match bit-for-bit (see
+    operators/graph.py docstring for the determinism argument)."""
+    sql = f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM documents),
+    r0 AS (SELECT doc_id AS v, {scale} // n AS r FROM documents CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS v, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.v
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT p.v,
+                    CAST((15 * {scale}) // (100 * nn.n)
+                    + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+             FROM {prev} p CROSS JOIN nn LEFT JOIN c{i} c ON p.v = c.v)"""
+        prev = f"r{i}"
+    return sql + f"\n    SELECT v AS doc_id, r AS rank_fp FROM {prev}"
+
+
+@register("pagerank_dedup_graph", oracle=_pagerank_oracle())
+def q_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 power iterations, d=0.85) over the
+    near-dup pair graph — iterative rank propagation as one join + one
+    aggregate per round (operators/graph.py:pagerank_fixed_point),
+    bit-exact across engines by the scaled-integer discipline. Isolated
+    documents settle at the base rank; members of dup clusters rank
+    higher in proportion to their connectivity."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank_fixed_point(
+        docs.select("doc_id"), edges, id_col="doc_id", iterations=3
+    )
+
+
 @register("ngram_jaccard_prefix", oracle=_NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME exact Jaccard pairs through the PPJoin-style

@@ -1,0 +1,62 @@
+"""Fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+    SCALE,
+    pagerank_fixed_point,
+)
+
+
+def _ranks(spark, vertices, edges, **kw):
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.id: r.rank_fp for r in pagerank_fixed_point(v, e, **kw).collect()
+    }
+
+
+def test_pagerank_structure(spark):
+    """Symmetric pair ranks equal; connected nodes outrank isolated;
+    total mass stays bounded by the scale."""
+    ranks = _ranks(
+        spark, [1, 2, 3], [(1, 2), (2, 1)], iterations=3
+    )
+    assert ranks[1] == ranks[2]  # symmetric roles → identical fixed point
+    assert ranks[1] > ranks[3]  # isolated node keeps base rank only
+    assert ranks[3] == (15 * SCALE) // (100 * 3)
+    assert sum(ranks.values()) <= SCALE
+
+
+def test_pagerank_hub_concentrates_rank(spark):
+    """A star graph (all spokes point at a hub) must concentrate rank
+    in the hub."""
+    edges = [(s, 99) for s in range(1, 6)]
+    ranks = _ranks(spark, list(range(1, 6)) + [99], edges, iterations=3)
+    spoke = ranks[1]
+    assert all(ranks[s] == spoke for s in range(2, 6))
+    assert ranks[99] > 3 * spoke
+
+
+def test_pagerank_exact_two_node_hand_computation(spark):
+    """Bit-exact against the hand-unrolled integer recurrence for the
+    2-cycle: every engine (and the DuckDB oracle) must produce THIS."""
+    n, scale = 2, SCALE
+    r = scale // n
+    for _ in range(3):
+        r = (15 * scale) // (100 * n) + (85 * (r // 1)) // 100
+    ranks = _ranks(spark, [1, 2], [(1, 2), (2, 1)], iterations=3)
+    assert ranks[1] == ranks[2] == r
+
+
+def test_pagerank_plan_is_lazy(spark):
+    """Building the rank plan must run no Spark jobs (N rides along as
+    a broadcast aggregate, not a driver count)."""
+    before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    v = spark.range(100).select(F.col("id"))
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    pagerank_fixed_point(v, e, iterations=2)
+    after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    assert after == before
