@@ -415,6 +415,60 @@ def with_html_stripped(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dictionary_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenize → numericalize: the input-pipeline step that turns a
+    text corpus into integer id sequences for training. The dictionary
+    is the ``vocab_size`` most frequent tokens under the TOTAL order
+    (count desc, token asc) — deterministic across runs and engines —
+    with ids 1..vocab_size; everything else maps to ``oov_id``.
+
+    Scale shape: the vocab ranking window runs over the AGGREGATED
+    token table (≤ |vocab| rows after the top-k cut, never the corpus),
+    the trained dictionary broadcasts into the encode join, and each
+    document's id sequence reassembles from (position, id) pairs in one
+    grouped ``array_sort`` — two shuffles total (token count, doc
+    regroup), no per-row Python. Documents with no tokens keep an
+    empty sequence. Returns (id, ids array<int>, n_tokens, n_oov)."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(vocab_size)
+    # ranking window over ≤ vocab_size rows (post-top-k), not the corpus
+    vocab = top.withColumn(
+        "tid",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok").asc())),
+    ).select("tok", "tid")
+    enc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .withColumn("tid", F.coalesce(F.col("tid"), F.lit(oov_id)))
+    )
+    agg = enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == oov_id, 1).otherwise(0)).alias("n_oov"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("ids"), F.array().cast("array<int>")).alias("ids"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0).cast("long")).alias("n_oov"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary
 # ---------------------------------------------------------------------------

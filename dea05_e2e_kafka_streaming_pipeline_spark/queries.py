@@ -3170,6 +3170,48 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dictionary_encode_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS ord
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) d
+    ), vocab AS (
+      SELECT tok, tid FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS tid
+        FROM tok GROUP BY tok
+      ) WHERE tid <= 256
+    ), enc AS (
+      SELECT t.doc_id, t.ord, coalesce(v.tid, 0) AS tid
+      FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    ), agg AS (
+      SELECT doc_id, list(tid ORDER BY ord) AS ids,
+             count(*) AS n_tokens,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.ids, CAST([] AS BIGINT[])) AS ids,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_oov, 0) AS n_oov
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → numericalize (operators/curation.py:
+    dictionary_encode): 256-token dictionary trained under the total
+    order (count desc, token asc), broadcast into the encode join, id
+    sequences reassembled positionally — the corpus-to-training-input
+    step, engine-exact including OOV counts."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dictionary_encode,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dictionary_encode(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "html_strip_docs",
     oracle=r"""
     WITH planted AS (

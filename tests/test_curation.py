@@ -355,3 +355,26 @@ def test_html_strip_known_document(spark):
     # tags counted after block removal: html,head,/head,body,h1,/h1,p,/p,/body,/html
     assert rows[1].n_tags == 10
     assert rows[2].text_clean == "plain text" and rows[2].n_tags == 0
+
+
+def test_dictionary_encode_known_corpus(spark):
+    """Ids follow the (count desc, token asc) total order; OOV maps to
+    0; positions preserved; empty docs keep empty sequences."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dictionary_encode,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "b b b a a c"),
+            (2, "a b zz"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dictionary_encode(df, vocab_size=2).collect()}
+    # counts: b=4, a=3, c=1, zz=1 → vocab: b→1, a→2; c/zz OOV→0
+    assert rows[1].ids == [1, 1, 1, 2, 2, 0]
+    assert rows[1].n_tokens == 6 and rows[1].n_oov == 1
+    assert rows[2].ids == [2, 1, 0] and rows[2].n_oov == 1
+    assert rows[3].ids == [] and rows[3].n_tokens == 0 and rows[3].n_oov == 0
