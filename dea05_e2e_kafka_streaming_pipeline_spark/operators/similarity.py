@@ -622,3 +622,164 @@ def semantic_dedup(
     return apply_dedup_cc(
         df, pairs, id_col=id_col, algorithm=algorithm, quality_col=quality_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN tier
+# ---------------------------------------------------------------------------
+#
+# IVF prunes WHERE to look; int8 scalar quantization shrinks storage 4×;
+# PQ is the third tier: each vector becomes m sub-space codebook indices
+# (here 4 bytes for a 64-dim float vector, 64×), and query scoring runs
+# entirely in the compressed domain via per-subspace distance tables
+# (ADC — asymmetric distance computation, Jégou et al., TPAMI 2011).
+# At 100 TB the codes column is what you scan: the float embeddings
+# never leave cold storage during candidate generation.
+
+
+def pq_fit(
+    x,
+    m: int = 4,
+    n_codes: int = 16,
+    iterations: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks on an (n, dim) sample matrix: split dims
+    into ``m`` equal subspaces, run the seeded k-means of
+    :func:`kmeans_fit` in each (seed offset per subspace). Pure numpy —
+    no Spark job; pair with a pyarrow driver-side sample for job-free
+    plan builds. Returns ``codebooks[s][c] = centroid`` with
+    ``codebooks[s]`` ordered by the k-means fit (deterministic)."""
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible into {m} subspaces")
+    d = dim // m
+    return [
+        kmeans_fit(x[:, s * d : (s + 1) * d], n_codes, iterations, seed + s)
+        for s in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    sample_rows: int = 2048,
+    iterations: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Spark-side sampling wrapper over :func:`pq_fit` — same
+    deterministic lowest-id sample discipline as
+    :func:`kmeans_centroids`."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: no non-null vectors to sample")
+    x = np.array([[float(v) for v in r[0]] for r in rows])
+    return pq_fit(x, m=m, n_codes=n_codes, iterations=iterations, seed=seed)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the m-byte PQ code (nearest codebook centroid per
+    subspace), Arrow-vectorized over the batch like
+    :func:`with_ivf_cell`; NULL embeddings get a NULL code. This is the
+    ingest-time materialization — at scale the codes column is written
+    once and scanned instead of the floats."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    m, d = len(cbs), cbs[0].shape[1]
+
+    def enc(vs):
+        raw = vs.to_numpy()
+        ok = np.array([v is not None for v in raw])
+        out: list = [None] * len(raw)
+        if ok.any():
+            x = np.vstack(raw[ok]).astype("float64")
+            codes = np.empty((x.shape[0], m), dtype="int64")
+            for s, cb in enumerate(cbs):
+                xs = x[:, s * d : (s + 1) * d]
+                dist = -2.0 * (xs @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+                codes[:, s] = dist.argmin(axis=1)
+            for i, row in zip(np.nonzero(ok)[0], codes):
+                out[int(i)] = [int(c) for c in row]
+        return pd.Series(out)
+
+    enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(enc, "array<int>")
+    return df.withColumn(out_col, udf(F.col(vec_col)))
+
+
+def pq_adc_tables(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """Per-subspace squared-distance lookup tables for one query —
+    ``tables[s][c] = ||q_s − codebooks[s][c]||²`` (driver arithmetic
+    over the tiny codebook; m·n_codes doubles total)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    d = len(codebooks[0][0])
+    out = []
+    for s, cb in enumerate(codebooks):
+        qs = q[s * d : (s + 1) * d]
+        out.append([float(((qs - np.asarray(c)) ** 2).sum()) for c in cb])
+    return out
+
+
+def pq_reconstruct(code_col: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Decode a PQ code back to its centroid-concatenation vector as a
+    pure Column expression (codebooks inlined as array literals) — the
+    independent arithmetic path the ADC-consistency audit checks
+    against."""
+    parts = []
+    for s, cb in enumerate(codebooks):
+        cb_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+        parts.append(F.element_at(cb_lit, F.element_at(code_col, s + 1) + 1))
+    return F.concat(*parts)
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain top-k: encode (ingest-time column in
+    production), then score every code with PURE codegen arithmetic —
+    the ADC tables become array literals and the approximate distance
+    is m ``element_at`` lookups + adds, no UDF and no float vectors in
+    the scan — and take the k smallest via TakeOrderedAndProject.
+    Returns (id, adc_dist) ordered ascending (id tie-break)."""
+    tables = pq_adc_tables(codebooks, query_vec)
+    encoded = pq_encode(df, codebooks, vec_col=vec_col)
+    adc = None
+    for s, t in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in t]),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        encoded.filter(F.col("pq_code").isNotNull())
+        .select(F.col(id_col), F.round(adc, 9).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

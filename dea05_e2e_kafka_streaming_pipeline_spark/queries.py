@@ -130,6 +130,38 @@ def _ivf_centroids(
     x = [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
     return tuple(tuple(c) for c in kmeans_fit(x, n_centroids=n_centroids))
 
+
+@lru_cache(maxsize=None)
+def _pq_codebooks(
+    sf_dir: str, m: int = 4, n_codes: int = 16, sample_rows: int = 2048
+):
+    """PQ codebook training on the same deterministic pyarrow sample as
+    ``_ivf_centroids`` — plan build stays Spark-job-free; cached per
+    sf_dir so the topk query and its ADC audit share one training."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        pq_fit,
+    )
+
+    dataset = ds.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dataset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=ds.field("embedding").is_valid()
+        & (ds.field("vec_id") < sample_rows),
+    )
+    if t.num_rows < sample_rows:
+        t = dataset.to_table(
+            columns=["vec_id", "embedding"],
+            filter=ds.field("embedding").is_valid(),
+        )
+    t = t.sort_by("vec_id").slice(0, sample_rows)
+    x = np.array(
+        [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
+    )
+    return pq_fit(x, m=m, n_codes=n_codes)
+
 # exact decimal sum, surfaced as double (see module docstring)
 _SUM_AMOUNT = "CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -1495,6 +1527,87 @@ _IVF_INDEX_BUILT: set[str] = set()
 def _ivf_index_path(sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     return f"/tmp/spark_graft/ivf_index_{tag}"
+
+
+@register("pq_topk_embeddings")
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: PQ codes (4 subspaces × 16 centroids —
+    4 bytes per 64-dim vector, 64× compression) scored against the
+    query's ADC distance tables as pure codegen lookups, top-10 by
+    approximate distance (operators/similarity.py:pq_topk). Codebooks
+    train on the deterministic pyarrow sample (plan build job-free) but
+    are engine-trained state, so this is rows-only — its arithmetic is
+    pinned by the zero-row `pq_adc_violations` companion and the recall
+    audit in tests/test_extensions.py."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, _pq_codebooks(sf_dir), list(_query_vec(sf_dir)), k=10
+    )
+
+
+@register(
+    "pq_adc_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS adc_dist,
+           CAST(NULL AS DOUBLE) AS recon_dist
+    WHERE 1 = 0
+    """,
+)
+def q_pq_adc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the PQ path (oracle expects ZERO rows):
+    for EVERY vector, the table-lookup ADC distance must equal the
+    squared distance between the query and the RECONSTRUCTED
+    (decoded) vector — two independent arithmetic paths that agree only
+    if the PQ algebra (subspace partition, code assignment, table
+    build, decode) is implemented consistently. Tolerance 1e-6 covers
+    float summation-order differences between the numpy-built tables
+    and the codegen reconstruction arithmetic."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        pq_adc_tables,
+        pq_encode,
+        pq_reconstruct,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    codebooks = _pq_codebooks(sf_dir)
+    q = list(_query_vec(sf_dir))
+    tables = pq_adc_tables(codebooks, q)
+    encoded = pq_encode(load_table(spark, sf_dir, "embeddings"), codebooks).filter(
+        F.col("pq_code").isNotNull()
+    )
+    adc = None
+    for s, t in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in t]),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    recon = pq_reconstruct(F.col("pq_code"), codebooks)
+    q_lit = F.array(*[F.lit(float(v)) for v in q])
+    recon_dist = F.aggregate(
+        F.zip_with(q_lit, recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(
+            "vec_id",
+            adc.alias("adc_dist"),
+            recon_dist.alias("recon_dist"),
+        )
+        .filter(
+            F.abs(F.col("adc_dist") - F.col("recon_dist")) > F.lit(1e-6)
+        )
+    )
 
 
 @register("ivf_topk_pruned")

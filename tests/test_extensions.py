@@ -621,3 +621,52 @@ def test_dedup_incremental_batch_across_days(spark, tmp_path):
     # replaying day 2 admits nothing (store already has delta)
     kept2b = dedup_incremental_batch(day2, store)
     assert kept2b.count() == 0
+
+
+def test_pq_topk_recalls_clustered_neighbors(spark):
+    """PQ on well-separated clusters: codes are deterministic, encode
+    compresses to m small ints, and ADC top-k recovers the query's own
+    cluster (quantization error ≪ inter-cluster distance)."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(160):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cbs = pq_train(df, m=4, n_codes=8, seed=3)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+
+    codes_a = {r.vec_id: r.pq_code for r in pq_encode(df, cbs).collect()}
+    codes_b = {r.vec_id: r.pq_code for r in pq_encode(df, cbs).collect()}
+    assert codes_a == codes_b  # deterministic encode
+    assert all(len(c) == 4 for c in codes_a.values())
+
+    top = [r.vec_id for r in pq_topk(df, cbs, centers[1], k=10).collect()]
+    # every returned neighbor belongs to the query's cluster
+    assert all(v % 4 == 1 for v in top)
+
+
+def test_pq_encode_null_embedding(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+    import numpy as np
+
+    x = np.random.RandomState(0).randn(64, 8)
+    cbs = pq_fit(x, m=2, n_codes=4)
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, None)], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r.pq_code for r in pq_encode(df, cbs).collect()}
+    assert rows[2] is None and len(rows[1]) == 2
