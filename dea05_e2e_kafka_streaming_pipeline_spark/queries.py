@@ -3391,6 +3391,160 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline_docs",
+    oracle=rf"""
+    WITH p0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 200 AS VARCHAR) || '.'
+                    || CAST(doc_id % 250 AS VARCHAR)
+                    || ' card 4111222233334444'
+             ELSE text END AS text
+      FROM documents
+    ), p1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+               '<html><head><script type="text/javascript">var x=1;</script>'
+               || '</head><body><h1>Title ' || CAST(doc_id AS VARCHAR)
+               || '</h1><!-- nav chrome --><p class="lead">' || text
+               || ' &amp; more &lt;3</p></body></html>'
+             ELSE text END AS text
+      FROM p0
+    ), strip0 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS t
+      FROM p1
+    ), stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(t, '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS text
+      FROM strip0
+    ), redacted AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+               '\b\d{{13,19}}\b', '<NUMBER>', 'g') AS text
+      FROM stripped
+    ), s AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM redacted
+    ), scored AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6) * 0.4
+                   + CASE WHEN round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                 / greatest(len(toks), 1), 6)
+                               BETWEEN 3.0 AND 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM s
+    ), kept AS (
+      SELECT doc_id, n_tokens, quality_score,
+             md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM scored WHERE quality_score >= 0.65
+    ), winners AS (
+      SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+    ), surv AS (
+      SELECT k.* FROM kept k JOIN winners w
+      ON k.fp = w.fp AND k.doc_id = w.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT
+                     % 100 AS BIGINT) < 98 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT
+                     % 100 AS BIGINT) < 99 THEN 'valid'
+                ELSE 'test' END AS split,
+           n_tokens, quality_score
+    FROM surv
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation flow as ONE Catalyst plan — HTML strip → PII
+    redaction → quality gate (≥ 0.6) → exact dedup (min-id per
+    fingerprint) → deterministic split assignment — proving the
+    operators compose: one corpus scan feeds the chain of projections,
+    the only shuffle is the dedup fingerprint groupBy, and the whole
+    thing is hash-matched end-to-end against the equivalent DuckDB CTE
+    chain. HTML and PII are planted as in the individual queries
+    (every 10th / 20th doc)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        assign_splits,
+        with_html_stripped,
+        with_pii_redaction,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        content_fingerprint,
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p0 = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" card 4111222233334444"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    p1 = p0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(
+                    '<html><head><script type="text/javascript">var x=1;'
+                    "</script></head><body><h1>Title "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit('</h1><!-- nav chrome --><p class="lead">'),
+                F.col("text"),
+                F.lit(" &amp; more &lt;3</p></body></html>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stripped = with_html_stripped(p1).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    redacted = with_pii_redaction(stripped).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    scored = with_text_stats(redacted).select(
+        "doc_id", "text", "n_tokens", "quality_score"
+    )
+    kept = scored.filter(F.col("quality_score") >= 0.65).withColumn(
+        "fp", content_fingerprint("text")
+    )
+    winners = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(winners, ["fp", "doc_id"])
+    return assign_splits(surv).select(
+        "doc_id", "split", "n_tokens", "quality_score"
+    )
+
+
+@register(
     "pii_redaction_docs",
     oracle=r"""
     WITH planted AS (
