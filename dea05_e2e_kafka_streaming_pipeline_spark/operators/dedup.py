@@ -485,19 +485,20 @@ def simhash_signatures(
     return votes.select("id", sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "sig",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming. Banding on
-    ``max_hamming + 1`` disjoint bit segments of the signature: a pair
-    within distance ≤ k differs in ≤ k bands, so at least one of k+1
-    disjoint bands matches exactly (pigeonhole) — the equi-join on bands
-    is a complete candidate generator at ANY radius, and the Hamming
-    filter makes it exact. (More bands ⇒ more candidate-join rows:
-    radius is a recall/cost dial, not a correctness one.)"""
+    """GENERIC banded Hamming self-join over 64-bit signatures — the
+    candidate machinery shared by text SimHash and media perceptual
+    hashes. Banding on ``max_hamming + 1`` disjoint bit segments: a
+    pair within distance ≤ k differs in ≤ k bands, so at least one of
+    k+1 disjoint bands matches exactly (pigeonhole) — the equi-join on
+    bands is a complete candidate generator at ANY radius, and the
+    Hamming filter makes it exact. (More bands ⇒ more candidate-join
+    rows: radius is a recall/cost dial, not a correctness one.)"""
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64): {max_hamming}")
     nb = max_hamming + 1
@@ -510,15 +511,14 @@ def simhash_pairs(
         s += w
 
     def seg(start: int, w: int) -> Column:
-        v = F.shiftright(F.col("simhash"), start)
+        v = F.shiftright(F.col(hash_col), start)
         if start + w < 64:  # top segment keeps the sign bits; mask the rest
             v = v.bitwiseAND(F.lit((1 << w) - 1))
         return v
 
-    sigs = simhash_signatures(df, text_col, id_col)
     quarters = sigs.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
@@ -530,7 +530,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("e"),
-    ).select("id", "simhash", "e.q", "e.qh")
+    ).select("id", "__h", "e.q", "e.qh")
     a, b = quarters.alias("a"), quarters.alias("b")
     cands = (
         a.join(
@@ -542,8 +542,8 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.__h").alias("sh_a"),
+            F.col("b.__h").alias("sh_b"),
         )
         .distinct()
     )
@@ -552,6 +552,20 @@ def simhash_pairs(
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming — SimHash signatures
+    fed through the generic :func:`hamming_pairs` banding join."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    return hamming_pairs(
+        sigs, id_col="id", hash_col="simhash", max_hamming=max_hamming
     )
 
 

@@ -168,3 +168,54 @@ def frame_sample_plan(
         df.filter(F.col("kind") == "video")
         .select("media_id", "duration_ms", F.posexplode(frames).alias("frame_idx", "frame_ts_ms"))
     )
+
+
+def ahash_media(
+    df,
+    payload_col: str = "payload",
+    decoder: str = "fake",
+    out_col: str = "ahash",
+):
+    """64-bit average-hash (aHash) per media row — the perceptual
+    fingerprint behind image near-dup detection: decode → 8×8 grayscale
+    thumbnail → bit i = (pixel i > mean). Near-identical images differ
+    in a few bits, so pairing runs through the SAME banded Hamming join
+    as text SimHash (``operators/dedup.py:hamming_pairs``) — one
+    machinery for both modalities.
+
+    ``decoder="fake"`` derives the 64 thumbnail bytes from the payload
+    digest exactly like ``resize_images`` (no media libs in this
+    container; reference-point docstring there); ``decoder="real"`` is
+    the documented integration seam. Arrow-batched scalar UDF; NULL
+    payloads get a NULL hash (excluded from pairing)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if decoder == "real":
+        raise NotImplementedError(
+            "real image decode needs PIL/opencv — not in this container; "
+            "the fake decoder exercises identical Spark plumbing"
+        )
+
+    def ah(ps):
+        out = []
+        for p in ps:
+            if p is None:
+                out.append(None)
+                continue
+            d = hashlib.sha256(bytes(p)).digest()
+            thumb = (d * (64 // len(d) + 1))[:64]
+            arr = np.frombuffer(thumb, dtype=np.uint8)
+            bits = arr > arr.mean()
+            acc = np.uint64(0)
+            for i, b in enumerate(bits):
+                if b:
+                    acc |= np.uint64(1) << np.uint64(i)
+            out.append(int(acc.astype(np.int64)))  # two's-complement wrap
+        return pd.Series(out, dtype="object")
+
+    ah.__annotations__ = {"ps": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(ah, "long")
+    return df.withColumn(out_col, udf(F.col(payload_col)))

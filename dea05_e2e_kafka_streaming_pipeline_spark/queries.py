@@ -3391,6 +3391,46 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_ahash_pairs",
+    oracle="""
+    SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+    FROM range(0, 400) a(i) JOIN range(0, 400) b(i)
+      ON a.i % 80 = b.i % 80 AND a.i < b.i
+    """,
+)
+def q_media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via perceptual hashing: 400 synthetic media
+    payloads (80 distinct images, 5 copies each — payload derived from
+    id%80 like synthesize_media), aHash over the stub-decoded 8×8
+    thumbnail (operators/multimodal.py:ahash_media), pairs via the SAME
+    banded Hamming join text SimHash uses
+    (operators/dedup.py:hamming_pairs). Copies of one image hash
+    identically (distance 0); the oracle is the exact id%80 pair set —
+    a cross-group aHash collision within radius 3 would break the hash
+    (P ≈ 4·10⁻¹⁵ per pair), so this checks candidate completeness AND
+    precision of the banding machinery over a binary media column."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        ahash_media,
+    )
+
+    media = spark.range(400).select(
+        F.col("id").alias("media_id"),
+        F.encode(
+            F.repeat(F.sha2((F.col("id") % 80).cast("string"), 256), 4), "utf-8"
+        ).alias("payload"),
+    )
+    sigs = ahash_media(media).select("media_id", "ahash")
+    return hamming_pairs(
+        sigs, id_col="media_id", hash_col="ahash", max_hamming=3
+    )
+
+
+@register(
     "curation_pipeline_docs",
     oracle=rf"""
     WITH p0 AS (

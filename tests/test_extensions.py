@@ -670,3 +670,34 @@ def test_pq_encode_null_embedding(spark):
     )
     rows = {r.vec_id: r.pq_code for r in pq_encode(df, cbs).collect()}
     assert rows[2] is None and len(rows[1]) == 2
+
+
+def test_ahash_media_pairs_identical_payloads(spark):
+    """aHash over the stub decoder: identical payloads → identical
+    64-bit hash → paired at distance 0 through the generic banded
+    Hamming join; distinct payloads don't pair; NULL payloads drop."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        ahash_media,
+    )
+
+    rows = [(0, b"imgA"), (1, b"imgA"), (2, b"imgB"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sigs = ahash_media(df)
+    hashes = {r.media_id: r.ahash for r in sigs.collect()}
+    assert hashes[0] == hashes[1] and hashes[0] != hashes[2]
+    assert hashes[3] is None
+    pairs = hamming_pairs(
+        sigs.filter("ahash IS NOT NULL"),
+        id_col="media_id",
+        hash_col="ahash",
+        max_hamming=3,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ahash_media(df, decoder="real")
