@@ -172,7 +172,7 @@ _SUM_AMOUNT = "CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE)"
 
 @register(
     "daily_sales_by_region",
-    oracle=f"""
+    oracle=(_DAILY_SALES_ORACLE := f"""
     {_ENTITY_CTES}
     SELECT strftime(o.order_date, '%Y-%m-%d') AS date,
            c.region AS region,
@@ -182,11 +182,39 @@ _SUM_AMOUNT = "CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE)"
            count(o.customer_id) AS unique_customers
     FROM o JOIN c USING (customer_id)
     GROUP BY 1, 2
-    """,
+    """),
 )
 def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference enriched/daily_sales_aggregation.py:14-26."""
     return build_daily_sales(load_orders(spark, sf_dir), load_customers(spark, sf_dir))
+
+
+@register("sql_daily_sales", oracle=_DAILY_SALES_ORACLE, bench=False)
+def q_sql_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship gold query spelled as RAW SQL through the engine's
+    SQL entry point (sources/catalog.py:run_sql + testdata/entity
+    views) — hash-matched against the SAME oracle as
+    `daily_sales_by_region`, proving the SQL surface and the DataFrame
+    surface produce identical results (bench=False: it deliberately
+    duplicates that query's work)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT date_format(o.order_date, 'yyyy-MM-dd') AS date,
+               c.region AS region,
+               count(o.order_id) AS total_orders,
+               CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_revenue,
+               CAST(SUM(CAST(o.order_amount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(o.order_amount) AS avg_order_value,
+               count(o.customer_id) AS unique_customers
+        FROM orders_entity o JOIN customers_entity c USING (customer_id)
+        GROUP BY 1, 2
+        """,
+    )
 
 
 @register(

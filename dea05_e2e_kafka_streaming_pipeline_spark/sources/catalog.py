@@ -235,3 +235,36 @@ def pruned_parquet_scan(
     else:  # every file pruned: empty result with the table's schema
         df = spark.read.parquet(path).filter(F.lit(False))
     return df, kept, all_files
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Make the WHOLE engine surface reachable from RAW SQL: every
+    driver testdata table becomes a temp view under its own name, plus
+    the reference entity mappings as ``orders_entity`` /
+    ``customers_entity`` (the bare names stay the raw TPC-H-ish
+    tables). Views are metadata only — each query against them still
+    plans straight to the pruned parquet scan. Returns the view names."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.schemas import TESTDATA_TABLES
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import (
+        load_customers,
+        load_orders,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    names = []
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+    load_orders(spark, sf_dir).createOrReplaceTempView("orders_entity")
+    load_customers(spark, sf_dir).createOrReplaceTempView("customers_entity")
+    return names + ["orders_entity", "customers_entity"]
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """SQL-string entry point: register the testdata + entity views,
+    run one statement. A reference user's ad-hoc Spark SQL (or a BI
+    tool speaking SQL) needs nothing but this call — same Catalyst
+    plans as the DataFrame API, so every plan assertion in
+    tests/test_plans.py holds for the SQL spelling too."""
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(sql)

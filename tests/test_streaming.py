@@ -819,3 +819,38 @@ def test_visit_count_stream_stateful_processor(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_metrics_listener_captures_batches(spark, tmp_path):
+    """The StreamingQueryListener observability layer: per-batch
+    progress rows captured with input-row totals matching the landed
+    data, JSONL mirror written, clean termination recorded, and the
+    listener detached afterward."""
+    import json
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.metrics import (
+        capture_stream_metrics,
+    )
+
+    n = _land_events_json(spark, tmp_path / "landing_m")
+    jsonl = str(tmp_path / "metrics.jsonl")
+    with capture_stream_metrics(spark, jsonl_path=jsonl) as m:
+        stream = file_stream(spark, str(tmp_path / "landing_m"), EVENTS_SCHEMA)
+        q = ingest_to_lake(
+            stream,
+            path=str(tmp_path / "lake_m"),
+            checkpoint=str(tmp_path / "ckpt_m"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        # q already terminated (availableNow drains then stops)
+        deadline = time.time() + 30
+        while not m.terminated and time.time() < deadline:
+            time.sleep(0.5)
+    assert m.total_input_rows() == n
+    assert all(r["batch_id"] >= 0 for r in m.progress)
+    assert m.started and list(m.terminated.values()) == [None]  # clean stop
+    assert os.path.exists(jsonl)
+    lines = [json.loads(line) for line in open(jsonl)]
+    assert sum(r["num_input_rows"] for r in lines) == n
