@@ -115,6 +115,35 @@ def read_csv(
     return spark.read.option("header", header).schema(schema).csv(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan with parse-level quarantine — the CSV twin of
+    :func:`read_json_quarantine`: ``(good, bad)`` where ``bad`` carries
+    each unparseable line raw (wrong column count, type mismatch).
+    PERMISSIVE mode would fold these in silently as NULL-padded rows;
+    the split makes producer drift visible at the ingest boundary,
+    matching the reference's CSV seeds (``data/orders.csv``) under
+    real-world mess. One cached scan serves both splits."""
+    full = T.StructType(
+        schema.fields + [T.StructField("corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col("corrupt_record").isNull()).drop("corrupt_record")
+    bad = df.filter(F.col("corrupt_record").isNotNull()).select("corrupt_record")
+    return good, bad
+
+
 def read_avro(
     spark: SparkSession, path: str, fallback: bool = False
 ) -> DataFrame:

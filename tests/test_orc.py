@@ -59,3 +59,34 @@ def test_orc_partition_pruning_and_pushdown(spark, tmp_path):
     n_all = read_orc(spark, out).count()
     n_pruned = pruned.count()
     assert 0 < n_pruned < n_all
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    """CSV parse-level quarantine: type-mismatched and ragged lines land
+    raw on the bad side; well-formed rows parse typed on the good side."""
+    from pyspark.sql import types as T
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_csv_quarantine,
+    )
+
+    p = tmp_path / "seed.csv"
+    p.write_text(
+        "order_id,order_amount\n"
+        "1,10.5\n"
+        "not_a_number,99.0\n"
+        "2,20.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.IntegerType()),
+            T.StructField("order_amount", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert sorted((r.order_id, r.order_amount) for r in good.collect()) == [
+        (1, 10.5),
+        (2, 20.0),
+    ]
+    bad_rows = [r.corrupt_record for r in bad.collect()]
+    assert bad_rows == ["not_a_number,99.0"]

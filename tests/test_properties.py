@@ -273,3 +273,69 @@ def test_assign_splits_partition_property(spark, keys, pcts):
         by_key.setdefault(r.doc_id, set()).add(r.split)
     assert all(len(v) == 1 for v in by_key.values())
     assert set().union(*by_key.values()) <= set(splits)
+
+
+# ---------------------------------------------------------------------------
+# Avro round trip (pure Python — no Spark jobs, so examples are cheap)
+# ---------------------------------------------------------------------------
+
+_AVRO_PROP_SCHEMA = {
+    "type": "record",
+    "name": "Prop",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": ["null", "string"], "default": None},
+        {"name": "b", "type": "bytes"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "props", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+_avro_record = st.fixed_dictionaries(
+    {
+        "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "f": st.floats(width=32, allow_nan=False),
+        "d": st.floats(allow_nan=False),
+        "s": st.none() | st.text(max_size=40),
+        "b": st.binary(max_size=40),
+        "flag": st.booleans(),
+        "tags": st.lists(st.integers(-(2**31), 2**31), max_size=8),
+        "props": st.dictionaries(st.text(max_size=10), st.text(max_size=10), max_size=5),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(records=st.lists(_avro_record, max_size=20), deflate=st.booleans())
+def test_avro_write_read_identity(records, deflate):
+    """encode→decode is the identity for arbitrary records under the
+    supported schema subset, both codecs, any block framing."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources import avro_lite
+
+    buf = avro_lite.write_avro_bytes(
+        _AVRO_PROP_SCHEMA,
+        records,
+        codec="deflate" if deflate else "null",
+        block_records=7,
+    )
+    schema, back = avro_lite.read_avro_bytes(buf)
+    assert schema == _AVRO_PROP_SCHEMA
+    assert back == records
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+)
+def test_avro_zigzag_varint_identity(n):
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.avro_lite import (
+        _Reader,
+        _Writer,
+    )
+
+    w = _Writer()
+    w.long(n)
+    assert _Reader(w.getvalue()).long() == n
