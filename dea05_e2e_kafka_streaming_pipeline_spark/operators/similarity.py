@@ -783,3 +783,36 @@ def pq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composition production ANN systems actually run
+    (FAISS's IVFPQ): the coarse quantizer prunes WHERE to look
+    (``nprobe`` cells via :func:`ivf_probes`), product quantization
+    decides HOW to score what's there (codegen ADC over 4-byte codes,
+    :func:`pq_topk`). At 100 TB both layers are ingest-time columns —
+    ``ivf_cell`` partitions the table (probe = partition pruning, see
+    :func:`ivf_write_index`) and ``pq_code`` is the only column the
+    probe scans.
+
+    Simplification vs the paper: codes quantize the raw vectors, not
+    the per-cell residuals — residual encoding adds recall at the same
+    code budget and drops in here by training :func:`pq_fit` on
+    ``x − centroid[cell(x)]`` and shifting the query per probed cell.
+    """
+    probes = ivf_probes(centroids, query_vec, nprobe)
+    candidates = with_ivf_cell(df, centroids, vec_col=vec_col).filter(
+        F.col("ivf_cell").isin([int(p) for p in probes])
+    )
+    return pq_topk(
+        candidates, codebooks, query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )

@@ -1578,6 +1578,32 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivfpq_topk_embeddings")
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (FAISS IVFPQ shape): IVF coarse
+    cells prune to nprobe=2 of 8, PQ codes score the survivors in the
+    compressed domain (operators/similarity.py:ivfpq_topk) — both
+    trained off the same deterministic pyarrow sample as their
+    standalone queries, so plan build stays job-free. Rows-only (two
+    layers of engine-trained state); pinned by `ivf_topk_fullprobe`
+    (recall-1 IVF oracle), `pq_adc_violations` (zero-row ADC audit),
+    and the clustered-recall test."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        [list(c) for c in _ivf_centroids(sf_dir)],
+        _pq_codebooks(sf_dir),
+        list(_query_vec(sf_dir)),
+        k=10,
+        nprobe=2,
+    )
+
+
 @register(
     "pq_adc_violations",
     bench=False,

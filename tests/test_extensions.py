@@ -701,3 +701,30 @@ def test_ahash_media_pairs_identical_payloads(spark):
 
     with _pytest.raises(NotImplementedError):
         ahash_media(df, decoder="real")
+
+
+def test_ivfpq_topk_recalls_clustered_neighbors(spark):
+    """IVF-PQ composition: with clusters far apart, probing 1 cell and
+    scoring in the compressed domain still recovers the query's own
+    cluster — and scans strictly fewer rows than the table."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_train,
+    )
+
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.02) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = kmeans_centroids(df, n_centroids=4, seed=2)
+    cbs = pq_train(df, m=4, n_codes=8, seed=2)
+    top = ivfpq_topk(df, cents, cbs, centers[3], k=10, nprobe=1).collect()
+    assert len(top) == 10
+    assert all(r.vec_id % 4 == 3 for r in top)  # all from the query's cluster
