@@ -453,3 +453,62 @@ def drop_partitions_older_than(
             shutil.rmtree(os.path.join(path, name))
             dropped.append(name[len(prefix):])
     return dropped
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Idempotent partition backfill: rewrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched —
+    ``partitionOverwriteMode=dynamic``, the batch twin of the streaming
+    upsert sink's option (streaming/pipeline.py:176). THE reprocessing
+    primitive at 100 TB: recomputing one bad day replaces one
+    ``date=...`` directory atomically-per-partition instead of
+    rewriting (or worse, appending duplicates into) the whole table.
+    Re-running the same backfill converges to the same state."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    compression: str = "gzip",
+) -> DataFrame:
+    """Training-consumption export: size-bounded compressed JSONL
+    shards (the format every training loader reads) plus a MANIFEST —
+    one row per shard with row count and byte size — so downstream
+    loaders can plan epochs/sampling without listing or re-reading the
+    data. The manifest also lands as ``_manifest.jsonl`` next to the
+    shards (driver-side write; it is |shards| rows by construction).
+
+    The re-read for the manifest is column-pruned to the hidden
+    ``_metadata`` struct — file names/sizes come from the listing, row
+    counts from a count-only scan of each shard."""
+    import os
+
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+        .json(path)
+    )
+    spark = df.sparkSession
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import (
+        file_inventory,
+    )
+
+    manifest = file_inventory(spark.read.schema(df.schema).json(path))
+    pdf = manifest.toPandas()
+    pdf["file"] = pdf["file"].map(os.path.basename)
+    pdf.to_json(
+        os.path.join(path, "_manifest.jsonl"), orient="records", lines=True
+    )
+    return manifest

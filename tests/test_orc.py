@@ -90,3 +90,54 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     ]
     bad_rows = [r.corrupt_record for r in bad.collect()]
     assert bad_rows == ["not_a_number,99.0"]
+
+
+def test_backfill_rewrites_only_present_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+        backfill_partitions,
+        write_parquet_partitioned,
+    )
+
+    out = str(tmp_path / "gold")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)],
+        "day string, v int",
+    )
+    write_parquet_partitioned(base, out, partition_by=["day"])
+    # backfill day 2 with corrected values; days 1 and 3 must survive
+    fix = spark.createDataFrame([("2024-01-02", 20)], "day string, v int")
+    backfill_partitions(fix, out, ["day"])
+    # partition-type inference reads day back as DATE; stringify
+    got = {
+        str(r.day): r.v for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"2024-01-01": 1, "2024-01-02": 20, "2024-01-03": 3}
+    # idempotent: running the same backfill again changes nothing
+    backfill_partitions(fix, out, ["day"])
+    assert {str(r.day): r.v for r in spark.read.parquet(out).collect()} == got
+
+
+def test_export_jsonl_shards_manifest(spark, tmp_path):
+    import json
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import (
+        load_orders,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+        export_jsonl_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    df = load_orders(spark, "/root/testdata/sf0.001").repartition(2)
+    manifest = export_jsonl_shards(df, out, max_records_per_file=300)
+    rows = manifest.collect()
+    assert len(rows) >= 5  # 1500 rows / 300 per file, ≥2 partitions
+    assert sum(r.n_rows for r in rows) == df.count()
+    assert all(r.size_bytes > 0 for r in rows)
+    assert all(".json.gz" in r.file for r in rows)
+    with open(os.path.join(out, "_manifest.jsonl")) as f:
+        lines = [json.loads(line) for line in f]
+    assert sum(r["n_rows"] for r in lines) == df.count()
