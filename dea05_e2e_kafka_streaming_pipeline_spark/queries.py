@@ -945,6 +945,86 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n_orders AS (
+      SELECT count(DISTINCT ok) AS n FROM items
+    ), supp AS (
+      SELECT pk, count(*) AS s FROM items GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS together
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.together,
+           sa.s AS n_a, sb.s AS n_b,
+           round(CAST(p.together AS DOUBLE) * n.n / (sa.s * sb.s), 6) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.pk = p.part_a
+    JOIN supp sb ON sb.pk = p.part_b
+    CROSS JOIN n_orders n
+    WHERE p.together >= 2
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over order lineitems: part pairs
+    bought together ≥ 2 times with supports and lift
+    (P(a,b)/(P(a)·P(b)) — the association-rule screen behind
+    recommendations). Plan shape: items reduce to DISTINCT
+    (order, part) FIRST, the pair self-join runs per order key (pair
+    volume bounded by per-basket item count², ~7² here — the same
+    bound a retailer's baskets give). The 1-row order total broadcasts;
+    the per-part support joins are left to AQE (the part dimension is
+    NOT always broadcastable at scale — it shuffles on the same part
+    keys the pair aggregate already produced). Lift's integer
+    numerator/denominator are exact; one final rounded division keeps
+    the hash engine-exact."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("ok").alias("n"))
+    supp = items.groupBy("pk").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    return (
+        pairs.join(
+            supp.select(F.col("pk").alias("part_a"), F.col("s").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            supp.select(F.col("pk").alias("part_b"), F.col("s").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("together").cast("double") * F.col("n")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "documents_global_rownum",
     oracle="""
     WITH n AS (
