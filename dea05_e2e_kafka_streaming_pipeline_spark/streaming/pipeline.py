@@ -572,3 +572,49 @@ def cms_sketch_stream(
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import cms_build
 
     return cms_build(stream, text_col=text_col, width=width, depth=depth)
+
+
+def avro_stream_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    codec: str = "deflate",
+    available_now: bool = False,
+    trigger_seconds: int | None = 5,
+) -> StreamingQuery:
+    """Stream → Avro container files via the jar-less writer
+    (``sources/sinks.py:write_avro_distributed``) inside
+    ``foreachBatch`` — each micro-batch lands under
+    ``<path>/batch=<epoch>/`` so replays of an epoch OVERWRITE that
+    epoch's directory instead of duplicating rows (epoch-keyed
+    idempotence, same discipline as ``incremental_gold_sink``); the
+    checkpoint guarantees each epoch is delivered at least once, the
+    directory key collapses retries. Downstream reads the whole prefix
+    with ``read_avro_distributed``. At 100 TB the JVM spark-avro
+    streaming sink replaces this; the semantics are identical."""
+    import shutil
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.sinks import (
+        write_avro_distributed,
+    )
+
+    def _land(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        out = os.path.join(path, f"batch={epoch_id}")
+        if os.path.isdir(out):  # replayed epoch: replace, don't duplicate
+            shutil.rmtree(out)
+        if batch_df.isEmpty():
+            return
+        write_avro_distributed(batch_df, out, codec=codec)
+
+    writer = (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

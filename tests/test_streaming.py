@@ -854,3 +854,34 @@ def test_metrics_listener_captures_batches(spark, tmp_path):
     assert os.path.exists(jsonl)
     lines = [json.loads(line) for line in open(jsonl)]
     assert sum(r["num_input_rows"] for r in lines) == n
+
+
+def test_avro_stream_sink_round_trip(spark, tmp_path):
+    """Stream → jar-less Avro container sink → distributed Avro scan:
+    every landed row survives with its schema, and the epoch-keyed
+    layout exists for idempotent replay."""
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_avro_distributed,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        avro_stream_sink,
+    )
+
+    n = _land_events_json(spark, tmp_path / "landing_av")
+    stream = file_stream(spark, str(tmp_path / "landing_av"), EVENTS_SCHEMA)
+    out = str(tmp_path / "avro_lake")
+    q = avro_stream_sink(
+        stream,
+        out,
+        checkpoint=str(tmp_path / "ckpt_av"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    batches = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert batches
+    back = read_avro_distributed(spark, out)
+    assert back.count() == n
+    src = load_table(spark, SF_SMOKE, "events")
+    assert sorted(back.columns) == sorted(src.columns)
