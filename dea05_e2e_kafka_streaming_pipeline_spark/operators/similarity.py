@@ -816,3 +816,80 @@ def ivfpq_topk(
     return pq_topk(
         candidates, codebooks, query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def ivfpq_residual_train(
+    x,
+    n_cells: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    iterations: int = 10,
+    seed: int = 42,
+):
+    """Train the RESIDUAL IVF-PQ pair on an (n, dim) sample: coarse
+    centroids first, then PQ codebooks on ``x − centroid[cell(x)]`` —
+    residuals are centered and much lower-variance than raw vectors, so
+    the same code budget quantizes finer (the actual IVFADC recipe from
+    the PQ paper). Returns ``(centroids, codebooks)``."""
+    import numpy as np
+
+    x = np.asarray(x, dtype="float64")
+    cents = np.asarray(kmeans_fit(x, n_cells, iterations, seed), dtype="float64")
+    d = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    cells = d.argmin(axis=1)
+    residuals = x - cents[cells]
+    return cents.tolist(), pq_fit(
+        residuals, m=m, n_codes=n_codes, iterations=iterations, seed=seed
+    )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF-PQ search: vectors encode as PQ codes of their
+    RESIDUAL against their cell centroid; per probed cell the query
+    shifts by that centroid and gets its own ADC tables. The scored
+    frames (one per probed cell — nprobe is small by construction)
+    union before the global top-k, so each cell's scan is a pruned
+    partition read under the ``ivf_cell`` layout and scoring stays
+    pure codegen lookups."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    probes = ivf_probes(centroids, query_vec, nprobe)
+    celled = with_ivf_cell(df, centroids, vec_col=vec_col)
+    scored = []
+    for cell in probes:
+        cent = np.asarray(centroids[int(cell)], dtype="float64")
+        shifted = [
+            (F.element_at(F.col(vec_col), i + 1) - F.lit(float(cent[i])))
+            for i in range(len(cent))
+        ]
+        sub = celled.filter(F.col("ivf_cell") == int(cell)).withColumn(
+            "__resid", F.array(*shifted)
+        )
+        encoded = pq_encode(sub, codebooks, vec_col="__resid")
+        tables = pq_adc_tables(codebooks, (q - cent).tolist())
+        adc = None
+        for s, t in enumerate(tables):
+            term = F.element_at(
+                F.array(*[F.lit(v) for v in t]),
+                F.element_at(F.col("pq_code"), s + 1) + 1,
+            )
+            adc = term if adc is None else adc + term
+        scored.append(
+            encoded.filter(F.col("pq_code").isNotNull()).select(
+                F.col(id_col), F.round(adc, 9).alias("adc_dist")
+            )
+        )
+    out = scored[0]
+    for s in scored[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("adc_dist", id_col).limit(k)
