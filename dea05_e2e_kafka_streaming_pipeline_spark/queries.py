@@ -945,6 +945,111 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benford_amount_audit",
+    oracle=f"""
+    WITH o AS (SELECT CAST(order_amount AS DECIMAL(18,2)) AS amt
+               FROM ({ORDERS_SQL}) WHERE order_amount > 0),
+    d AS (SELECT CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM o),
+    c AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+    n AS (SELECT count(*) AS total FROM d)
+    SELECT c.digit, c.observed,
+           round(n.total * log10(1.0 + 1.0 / c.digit), 2) AS expected_benford,
+           round(CAST(c.observed AS DOUBLE) / n.total
+                 - log10(1.0 + 1.0 / c.digit), 6) AS deviation
+    FROM c CROSS JOIN n
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the
+    forensic-accounting fraud screen as one aggregate: observed
+    leading-digit counts vs the log10(1+1/d) expectation and the
+    per-digit deviation. The digit comes from the decimal(18,2) STRING
+    form (identical in both engines), not float log arithmetic, so
+    bucketing is engine-exact; only the final expectation/deviation are
+    (identically-computed) doubles."""
+    from pyspark.sql import functions as F
+
+    o = (
+        load_orders(spark, sf_dir)
+        .filter(F.col("order_amount") > 0)
+        .select(F.col("order_amount").cast("decimal(18,2)").alias("amt"))
+    )
+    d = o.select(
+        F.substring(F.col("amt").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    expected = F.round(
+        F.col("total") * F.log10(1.0 + 1.0 / F.col("digit")), 2
+    )
+    deviation = F.round(
+        F.col("observed").cast("double") / F.col("total")
+        - F.log10(1.0 + 1.0 / F.col("digit")),
+        6,
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            expected.alias("expected_benford"),
+            deviation.alias("deviation"),
+        )
+    )
+
+
+@register(
+    "quality_weighted_sample_docs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks, text
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6) * 0.4
+                   + CASE WHEN round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                 / greatest(len(toks), 1), 6)
+                               BETWEEN 3.0 AND 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM s
+    )
+    SELECT doc_id, quality_score
+    FROM scored
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'qw'), 1, 8))::BIGINT
+               % 100 AS BIGINT) < CAST(floor(quality_score * 100) AS BIGINT)
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: each document survives with
+    probability equal to its quality score — the importance-sampling
+    data-mix step (upweight clean text without hard thresholds) — but
+    DETERMINISTICALLY: keep iff md5-bucket(doc_id, salt) <
+    floor(100·score). Reproducible across runs, engines, and
+    repartitioning; no rand() anywhere."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    scored = with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("qw"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return scored.filter(
+        bucket < F.floor(F.col("quality_score") * 100).cast("long")
+    )
+
+
+@register(
     "basket_part_pairs",
     oracle="""
     WITH items AS (
