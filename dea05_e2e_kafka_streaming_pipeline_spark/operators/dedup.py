@@ -683,12 +683,55 @@ def simhash_pairs_md5(
 # Connected components (transitive dup clusters)
 # ---------------------------------------------------------------------------
 
+def _cc_driver(df: DataFrame, rows: list, id_col: str) -> DataFrame:
+    """Driver-side union-find for SMALL pair graphs (entered only
+    through ``algorithm="auto"``'s bounded-take gate): near-dup graphs
+    are edge-sparse — the sf0.1 semantic-dedup graph is ~1.4k edges —
+    and the distributed loop's per-round stage overhead (join +
+    aggregate + checkpoint × rounds) dwarfs a microsecond union-find.
+    ``rows`` are the already-fetched edges (two longs each); the
+    (node → component-min) mapping broadcasts back over ≤ 2·|edges|
+    rows. Same output contract as the distributed paths (min id per
+    component)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        parent.setdefault(r.id_a, r.id_a)
+        parent.setdefault(r.id_b, r.id_b)
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min root wins → component id = min id
+    mapping = [(int(x), int(find(x))) for x in parent]
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(mapping, "__node long, __comp long")
+    return (
+        df.select(F.col(id_col))
+        .distinct()
+        .join(F.broadcast(map_df), F.col(id_col) == F.col("__node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__comp"), F.col(id_col)).alias("component_id"),
+        )
+    )
+
+
 def connected_components(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
     algorithm: str = "label",
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Transitive-closure grouping of a near-dup pair graph: every doc
     gets its component's minimum id as ``component_id`` (isolated docs
@@ -716,11 +759,28 @@ def connected_components(
     long-chain graphs where label propagation needs diameter rounds.
     Same output contract; equivalence is property-tested on random
     graphs (tests/test_properties.py).
+
+    ``algorithm="auto"``: ONE bounded fetch decides the strategy —
+    ``take(driver_max_edges + 1)`` over the pair plan; if every edge
+    arrived, the closure runs as a driver-side union-find over exactly
+    those rows (:func:`_cc_driver`; near-dup graphs are edge-sparse,
+    and the distributed loop's fixed per-round cost dominates small
+    graphs by orders of magnitude — no second pair-plan execution, no
+    count job), otherwise the fetched rows are discarded and the
+    distributed label loop runs unchanged. Callers on the registry's
+    lazy-build path should pass an explicit algorithm instead.
     """
+    if algorithm == "auto":
+        fetched = pairs.select("id_a", "id_b").take(driver_max_edges + 1)
+        if len(fetched) <= driver_max_edges:
+            return _cc_driver(df, fetched, id_col)
+        algorithm = "label"
     if algorithm == "star":
         return _cc_star(df, pairs, id_col, max_iterations)
     if algorithm != "label":
-        raise ValueError(f"unknown algorithm: {algorithm!r} (use 'label' or 'star')")
+        raise ValueError(
+            f"unknown algorithm: {algorithm!r} (use 'auto', 'label' or 'star')"
+        )
     sess = df.sparkSession
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))

@@ -2271,7 +2271,9 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
-    return connected_components(docs, pairs)
+    # auto: edge-count gate routes this sparse graph to the driver
+    # union-find; the distributed loop engages above 1M edges
+    return connected_components(docs, pairs, algorithm="auto")
 
 
 @register("simhash_pairs_md5", bench=False, oracle=_simhash_md5_oracle(3))
@@ -4930,7 +4932,7 @@ def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
     scored = with_text_stats(docs)
     return apply_dedup_cc(
-        scored, pairs, quality_col="quality_score", algorithm="star"
+        scored, pairs, quality_col="quality_score", algorithm="auto"
     ).select("doc_id", "source")
 
 
@@ -5134,11 +5136,11 @@ def q_semantic_dedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # star contraction: measured ~1.6x faster than label propagation on
-    # this graph (convergence dominated by round count, and star needs
-    # fewer rounds); output identical (property-tested equivalence)
+    # auto closure: this graph is ~1.4k edges at sf0.1 — the driver
+    # union-find replaces the iterative rounds entirely (distributed
+    # star contraction engages above the 1M-edge gate)
     return semantic_dedup(
-        emb, threshold=0.3, block_col="label", algorithm="star"
+        emb, threshold=0.3, block_col="label", algorithm="auto"
     ).select("vec_id", "label")
 
 
@@ -5159,7 +5161,7 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
     return semantic_dedup(
-        emb, threshold=0.3, centroids=cents, algorithm="star"
+        emb, threshold=0.3, centroids=cents, algorithm="auto"
     ).select("vec_id", "label")
 
 

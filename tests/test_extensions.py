@@ -783,3 +783,35 @@ def test_residual_ivfpq_quantizes_finer_than_raw_pq(spark):
     res_err = mse(res_cbs, x - cents_np[cells])
     raw_err = mse(raw_cbs, x)
     assert res_err < raw_err * 0.7  # residuals quantize markedly finer
+
+
+def test_cc_auto_matches_distributed_and_gates(spark):
+    """algorithm='auto': driver union-find output equals the
+    distributed label loop; with a tiny edge gate it falls back to the
+    distributed path (same answer either way)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    # two chains and one isolated cluster: 0-1-2-3, 5-6, 8-9-10
+    edges = [(0, 1), (1, 2), (2, 3), (5, 6), (8, 9), (9, 10)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    want = sorted(
+        map(tuple, connected_components(docs, pairs, algorithm="label").collect())
+    )
+    got_auto = sorted(
+        map(tuple, connected_components(docs, pairs, algorithm="auto").collect())
+    )
+    assert got_auto == want
+    # gate: max 2 edges → must fall back to the distributed loop
+    got_gated = sorted(
+        map(
+            tuple,
+            connected_components(
+                docs, pairs, algorithm="auto", driver_max_edges=2
+            ).collect(),
+        )
+    )
+    assert got_gated == want
