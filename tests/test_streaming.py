@@ -354,7 +354,15 @@ def test_dedup_stream_watermarked_state_expiry(spark, tmp_path):
     """dropDuplicatesWithinWatermark mode: a duplicate re-sent within
     the horizon is dropped; once the watermark has passed the original's
     timestamp + delay, the key's state is gone and a later re-send lands
-    again (the bounded-state semantics the docstring promises)."""
+    again (the bounded-state semantics the docstring promises).
+
+    Eviction timing (measured, Spark 4.1): state cleanup runs at the
+    END of each micro-batch using the batch's STARTING watermark, and
+    incoming rows match surviving state without an expiry check — so a
+    key becomes re-insertable only one full batch AFTER the watermark
+    passes its expiry. The landing sequence therefore inserts an
+    eviction batch (b3) between the watermark-advancing batch (b2) and
+    the re-send (b4)."""
     import datetime as dt
 
     from pyspark.sql.types import (
@@ -380,18 +388,36 @@ def test_dedup_stream_watermarked_state_expiry(spark, tmp_path):
     )
     rows_schema = "doc_id long, ts timestamp, text string"
     # batch 1: original + a within-horizon duplicate
+    # one part-file per landing batch: maxFilesPerTrigger=1 only yields
+    # deterministic micro-batch grouping when each batch IS one file
     spark.createDataFrame(
         [(0, t0, "same body"), (1, t0 + dt.timedelta(minutes=30), "same body")],
         rows_schema,
-    ).write.mode("append").json(str(landing / "b1"))
+    ).coalesce(1).write.mode("append").json(str(landing / "b1"))
     # batch 2: advances the watermark far past t0 + delay
     spark.createDataFrame(
         [(2, t0 + dt.timedelta(hours=6), "other body")], rows_schema
-    ).write.mode("append").json(str(landing / "b2"))
-    # batch 3: re-send of the same body, long after expiry
+    ).coalesce(1).write.mode("append").json(str(landing / "b2"))
+    # batch 3: starts with the advanced watermark -> its end-of-batch
+    # cleanup evicts the expired "same body" state
+    spark.createDataFrame(
+        [(4, t0 + dt.timedelta(hours=6, minutes=30), "third body")], rows_schema
+    ).coalesce(1).write.mode("append").json(str(landing / "b3"))
+    # batch 4: re-send of the same body, after eviction
     spark.createDataFrame(
         [(3, t0 + dt.timedelta(hours=7), "same body")], rows_schema
-    ).write.mode("append").json(str(landing / "b3"))
+    ).coalesce(1).write.mode("append").json(str(landing / "b4"))
+
+    # the file source orders micro-batches by MODIFICATION TIME; the
+    # three writes can land within one clock second, so pin strictly
+    # increasing mtimes to make b1 -> b2 -> b3 processing deterministic
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, d in enumerate(["b1", "b2", "b3", "b4"]):
+        for f in (landing / d).glob("*.json"):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
 
     q = (
         dedup_stream(
@@ -411,10 +437,10 @@ def test_dedup_stream_watermarked_state_expiry(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     # exactly ONE of {0, 1} survives (same body, same micro-batch — the
-    # within-batch representative is arbitrary), 2 is kept (distinct
-    # body), and 3 lands again: the "same body" state expired once the
-    # batch-2 watermark passed ts+delay
-    assert len(kept) == 3 and kept[1:] == [2, 3], kept
+    # within-batch representative is arbitrary); 2 and 4 are kept
+    # (distinct bodies); 3 lands again because the "same body" state
+    # was evicted in the b3 batch once the watermark passed ts+delay
+    assert len(kept) == 4 and kept[1:] == [2, 3, 4], kept
     assert kept[0] in (0, 1), kept
 
 
