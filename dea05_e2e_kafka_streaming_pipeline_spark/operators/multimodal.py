@@ -170,6 +170,46 @@ def frame_sample_plan(
     )
 
 
+def audio_window_plan(
+    df: DataFrame,
+    sample_rate: int = 16_000,
+    win_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """Audio feature-window *plan* (the STFT/fbank windowing grid): one
+    row per (audio, overlapping window) with millisecond and SAMPLE
+    offsets — ``win_ms`` window, ``hop_ms`` hop, the standard speech
+    25/10 default. Like :func:`frame_sample_plan`, the row multiplicity
+    is real Spark (posexplode over an integer sequence bounded by the
+    duration — pure integer arithmetic, engine-exact); the per-window
+    decode/FFT is the stubbed UDF step. Clips shorter than one window
+    yield zero rows."""
+    n_windows = F.when(
+        F.col("duration_ms") >= win_ms,
+        (F.col("duration_ms") - win_ms) / hop_ms + 1,
+    ).otherwise(F.lit(0)).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_windows - 1)
+    out = (
+        df.filter((F.col("kind") == "audio") & (n_windows > 0))
+        .select(
+            "media_id",
+            "duration_ms",
+            F.posexplode(idx).alias("window_idx", "_i"),
+        )
+        .drop("_i")
+    )
+    start_ms = F.col("window_idx") * hop_ms
+    return out.select(
+        "media_id",
+        "duration_ms",
+        "window_idx",
+        start_ms.alias("start_ms"),
+        (start_ms + win_ms).alias("end_ms"),
+        (start_ms * sample_rate / 1000).cast("long").alias("start_sample"),
+        F.lit(win_ms * sample_rate // 1000).cast("long").alias("n_samples"),
+    )
+
+
 def ahash_media(
     df,
     payload_col: str = "payload",

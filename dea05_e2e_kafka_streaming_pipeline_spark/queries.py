@@ -2570,6 +2570,45 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(synthesize_media(spark, n=200), every_ms=1000)
 
 
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id, CAST(i * 33 AS BIGINT) AS duration_ms
+      FROM range(0, 200) t(i) WHERE i % 3 = 1
+    ), sized AS (
+      SELECT media_id, duration_ms,
+             CASE WHEN duration_ms >= 25
+                  THEN (duration_ms - 25) // 10 + 1 ELSE 0 END AS n_win
+      FROM m
+    ), w AS (
+      SELECT media_id, duration_ms,
+             unnest(generate_series(0, n_win - 1)) AS window_idx
+      FROM sized WHERE n_win > 0
+    )
+    SELECT media_id, duration_ms, window_idx,
+           window_idx * 10 AS start_ms,
+           window_idx * 10 + 25 AS end_ms,
+           CAST((window_idx * 10 * 16000) / 1000 AS BIGINT) AS start_sample,
+           CAST(400 AS BIGINT) AS n_samples
+    FROM w
+    """,
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-window grid (25 ms windows / 10 ms hop at 16 kHz —
+    the standard speech STFT layout) over the synthetic media table:
+    per-clip overlapping windows with millisecond AND sample offsets,
+    all integer arithmetic (operators/multimodal.py:audio_window_plan).
+    Row multiplicity is real Spark; the per-window DSP stays in the
+    stubbed decode seam."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        audio_window_plan,
+        synthesize_media,
+    )
+
+    return audio_window_plan(synthesize_media(spark, n=200))
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (engine streaming layer, oracle-checked in batch
 # mode — windowed_event_stats runs identically under readStream with a

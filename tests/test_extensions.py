@@ -815,3 +815,27 @@ def test_cc_auto_matches_distributed_and_gates(spark):
         )
     )
     assert got_gated == want
+
+
+def test_audio_window_plan_grid(spark):
+    """25/10 @ 16 kHz window grid: correct counts, offsets, sample
+    math; clips shorter than one window yield no rows."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.multimodal import (
+        audio_window_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", 100), (2, "audio", 24), (3, "video", 500)],
+        "media_id long, kind string, duration_ms long",
+    )
+    rows = audio_window_plan(df).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    # (100-25)//10 + 1 = 8 windows; 24ms clip: none; video filtered out
+    assert set(by_media) == {1}
+    w = sorted(by_media[1], key=lambda r: r.window_idx)
+    assert len(w) == 8
+    assert w[0].start_ms == 0 and w[0].end_ms == 25
+    assert w[7].start_ms == 70 and w[7].end_ms == 95 <= 100
+    assert w[3].start_sample == 30 * 16 and w[3].n_samples == 400
