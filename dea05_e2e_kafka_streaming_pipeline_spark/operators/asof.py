@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -215,3 +216,80 @@ def interval_join(
     )
     joined = e.join(i, cond, how).drop("__b")
     return joined
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """The SAME as-of contract as :func:`asof_join`, expressed through
+    ``groupBy().cogroup().applyInPandas`` — the API for custom per-key
+    merge logic Spark's built-ins can't say: both sides co-shuffle on
+    the key, and each key's (left, right) pandas frames meet in one
+    Arrow-batched function (here: ``pandas.merge_asof``).
+
+    The window-based :func:`asof_join` remains the production path
+    (pure JVM, one shuffle); this variant exists (a) as the template
+    for per-key logic that genuinely needs pandas — interpolation,
+    curve fitting, per-entity models — and (b) as an independent
+    implementation whose output must EQUAL the window plan
+    (equivalence-tested), which cross-checks both. Determinism caveat
+    shared with merge_asof: right-side (key, ts) must be unique.
+    Skew caveat: one key = one pandas frame — a hot key materializes
+    on one executor; salt first if a key can exceed executor memory.
+    """
+    import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    out_fields = list(left.schema.fields)
+    out_fields.append(
+        T.StructField(f"{prefix}{right_ts}", right.schema[right_ts].dataType)
+    )
+    for c in value_cols:
+        out_fields.append(T.StructField(f"{prefix}{c}", right.schema[c].dataType))
+    out_schema = T.StructType(out_fields)
+    left_cols = left.columns
+    rsel = [key, right_ts, *value_cols]
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        ldf = ldf.sort_values(left_ts)
+        if rdf.empty:  # key with no right rows: all as-of columns NULL
+            merged = ldf.copy()
+            merged[f"{prefix}{right_ts}"] = pd.NaT
+            for c in value_cols:
+                merged[f"{prefix}{c}"] = None
+            return merged[[f.name for f in out_fields]]
+        rdf = rdf[rsel].sort_values(right_ts).drop(columns=[key]).rename(
+            columns={right_ts: f"{prefix}{right_ts}",
+                     **{c: f"{prefix}{c}" for c in value_cols}}
+        )
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=left_ts,
+            right_on=f"{prefix}{right_ts}",
+            direction=direction,
+            tolerance=(
+                pd.Timedelta(seconds=tolerance_seconds)
+                if tolerance_seconds is not None
+                else None
+            ),
+        )
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, out_schema)
+        .select(*left_cols, f"{prefix}{right_ts}", *[f"{prefix}{c}" for c in value_cols])
+    )

@@ -208,3 +208,51 @@ def test_clicks_asof_bounded_matches_oracle(spark, duck):
         duck,
         oracles()["clicks_asof_views_bounded"],
     )
+
+
+def test_cogroup_asof_equals_window_plan(spark):
+    """asof_join_cogroup (cogrouped applyInPandas + merge_asof) must
+    produce EXACTLY the window-plan asof_join's rows, both directions,
+    with and without a tolerance bound — two independent
+    implementations cross-checking each other."""
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_cogroup,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = spark.createDataFrame(
+        [(1, m(10)), (1, m(40)), (2, m(5)), (3, m(100))],
+        "user_id long, ts timestamp",
+    )
+    views = spark.createDataFrame(
+        [(1, m(0), 7), (1, m(35), 8), (2, m(50), 9)],
+        "user_id long, ts timestamp, page long",
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, 600.0):
+            a = sorted(
+                map(
+                    tuple,
+                    asof_join(
+                        clicks, views, "user_id", "ts", "ts", ["page"],
+                        direction=direction, tolerance_seconds=tol,
+                    ).collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    asof_join_cogroup(
+                        clicks, views, "user_id", "ts", "ts", ["page"],
+                        direction=direction, tolerance_seconds=tol,
+                    ).collect(),
+                )
+            )
+            assert a == b, (direction, tol)
