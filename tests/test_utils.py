@@ -134,3 +134,36 @@ def test_read_json_quarantine_splits_malformed(spark, tmp_path):
     raws = [r.corrupt_record for r in bad.collect()]
     assert len(raws) == 2 and any("missing comma" in r for r in raws)
     assert all(r is not None for r in raws)
+
+
+def test_parse_kv_log_udtf(spark):
+    """Python UDTF surface (Spark 4 @udtf): variable-shaped typed rows
+    per input, lateral-joined from SQL and from the DataFrame API."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.functions.udtf import (
+        ParseKVLog,
+        register_udtfs,
+    )
+
+    # DataFrame use: lateral join against a payload column
+    assert register_udtfs(spark) == ["parse_kv_log"]
+    df = spark.createDataFrame(
+        [(1, "user=7 action=click x"), (2, ""), (3, None), (4, "a=b=c")],
+        "id int, payload string",
+    )
+    df.createOrReplaceTempView("kvlogs")
+    rows = spark.sql(
+        "SELECT id, p.key, p.value, p.position "
+        "FROM kvlogs, LATERAL parse_kv_log(payload) p ORDER BY id, position"
+    ).collect()
+    got = [(r.id, r.key, r.value, r.position) for r in rows]
+    assert got == [
+        (1, "user", "7", 0),
+        (1, "action", "click", 1),
+        (4, "a", "b=c", 0),  # split-once-from-left; "x" token skipped
+    ]
+
+    # direct table-function call
+    direct = ParseKVLog(F.lit("k=v")).collect()
+    assert [(r.key, r.value, r.position) for r in direct] == [("k", "v", 0)]
