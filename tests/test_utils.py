@@ -167,3 +167,35 @@ def test_parse_kv_log_udtf(spark):
     # direct table-function call
     direct = ParseKVLog(F.lit("k=v")).collect()
     assert [(r.key, r.value, r.position) for r in direct] == [("k", "v", 0)]
+
+
+def test_core_operators_handle_empty_input(spark):
+    """Empty-corpus robustness: the core operator families return
+    empty (not crash) on zero-row input — the shape every incremental
+    pipeline hits on a quiet day."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_exact,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.quality import (
+        profile_table,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_row_number,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_exact(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs_prefix(docs).count() == 0
+    assert with_text_stats(docs).count() == 0
+    assert global_row_number(docs, ["doc_id"]).count() == 0
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(docs, empty_pairs, algorithm="auto").count() == 0
+    prof = {r.col_name: r for r in profile_table(docs).collect()}
+    assert prof["doc_id"].total == 0 and prof["doc_id"].n_distinct == 0
