@@ -268,3 +268,44 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     tests/test_plans.py holds for the SQL spelling too."""
     register_testdata_views(spark, sf_dir)
     return spark.sql(sql)
+
+
+def small_files_report(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-files doctor: listing-only diagnosis of a lake prefix —
+    file count, byte totals, size quartiles, the fraction of files
+    under half the ``target_bytes`` (the classic driver/NameNode-
+    pressure + scan-overhead symptom), and the file count a compaction
+    to ``target_bytes`` would produce (what ``sinks.compact_parquet``
+    then executes). Pure metadata: no data pages are read at any table
+    size."""
+    import pyarrow.dataset as ds
+    import pyarrow.fs as pafs
+
+    fs = pafs.LocalFileSystem()
+    files = ds.dataset(path).files
+    sizes = sorted(fs.get_file_info(f).size for f in files)
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "advice": "empty prefix"}
+    total = sum(sizes)
+    n = len(sizes)
+    small = sum(1 for s in sizes if s < target_bytes // 2)
+    ideal = max(1, -(-total // target_bytes))  # ceil div
+    report = {
+        "n_files": n,
+        "total_bytes": total,
+        "p25_bytes": sizes[n // 4],
+        "median_bytes": sizes[n // 2],
+        "p75_bytes": sizes[(3 * n) // 4],
+        "small_file_fraction": round(small / n, 4),
+        "ideal_file_count": ideal,
+        "advice": (
+            f"compact to ~{ideal} files of ~{target_bytes} B"
+            if small / n > 0.5 and n > ideal * 2
+            else "layout healthy"
+        ),
+    }
+    return report

@@ -37,6 +37,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_lenient(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that SKIPS corrupt/truncated files instead of
+    failing the job — the disaster-recovery read for a prefix damaged
+    by a bad writer or partial upload (the default scan fails the whole
+    100 TB query for one bad object; this trades completeness for
+    availability, so it is a separate reader and never the default:
+    pair it with ``sources.catalog.file_inventory`` against the listing
+    to quantify exactly what was skipped)."""
+    return spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
+
 def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan across SCHEMA GENERATIONS — files written before a
     column existed read as NULL for it (the additive-evolution story

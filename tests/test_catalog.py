@@ -404,3 +404,40 @@ def test_pruned_scan_empty_range_keeps_schema(spark, tmp_path):
     assert kept == []
     assert df.count() == 0
     assert sorted(df.columns) == sorted(orders.columns)
+
+
+def test_lenient_read_skips_corrupt_file(spark, tmp_path):
+    """A garbage .parquet object fails the strict scan but is skipped
+    by read_parquet_lenient; the good rows all survive."""
+    import pytest as _pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_parquet,
+        read_parquet_lenient,
+    )
+
+    out = str(tmp_path / "damaged")
+    spark.range(100).write.parquet(out)
+    (tmp_path / "damaged" / "part-junk.parquet").write_bytes(b"not parquet at all")
+    with _pytest.raises(Exception):
+        read_parquet(spark, out).count()
+    assert read_parquet_lenient(spark, out).count() == 100
+
+
+def test_small_files_report_diagnoses_and_heals(spark, tmp_path):
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.catalog import (
+        small_files_report,
+    )
+
+    out = str(tmp_path / "shattered")
+    spark.range(10_000).repartition(64).write.parquet(out)
+    rep = small_files_report(spark, out, target_bytes=1024 * 1024)
+    assert rep["n_files"] >= 64
+    assert rep["small_file_fraction"] > 0.9
+    assert rep["ideal_file_count"] < rep["n_files"]
+    assert rep["advice"].startswith("compact")
+
+    healthy = str(tmp_path / "compacted")
+    spark.read.parquet(out).coalesce(1).write.parquet(healthy)
+    rep2 = small_files_report(spark, healthy, target_bytes=1024 * 1024)
+    assert rep2["advice"] == "layout healthy"
