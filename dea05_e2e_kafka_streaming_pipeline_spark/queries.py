@@ -945,6 +945,74 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "region_gini_inequality",
+    oracle=f"""
+    {_ENTITY_CTES}
+    , j AS (
+      SELECT c.region,
+             CAST(CAST(o.order_amount AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM o JOIN c USING (customer_id)
+    ), ranked AS (
+      SELECT region, cents,
+             row_number() OVER (PARTITION BY region ORDER BY cents) AS i,
+             count(*) OVER (PARTITION BY region) AS n
+      FROM j
+    )
+    SELECT region,
+           round(CAST(CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * CAST(sum(cents) AS BIGINT)), 6)
+             AS gini
+    FROM ranked GROUP BY region
+    """,
+)
+def q_region_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini inequality of order amounts per region, computed
+    through a GROUPED-AGG pandas UDF — the one pandas API surface the
+    engine hadn't exercised (scalar/mapInPandas/applyInPandas/cogroup/
+    UDTF all have homes). The UDF receives each region's full value
+    series as one Arrow batch and folds it with PYTHON-INT arithmetic
+    over cents (sorted Σ(2i−n−1)·xᵢ — tie assignment provably cancels),
+    so the only float op is one final division of exact integers —
+    bit-identical to the oracle's window formulation. Scale note: a
+    grouped-agg UDF materializes each group on one executor; this
+    query's groups are region-bounded — for unbounded groups use the
+    sort-based distributed formulation (global_row_number + one
+    aggregate), same formula."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    def _gini(v):
+        x = sorted(int(c) for c in v)
+        n, s = len(x), sum(x)
+        if n == 0 or s == 0:
+            return 0.0
+        num = sum((2 * i - n - 1) * xi for i, xi in enumerate(x, start=1))
+        return round(num / float(n * s), 6)
+
+    # postponed-annotations module: set the signature explicitly so
+    # pandas_udf recognizes the GROUPED_AGG (Series -> scalar) shape
+    _gini.__annotations__ = {"v": pd.Series, "return": float}
+    gini_cents = pandas_udf(_gini, "double")
+
+    j = (
+        load_orders(spark, sf_dir)
+        .join(
+            F.broadcast(load_customers(spark, sf_dir).select("customer_id", "region")),
+            "customer_id",
+        )
+        .select(
+            "region",
+            (F.col("order_amount").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    return j.groupBy("region").agg(gini_cents("cents").alias("gini"))
+
+
+@register(
     "benford_amount_audit",
     oracle=f"""
     WITH o AS (SELECT CAST(order_amount AS DECIMAL(18,2)) AS amt
