@@ -944,9 +944,7 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "region_gini_inequality",
-    oracle=f"""
+_GINI_ORACLE = f"""
     {_ENTITY_CTES}
     , j AS (
       SELECT c.region,
@@ -963,8 +961,10 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(max(n) AS DOUBLE) * CAST(sum(cents) AS BIGINT)), 6)
              AS gini
     FROM ranked GROUP BY region
-    """,
-)
+    """
+
+
+@register("region_gini_inequality", oracle=_GINI_ORACLE)
 def q_region_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini inequality of order amounts per region, computed
     through a GROUPED-AGG pandas UDF — the one pandas API surface the
@@ -1010,6 +1010,48 @@ def q_region_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.groupBy("region").agg(gini_cents("cents").alias("gini"))
+
+
+@register("region_gini_native", oracle=_GINI_ORACLE, bench=False)
+def q_region_gini_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME Gini, fully distributed and UDF-free — the scale
+    formulation the grouped-agg UDF's docstring names: per-region rank
+    window (partitioned by region, so no single-reducer collapse) +
+    one integer aggregate, the only float op the final division.
+    Hash-matches the identical oracle as `region_gini_inequality` —
+    two independent implementations cross-checking each other
+    (bench=False: deliberate duplicate of that query's answer)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    j = (
+        load_orders(spark, sf_dir)
+        .join(
+            F.broadcast(load_customers(spark, sf_dir).select("customer_id", "region")),
+            "customer_id",
+        )
+        .select(
+            "region",
+            (F.col("order_amount").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    w = Window.partitionBy("region").orderBy("cents")
+    ranked = j.select(
+        "region",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("region")).alias("n"),
+    )
+    return ranked.groupBy("region").agg(
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+            .cast("double")
+            / (F.max("n").cast("double") * F.sum("cents")),
+            6,
+        ).alias("gini")
+    )
 
 
 @register(
