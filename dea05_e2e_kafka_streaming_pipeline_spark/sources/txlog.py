@@ -150,3 +150,30 @@ def vacuum_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
                     removed.append(f)
         os.remove(os.path.join(_log_path(table_path), f"v{v:06d}.json"))
     return sorted(set(removed))
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "_cdc_ts_ms",
+    op_col: str = "_cdc_op",
+    seq_col: str | None = None,
+) -> int:
+    """MERGE INTO for the snapshot log: apply a CDC change batch
+    (latest-wins upserts + deletes, ``operators/cdc.py:
+    apply_cdc_changes``) to the latest snapshot and commit the result
+    as the next version — Delta's ``MERGE`` + time travel on plain
+    parquet. The superseded version stays readable (audit the merge by
+    diffing two versions); single-writer contract as everywhere in
+    this module. Returns the new version."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+        apply_cdc_changes,
+    )
+
+    target = read_snapshot(spark, table_path)
+    merged = apply_cdc_changes(
+        target, changes, key, ts_col=ts_col, op_col=op_col, seq_col=seq_col
+    )
+    return commit_snapshot(merged, table_path, mode="overwrite")

@@ -58,3 +58,37 @@ def test_reader_snapshot_isolation(spark, tmp_path):
     commit_snapshot(spark.range(0, 1000), t, mode="overwrite")
     assert df_v0.count() == 10  # plan pinned to v0's file list
     assert read_snapshot(spark, t).count() == 1000
+
+
+def test_merge_into_snapshot_versioned_upserts(spark, tmp_path):
+    """CDC MERGE against the snapshot log: upsert + delete land as a
+    new version; the pre-merge snapshot remains readable for audit."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.txlog import (
+        merge_into_snapshot,
+    )
+
+    t = str(tmp_path / "tbl5")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    commit_snapshot(base, t)
+    changes = spark.createDataFrame(
+        [
+            (2, "B", 100, "u"),   # update
+            (4, "d", 100, "c"),   # insert
+            (3, None, 100, "d"),  # delete
+        ],
+        "id long, v string, _cdc_ts_ms long, _cdc_op string",
+    )
+    v = merge_into_snapshot(spark, t, changes, key="id")
+    assert v == 1
+    got = {
+        r.id: r.v
+        for r in read_snapshot(spark, t).select("id", "v").collect()
+    }
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # audit: pre-merge snapshot intact
+    old = {r.id: r.v for r in read_snapshot(spark, t, version=0).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
