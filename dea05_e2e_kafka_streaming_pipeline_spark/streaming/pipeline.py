@@ -618,3 +618,70 @@ def avro_stream_sink(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def cdc_snapshot_stream_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key: str,
+    ts_col: str = "_cdc_ts_ms",
+    op_col: str = "_cdc_op",
+    seq_col: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: int | None = 5,
+) -> StreamingQuery:
+    """Streaming CDC into the VERSIONED snapshot table
+    (``sources/txlog.py``): every micro-batch of normalized changes
+    merges latest-wins into the current snapshot and commits the next
+    version — the reference's whole Debezium→lakehouse story, jar-free,
+    with time travel per epoch (read any intermediate state back with
+    ``read_snapshot(version=...)``; bound log growth with
+    ``vacuum_snapshots``).
+
+    Recovery semantics: the checkpoint replays an unacknowledged batch
+    after a crash; re-merging the same change batch is a no-op on the
+    DATA (latest-wins is idempotent), so the table converges to the
+    exactly-once state — a replay can only add a duplicate version
+    whose content equals its predecessor. The first batch bootstraps
+    version 0 from the change batch alone."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import (
+        apply_cdc_changes,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.txlog import (
+        commit_snapshot,
+        merge_into_snapshot,
+        snapshot_versions,
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not snapshot_versions(table_path):
+            meta = {op_col, ts_col} | ({seq_col} if seq_col else set())
+            data_cols = [c for c in batch_df.columns if c not in meta]
+            empty = spark.createDataFrame(
+                [], batch_df.select(*data_cols).schema
+            )
+            first = apply_cdc_changes(
+                empty, batch_df, key, ts_col=ts_col, op_col=op_col,
+                seq_col=seq_col,
+            )
+            commit_snapshot(first, table_path, mode="overwrite")
+            return
+        merge_into_snapshot(
+            spark, table_path, batch_df, key,
+            ts_col=ts_col, op_col=op_col, seq_col=seq_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -92,3 +92,59 @@ def test_merge_into_snapshot_versioned_upserts(spark, tmp_path):
     # audit: pre-merge snapshot intact
     old = {r.id: r.v for r in read_snapshot(spark, t, version=0).collect()}
     assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_cdc_snapshot_stream_sink_versions_per_epoch(spark, tmp_path):
+    """Streaming CDC → versioned snapshot table: each micro-batch
+    commits a version; intermediate states stay readable; final state
+    reflects latest-wins upserts + deletes."""
+    import os as _os
+    import time as _time
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        cdc_snapshot_stream_sink,
+    )
+
+    landing = tmp_path / "cdc_landing"
+    rows_schema = (
+        "id long, v string, _cdc_ts_ms long, _cdc_op string"
+    )
+    spark.createDataFrame(
+        [(1, "a", 1, "c"), (2, "b", 1, "c")], rows_schema
+    ).coalesce(1).write.mode("append").json(str(landing / "b1"))
+    spark.createDataFrame(
+        [(2, "B", 2, "u"), (1, None, 2, "d"), (3, "c", 2, "c")], rows_schema
+    ).coalesce(1).write.mode("append").json(str(landing / "b2"))
+    now = _time.time()
+    for i, d in enumerate(["b1", "b2"]):
+        for f in (landing / d).glob("*.json"):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_cdc_ts_ms", T.LongType()),
+            T.StructField("_cdc_op", T.StringType()),
+        ]
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import (
+        file_stream,
+    )
+
+    table = str(tmp_path / "versioned")
+    q = cdc_snapshot_stream_sink(
+        file_stream(spark, str(landing / "*"), schema, max_files_per_trigger=1),
+        table,
+        checkpoint=str(tmp_path / "ckpt"),
+        key="id",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert snapshot_versions(table) == [0, 1]
+    v0 = {r.id: r.v for r in read_snapshot(spark, table, version=0).collect()}
+    assert v0 == {1: "a", 2: "b"}
+    v1 = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert v1 == {2: "B", 3: "c"}  # 1 deleted, 2 updated, 3 inserted
