@@ -944,6 +944,108 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=None)
+def _txlog_table(sf_dir: str) -> str:
+    """Materialize (once per process) a snapshot-log table exercising
+    the full txlog flow on the orders entity: version 0 = the entity;
+    version 1 = a deterministic CDC MERGE (every order_id % 97 == 0
+    gets +1.00 on its amount, every % 101 == 0 is deleted; delete wins
+    on the overlap by the merge's same-ts tie-break). Returns the table
+    path — `orders_snapshot_timetravel` reads BOTH versions back."""
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.txlog import (
+        commit_snapshot,
+        merge_into_snapshot,
+    )
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    path = tempfile.mkdtemp(prefix="txlog_orders_")
+    orders = load_orders(spark, sf_dir).withColumn(
+        "order_amount", F.col("order_amount").cast("decimal(18,2)")
+    )
+    commit_snapshot(orders, path, mode="overwrite")
+    upd = orders.filter(F.col("order_id") % 97 == 0).select(
+        "order_id",
+        "order_date",
+        (F.col("order_amount") + F.lit(1).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("order_amount"),
+        "customer_id",
+        F.lit(1).alias("_cdc_ts_ms"),
+        F.lit("u").alias("_cdc_op"),
+    )
+    dels = orders.filter(F.col("order_id") % 101 == 0).select(
+        "order_id",
+        "order_date",
+        "order_amount",
+        "customer_id",
+        F.lit(1).alias("_cdc_ts_ms"),
+        F.lit("d").alias("_cdc_op"),
+    )
+    merge_into_snapshot(
+        spark, path, upd.unionByName(dels), key="order_id"
+    )
+    return path
+
+
+@register(
+    "orders_snapshot_timetravel",
+    bench=False,
+    oracle=f"""
+    WITH o AS (SELECT order_id, order_date,
+                      CAST(order_amount AS DECIMAL(18,2)) AS order_amount
+               FROM ({ORDERS_SQL})),
+    v1 AS (
+      SELECT order_id, order_date,
+             CASE WHEN order_id % 97 = 0
+                  THEN CAST(order_amount + 1 AS DECIMAL(18,2))
+                  ELSE order_amount END AS order_amount
+      FROM o WHERE order_id % 101 <> 0
+    ),
+    a0 AS (SELECT CAST(strftime(order_date, '%Y') AS INT) AS year,
+                  count(*) AS n_v0,
+                  CAST(sum(order_amount) AS DOUBLE) AS sum_v0
+           FROM o GROUP BY 1),
+    a1 AS (SELECT CAST(strftime(order_date, '%Y') AS INT) AS year,
+                  count(*) AS n_v1,
+                  CAST(sum(order_amount) AS DOUBLE) AS sum_v1
+           FROM v1 GROUP BY 1)
+    SELECT a0.year, a0.n_v0, a0.sum_v0, a1.n_v1, a1.sum_v1
+    FROM a0 JOIN a1 USING (year)
+    """,
+)
+def q_orders_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot log's FULL flow inside the driver's correctness
+    gate: commit orders as version 0, CDC-MERGE deterministic updates
+    (+1.00 on order_id%97) and deletes (order_id%101) into version 1,
+    then read BOTH versions back via time travel and aggregate each by
+    order year. The oracle recomputes v0/v1 purely in SQL — a mismatch
+    anywhere in commit/merge/manifest/read breaks the hash. Eager by
+    nature (materializes once per process, like the BPE/IVF state);
+    bench=False (it re-runs entity reads twice on purpose)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.txlog import (
+        read_snapshot,
+    )
+
+    path = _txlog_table(sf_dir)
+    v0 = read_snapshot(spark, path, version=0)
+    v1 = read_snapshot(spark, path, version=1)
+
+    def agg(df, n_name, s_name):
+        return df.groupBy(F.year("order_date").alias("year")).agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.sum("order_amount").cast("double").alias(s_name),
+        )
+
+    return agg(v0, "n_v0", "sum_v0").join(agg(v1, "n_v1", "sum_v1"), "year")
+
+
 _GINI_ORACLE = f"""
     {_ENTITY_CTES}
     , j AS (
