@@ -3230,6 +3230,66 @@ def q_doc_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p_transition
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    consecutive event-type bigrams per user (total order: ts, event_id)
+    with counts and per-row transition probabilities — the sequence
+    model behind journey prediction and anomaly scoring. One lead()
+    window sharing the user exchange, one aggregate over
+    |types|² ≤ tiny groups; the probability is the only float (one
+    rounded division of exact integers)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+                "p_transition"
+            ),
+        )
+    )
+
+
+@register(
     "events_session_paths",
     oracle="""
     WITH x AS (
