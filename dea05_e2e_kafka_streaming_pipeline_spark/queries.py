@@ -1660,6 +1660,78 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT order_date AS d,
+             CAST(SUM(CAST(order_amount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+      FROM ({ORDERS_SQL}) GROUP BY 1
+    ), pairs AS (
+      SELECT a.r AS x, b.r AS y
+      FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY
+    ), m AS (
+      SELECT count(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pairs
+    )
+    SELECT n,
+           round((sxy - sx * sy / CAST(n AS DOUBLE))
+                 / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                        * (syy - sy * sy / CAST(n AS DOUBLE))), 6)
+             AS lag1_autocorr
+    FROM m
+    """,
+)
+def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of DAILY revenue — the time-series
+    persistence diagnostic (is today's revenue predictive of
+    tomorrow's?) under the exact-moment discipline: daily sums are
+    exact decimals, lagged pairs come from a calendar self-join on
+    d+1 (only consecutive days pair — no window over gaps), the five
+    moment sums are exact decimal aggregates, and the Pearson formula
+    evaluates once on the one-row result."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_orders(spark, sf_dir)
+        .groupBy(F.col("order_date").alias("d"))
+        .agg(
+            F.sum(F.col("order_amount").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b, F.col("b.d") == F.date_add(F.col("a.d"), 1)
+    ).select(F.col("a.r").alias("x"), F.col("b.r").alias("y"))
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / nd)
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+                * (F.col("syy") - F.col("sy") * F.col("sy") / nd)
+            ),
+            6,
+        ).alias("lag1_autocorr"),
+    )
+
+
+@register(
     "price_quantity_correlation",
     oracle="""
     WITH m AS (
