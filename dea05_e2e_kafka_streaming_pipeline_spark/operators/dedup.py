@@ -490,6 +490,7 @@ def hamming_pairs(
     id_col: str = "id",
     hash_col: str = "sig",
     max_hamming: int = 3,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """GENERIC banded Hamming self-join over 64-bit signatures — the
     candidate machinery shared by text SimHash and media perceptual
@@ -498,7 +499,15 @@ def hamming_pairs(
     k+1 disjoint bands matches exactly (pigeonhole) — the equi-join on
     bands is a complete candidate generator at ANY radius, and the
     Hamming filter makes it exact. (More bands ⇒ more candidate-join
-    rows: radius is a recall/cost dial, not a correctness one.)"""
+    rows: radius is a recall/cost dial, not a correctness one.)
+
+    ``max_bucket_size`` bounds degenerate buckets: at or under the cap
+    every in-bucket pair is emitted (exact all-pairs); above it, the
+    bucket expands as bridged chunks — chain-connected, so transitive
+    dedup still collapses the group, but not the full O(S²) clique
+    (the same overflow contract as ``minhash_lsh_pairs``; run exact
+    dedup first so identical content never reaches the banding join).
+    """
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64): {max_hamming}")
     nb = max_hamming + 1
@@ -516,6 +525,8 @@ def hamming_pairs(
             v = v.bitwiseAND(F.lit((1 << w) - 1))
         return v
 
+    if max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be >= 2: {max_bucket_size}")
     quarters = sigs.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("__h"),
@@ -531,25 +542,57 @@ def hamming_pairs(
             )
         ).alias("e"),
     ).select("id", "__h", "e.q", "e.qh")
-    a, b = quarters.alias("a"), quarters.alias("b")
+    # capped per-bucket pair expansion (same chunk+bridge machinery as
+    # minhash_lsh_pairs): a degenerate band bucket — e.g. thousands of
+    # byte-identical images sharing one signature — expands to O(S·cap)
+    # chain-connected pairs instead of the O(S²) clique, so dedup
+    # closure still collapses the group while one hot bucket cannot OOM
+    # an executor. Buckets at or under the cap keep EXACT all-pairs.
+    cap = max_bucket_size
+    wc = Window.partitionBy("q", "qh")
+    wr = wc.orderBy("id")
+    ranked = (
+        quarters.withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("cnt") > 1)
+        .withColumn("rn", F.row_number().over(wr) - 1)
+    )
+    chunk = F.floor(F.col("rn") / cap).cast("int")
+    subs = F.when(F.col("cnt") <= cap, F.array(F.lit(0))).otherwise(
+        F.when(
+            (F.col("rn") % cap == 0) & (F.col("rn") > 0),
+            F.array(chunk - 1, chunk),  # boundary row bridges the chunks
+        ).otherwise(F.array(chunk))
+    )
+    buckets = (
+        ranked.select("id", "q", "qh", F.explode(subs).alias("sub"))
+        .groupBy("q", "qh", "sub")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qh") == F.col("b.qh"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__h").alias("sh_a"),
-            F.col("b.__h").alias("sh_b"),
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
+    )
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a")
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cands.withColumn("hamming", hamming)
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

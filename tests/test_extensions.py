@@ -839,3 +839,29 @@ def test_audio_window_plan_grid(spark):
     assert w[0].start_ms == 0 and w[0].end_ms == 25
     assert w[7].start_ms == 70 and w[7].end_ms == 95 <= 100
     assert w[3].start_sample == 30 * 16 and w[3].n_samples == 400
+
+
+def test_hamming_pairs_bucket_cap_bounds_identical_signatures(spark):
+    """1000 identical 64-bit signatures land in ONE bucket per band;
+    the capped expansion must stay O(S·cap) with the bucket still one
+    connected component (dedup collapses to the minimum id), never the
+    ~500k-pair clique."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        hamming_pairs,
+    )
+
+    n, cap = 1000, 50
+    sigs = spark.range(n).select(
+        F.col("id"), F.lit(123456789).cast("long").alias("sig")
+    )
+    pairs = hamming_pairs(sigs, max_bucket_size=cap).persist()
+    try:
+        n_pairs = pairs.count()
+        assert 0 < n_pairs <= n * cap, n_pairs
+        assert n_pairs < (n * (n - 1)) // 2 / 5
+        docs = sigs.select(F.col("id").alias("doc_id"))
+        comp = connected_components(docs, pairs, algorithm="auto")
+        assert comp.select("component_id").distinct().count() == 1
+    finally:
+        pairs.unpersist()
