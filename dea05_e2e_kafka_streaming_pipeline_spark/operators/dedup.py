@@ -603,12 +603,18 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming — SimHash signatures
-    fed through the generic :func:`hamming_pairs` banding join."""
+    fed through the generic :func:`hamming_pairs` banding join
+    (``max_bucket_size`` forwards its degenerate-bucket cap)."""
     sigs = simhash_signatures(df, text_col, id_col)
     return hamming_pairs(
-        sigs, id_col="id", hash_col="simhash", max_hamming=max_hamming
+        sigs,
+        id_col="id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )
 
 
