@@ -2560,6 +2560,59 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs, pairs, algorithm="auto")
 
 
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(label) AS component_id
+      FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution — the curation health report
+    that tells you whether duplication is long-tail (many pairs) or
+    pathological (boilerplate mega-clusters), and exactly how many
+    documents dedup will remove (Σ (size−1)·n_clusters). Two cheap
+    aggregates over the component table; the histogram has ≤ max
+    cluster size rows at any corpus scale."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        docs, ngram_jaccard_pairs(docs, threshold=0.2), algorithm="auto"
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
 @register("simhash_pairs_md5", bench=False, oracle=_simhash_md5_oracle(3))
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """simhash_pairs with md5-derived token bits (quarter-packed) — the

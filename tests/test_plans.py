@@ -147,6 +147,7 @@ def test_ivf_pruned_matches_unpartitioned_pipeline(spark):
 # the cell-partitioned layout on first use).
 _EAGER_BUILD_OK = {
     "dedup_cc_components",
+    "dedup_cluster_sizes",
     "ivf_topk_pruned",
     # runs connected_components' convergence loop at build, like
     # dedup_cc_components — the quality-representative variant
