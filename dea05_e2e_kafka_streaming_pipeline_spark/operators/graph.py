@@ -34,6 +34,7 @@ def pagerank_fixed_point(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = SCALE,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank with integer fixed-point arithmetic, exact across
     engines and cluster layouts.
@@ -52,12 +53,29 @@ def pagerank_fixed_point(
     bounds plan depth — for long chains, localCheckpoint per round as
     in ``connected_components``.
 
+    ``weight_col`` (INTEGER weights — quantize similarities first, e.g.
+    ``round(jaccard·10⁶)``) makes propagation weight-proportional:
+    ``contrib(u→v) = (r(u)·w(u,v)) div W(u)`` with ``W(u)`` the sum of
+    u's out-weights — still all-integer, still order-insensitive.
+    Overflow bound: ``scale · max_weight`` must stay below 2⁶³
+    (10¹² · 10⁶ fits).
+
     Returns ``(id_col, rank_fp)`` — rank_fp/scale is the conventional
     float rank.
     """
     keep = 100 - damping_pct
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight_col is None:
+        e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        contrib_expr = "r div deg"
+    else:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+        contrib_expr = "(r * w) div deg"
     n_df = vertices.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
         vertices.select(F.col(id_col).alias("v"))
@@ -68,7 +86,7 @@ def pagerank_fixed_point(
         contribs = (
             e.join(ranks.select("v", "r"), e.src == F.col("v"))
             .join(deg, "src")
-            .select(F.col("dst").alias("v"), F.expr("r div deg").alias("c"))
+            .select(F.col("dst").alias("v"), F.expr(contrib_expr).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )

@@ -1378,23 +1378,41 @@ def q_documents_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000_000) -> str:
+def _pagerank_oracle(
+    iters: int = 3, scale: int = 1_000_000_000_000, weighted: bool = False
+) -> str:
     """Unrolled fixed-point PageRank (one CTE pair per iteration) over
     the exact-Jaccard pair graph — DuckDB `//` and Spark `div` are the
     same floor division on bigints, and integer sums are
     order-insensitive, so the ranks hash-match bit-for-bit (see
-    operators/graph.py docstring for the determinism argument)."""
-    sql = f"""
-    WITH pairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    operators/graph.py docstring for the determinism argument).
+    ``weighted=True`` propagates proportionally to the quantized
+    Jaccard weight round(j·10⁶) instead of uniformly."""
+    if weighted:
+        pairs = (
+            "SELECT id_a, id_b, "
+            "CAST(round(jaccard * 1000000, 0) AS BIGINT) AS w "
+            f"FROM ({_NGRAM_JACCARD_ORACLE})"
+        )
+        edges = """edges AS (SELECT id_a AS src, id_b AS dst, w FROM pairs
+              UNION ALL SELECT id_b AS src, id_a AS dst, w FROM pairs),
+    deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src)"""
+        contrib = "(r.r * e.w) // d.deg"
+    else:
+        pairs = f"SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})"
+        edges = """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)"""
+        contrib = "r.r // d.deg"
+    sql = f"""
+    WITH pairs AS ({pairs}),
+    {edges},
     nn AS (SELECT count(*) AS n FROM documents),
     r0 AS (SELECT doc_id AS v, {scale} // n AS r FROM documents CROSS JOIN nn)"""
     prev = "r0"
     for i in range(1, iters + 1):
         sql += f""",
-    c{i} AS (SELECT e.dst AS v, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+    c{i} AS (SELECT e.dst AS v, CAST(sum({contrib}) AS BIGINT) AS s
              FROM edges e JOIN {prev} r ON e.src = r.v
              JOIN deg d ON d.src = e.src
              GROUP BY e.dst),
@@ -1433,6 +1451,42 @@ def q_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank_fixed_point(
         docs.select("doc_id"), edges, id_col="doc_id", iterations=3
+    )
+
+
+@register("pagerank_weighted_dedup", oracle=_pagerank_oracle(weighted=True))
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-WEIGHTED PageRank over the near-dup graph: rank
+    propagates proportionally to the quantized Jaccard weight
+    (round(j·10⁶) — explicit round-then-cast, since Spark truncates
+    double→long where DuckDB rounds), so documents central to DENSE
+    near-dup neighborhoods rank above members of loose ones — the
+    centrality signal a curation pass uses to pick representatives.
+    Same all-integer discipline as `pagerank_dedup_graph`; bit-exact."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1_000_000, 0).cast("long").alias("w"),
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "w")
+    )
+    return pagerank_fixed_point(
+        docs.select("doc_id"), edges, id_col="doc_id", iterations=3,
+        weight_col="w",
     )
 
 

@@ -60,3 +60,28 @@ def test_pagerank_plan_is_lazy(spark):
     pagerank_fixed_point(v, e, iterations=2)
     after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
     assert after == before
+
+
+def test_weighted_pagerank_favors_strong_edges(spark):
+    """With node 1 tied strongly to 2 and weakly to 3 (1→2 weight 9×
+    1→3), node 2 must out-rank node 3; the unweighted variant ranks
+    them equally."""
+    from pyspark.sql import functions as F
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2, 900), (2, 1, 900), (1, 3, 100), (3, 1, 100)],
+        "src long, dst long, w long",
+    )
+    weighted = {
+        r.id: r.rank_fp
+        for r in pagerank_fixed_point(
+            v, edges, iterations=3, weight_col="w"
+        ).collect()
+    }
+    assert weighted[2] > weighted[3]
+    unweighted = {
+        r.id: r.rank_fp
+        for r in pagerank_fixed_point(v, edges, iterations=3).collect()
+    }
+    assert unweighted[2] == unweighted[3]
