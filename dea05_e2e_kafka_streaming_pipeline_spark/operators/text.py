@@ -455,3 +455,67 @@ def bpe_token_counts(
             F.sum("_word_chars").alias("n_chars"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BIGRAM cross-entropy (mean −ln p(wᵢ|wᵢ₋₁), nats)
+    under the corpus's own add-one-smoothed bigram model — the
+    context-aware upgrade of :func:`unigram_surprisal`: scrambled text
+    with plausible unigrams but implausible transitions scores high.
+
+        p(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁·) + V)
+
+    Bigrams come from zipping two shifted SLICES of the token array —
+    a pure per-row expression, no window shuffle; the model is one
+    bigram-keyed count aggregate + a context-marginal aggregate + the
+    1-row vocabulary size, joined back onto the exploded bigrams.
+    Same fixed-point discipline as the unigram operator: per-bigram
+    −ln p quantizes to 1e-9 BIGINT before the integer-exact per-doc
+    sum. Docs with fewer than two tokens drop out (no bigram)."""
+    toks_arr = tokens(F.col(text_col))
+    n = F.size(toks_arr)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice(toks_arr, 1, n - 1).alias("w1"),
+                    F.slice(toks_arr, 2, n - 1).alias("w2"),
+                ),
+            ).otherwise(F.array()),
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    scored = (
+        pairs.join(bg_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_ctx").cast("double") + F.col("v"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -F.sum("logp_q").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+        ).alias("surprisal_nats"),
+    )

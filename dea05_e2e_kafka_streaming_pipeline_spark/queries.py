@@ -2319,6 +2319,54 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_surprisal_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ), bgc AS (
+      SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM bgc GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(c.c_bg + 1 AS DOUBLE)
+                           / (CAST(x.c_ctx AS DOUBLE) + vocab.v)) * 1e9)
+                  AS BIGINT) AS logp_q
+      FROM bg b
+      JOIN bgc c USING (w1, w2)
+      JOIN ctx x USING (w1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(-CAST(sum(logp_q) AS DOUBLE) / 1e9 / count(*), 6)
+             AS surprisal_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware perplexity proxy: per-doc mean −ln p(wᵢ|wᵢ₋₁)
+    under the corpus's add-one-smoothed bigram model
+    (operators/text.py:bigram_surprisal) — catches scrambled text whose
+    unigrams look fine but whose transitions don't. Bigrams are zipped
+    array slices (no window shuffle); the per-bigram log-probability is
+    1e-9 fixed-point quantized so doc sums stay integer-exact."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        bigram_surprisal,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "events_props_stats",
     oracle="""
     SELECT event_type, count(*) AS n_events,

@@ -378,3 +378,23 @@ def test_dictionary_encode_known_corpus(spark):
     assert rows[1].n_tokens == 6 and rows[1].n_oov == 1
     assert rows[2].ids == [2, 1, 0] and rows[2].n_oov == 1
     assert rows[3].ids == [] and rows[3].n_tokens == 0 and rows[3].n_oov == 0
+
+
+def test_bigram_surprisal_detects_scrambled_transitions(spark):
+    """A document whose unigrams match the corpus but whose TRANSITIONS
+    are scrambled must score higher bigram surprisal than the
+    well-formed repetition of the dominant pattern."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    normal = "the cat sat on the mat " * 10
+    scrambled = "mat the on sat cat the " * 10
+    df = spark.createDataFrame(
+        [(1, normal), (2, normal), (3, normal), (4, scrambled), (5, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert 5 not in rows  # single-token doc: no bigram
+    assert rows[4].surprisal_nats > rows[1].surprisal_nats
+    assert rows[1].surprisal_nats == rows[2].surprisal_nats  # identical docs
