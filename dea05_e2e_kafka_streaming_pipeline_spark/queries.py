@@ -2319,6 +2319,63 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_bucketing_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS n_tok FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok,
+             CAST(CASE WHEN n_tok <= 1 THEN 1
+                  ELSE power(2, ceil(log2(CAST(n_tok AS DOUBLE))))
+             END AS BIGINT) AS bucket_len
+      FROM t WHERE n_tok > 0
+    )
+    SELECT bucket_len,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS token_sum,
+           CAST(sum(bucket_len - n_tok) AS BIGINT) AS padding_waste,
+           round(CAST(sum(n_tok) AS DOUBLE)
+                 / (count(*) * bucket_len), 6) AS fill_ratio
+    FROM b GROUP BY bucket_len
+    """,
+)
+def q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing for padded training batches — the PADDING-side
+    complement of `pack_sequences_docs`'s concatenation strategy: each
+    document lands in its power-of-2 token-length bucket, and the
+    report prices each bucket's padding waste and fill ratio (what an
+    input pipeline inspects before choosing pad-vs-pack). Pure integer
+    bucket arithmetic (ceil-log2 on exact token counts is
+    engine-stable: n ≤ 2^53 doubles represent every count exactly);
+    the fill ratio is one final rounded division."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    bucket = F.when(F.col("n_tok") <= 1, F.lit(1).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("n_tok").cast("double"))))
+        .cast("long")
+    )
+    b = t.withColumn("bucket_len", bucket)
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("token_sum"),
+        F.sum(F.col("bucket_len") - F.col("n_tok")).alias("padding_waste"),
+        F.round(
+            F.sum("n_tok").cast("double")
+            / (F.count(F.lit(1)) * F.col("bucket_len")),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+@register(
     "bigram_surprisal_docs",
     oracle=f"""
     WITH t AS (
