@@ -2319,6 +2319,55 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lexical_diversity_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), per AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio,
+           round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
+                 / count(*), 6) AS hapax_fraction
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity screen: per-doc type/token ratio and hapax
+    fraction (share of types used exactly once) — low diversity flags
+    keyword stuffing and template spam; abnormally high flags word-soup
+    noise. One explode + one (doc, token) aggregate + one doc
+    aggregate; exact counts, two final rounded divisions. Empty docs
+    drop (no tokens)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_fraction"),
+    )
+
+
+@register(
     "length_bucketing_docs",
     oracle=f"""
     WITH t AS (
