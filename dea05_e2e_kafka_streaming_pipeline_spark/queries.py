@@ -2319,6 +2319,86 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_scorecard_docs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, source, len(toks) AS n_tok,
+             round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6) * 0.4
+                   + CASE WHEN round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                 / greatest(len(toks), 1), 6)
+                               BETWEEN 3.0 AND 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS q
+      FROM s
+    ), dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM ({_NGRAM_JACCARD_ORACLE})
+    )
+    SELECT sc.source,
+           count(*) AS n_docs,
+           CAST(sum(sc.n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(round(sc.q * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / count(*), 6) AS mean_quality,
+           round(CAST(count(*) FILTER (WHERE d.doc_id IS NOT NULL) AS DOUBLE)
+                 / count(*), 6) AS near_dup_fraction
+    FROM scored sc LEFT JOIN dropped d USING (doc_id)
+    GROUP BY sc.source
+    """,
+)
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard — the dashboard row a curation run
+    produces per data provider: document count, token volume, mean
+    quality (per-doc scores quantized to 1e-6 fixed point before the
+    sum, so the mean is order-insensitive), and the fraction of
+    documents a near-dedup pass would drop (higher-id member of any
+    Jaccard≥0.2 pair). Composes the quality, token, and dedup operators
+    at source grain in one plan."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.col("quality_score") * 1_000_000, 0)
+        .cast("long")
+        .alias("q_fp"),
+    )
+    dropped = (
+        ngram_jaccard_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        scored.join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("q_fp").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mean_quality"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("near_dup_fraction"),
+        )
+    )
+
+
+@register(
     "lexical_diversity_docs",
     oracle=f"""
     WITH tok AS (
