@@ -1157,6 +1157,85 @@ def q_region_gini_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments",
+    oracle=f"""
+    {_ENTITY_CTES}
+    , rfm AS (
+      SELECT customer_id,
+             date_diff('day', max(order_date), DATE '1998-08-02') AS recency_days,
+             count(*) AS frequency,
+             CAST(SUM(CAST(order_amount AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM o GROUP BY customer_id
+    ), seg AS (
+      SELECT *,
+             CASE WHEN recency_days <= 90 THEN 'active'
+                  WHEN recency_days <= 365 THEN 'cooling'
+                  ELSE 'lapsed' END AS r_band,
+             CASE WHEN frequency >= 20 THEN 'frequent'
+                  WHEN frequency >= 10 THEN 'regular'
+                  ELSE 'occasional' END AS f_band,
+             CASE WHEN monetary >= 3000000 THEN 'high'
+                  WHEN monetary >= 1000000 THEN 'mid'
+                  ELSE 'low' END AS m_band
+      FROM rfm
+    )
+    SELECT r_band, f_band, m_band,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(monetary * 100 AS BIGINT)) AS DOUBLE) / 100.0
+                 / count(*), 2) AS avg_monetary
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) with FIXED
+    deterministic bands (not data-dependent quantiles — those live in
+    `customer_spend_quartiles`): per customer, days since last order at
+    the dataset's reference date, order count, and exact-decimal
+    lifetime value, banded into a 3×3×3 segment grid with per-segment
+    counts and cent-exact average monetary value. One grouped aggregate
+    over orders + one tiny segment rollup."""
+    from pyspark.sql import functions as F
+
+    rfm = (
+        load_orders(spark, sf_dir)
+        .groupBy("customer_id")
+        .agg(
+            F.datediff(F.lit("1998-08-02").cast("date"), F.max("order_date")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("order_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    seg = rfm.select(
+        "*",
+        F.when(F.col("recency_days") <= 90, "active")
+        .when(F.col("recency_days") <= 365, "cooling")
+        .otherwise("lapsed")
+        .alias("r_band"),
+        F.when(F.col("frequency") >= 20, "frequent")
+        .when(F.col("frequency") >= 10, "regular")
+        .otherwise("occasional")
+        .alias("f_band"),
+        F.when(F.col("monetary") >= 3_000_000, "high")
+        .when(F.col("monetary") >= 1_000_000, "mid")
+        .otherwise("low")
+        .alias("m_band"),
+    )
+    return seg.groupBy("r_band", "f_band", "m_band").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum((F.col("monetary") * 100).cast("bigint")).cast("double")
+            / 100.0
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_monetary"),
+    )
+
+
+@register(
     "benford_amount_audit",
     oracle=f"""
     WITH o AS (SELECT CAST(order_amount AS DECIMAL(18,2)) AS amt
