@@ -1181,8 +1181,8 @@ def q_region_gini_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_band, f_band, m_band,
            count(*) AS n_customers,
-           round(CAST(sum(CAST(monetary * 100 AS BIGINT)) AS DOUBLE) / 100.0
-                 / count(*), 2) AS avg_monetary
+           CAST(sum(CAST(monetary * 100 AS BIGINT)) // count(*) AS BIGINT)
+             AS avg_monetary_cents
     FROM seg GROUP BY 1, 2, 3
     """,
 )
@@ -1224,14 +1224,14 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("m_band"),
     )
+    # the mean reports in integer CENTS via floor division — a rounded
+    # double mean can land on a .xx5 boundary where Spark's and
+    # DuckDB's round() disagree by one cent (observed at sf0.01)
     return seg.groupBy("r_band", "f_band", "m_band").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(
-            F.sum((F.col("monetary") * 100).cast("bigint")).cast("double")
-            / 100.0
-            / F.count(F.lit(1)),
-            2,
-        ).alias("avg_monetary"),
+        F.expr(
+            "sum(CAST(monetary * 100 AS BIGINT)) div count(*)"
+        ).alias("avg_monetary_cents"),
     )
 
 
