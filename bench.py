@@ -4,13 +4,23 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line to stdout:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": ...}
+     "sf": ..., "n_queries": N, ...}
 
-Per-query stage metrics (shuffle bytes, input records, rows/s, spill)
-are written to `bench_metrics.json` next to this script — NOT inlined in
-the stdout line: the driver's output-tail capture parses the single
-stdout JSON line, and inlining ~9 KB of metrics overflowed it in round 2
-(BENCH_r02.json came back `parsed: null`).
+The stdout line is deliberately tiny (<200 bytes). Per-query timings AND
+per-query stage metrics (shuffle bytes, input records, rows/s, spill)
+all go to `bench_metrics.json` next to this script: the driver's
+output-tail capture parses the single stdout JSON line, and inlining
+per-query dicts overflowed it in BOTH round 2 (9 KB metrics) and round 3
+(4-5 KB timings) — `parsed: null` twice. Nothing per-query is inlined
+anymore.
+
+Regression gate: if `BENCH_BUDGET.json` exists beside this script, each
+query's best-of-2 time is compared against its recorded ceiling; queries
+over budget are listed on stderr and in the stdout line's
+`over_budget` count. Host-noise windows swing absolute totals 20-35%
+(BASELINE.md), so the gate trips only when >25% of budgeted queries
+exceed their ceiling — a global slow window inflates everything at once,
+a real regression inflates a few queries 2x+.
 
 Each query is timed end-to-end (plan + execute); results are forced with
 a cheap count-collecting action so timing includes the full physical plan
@@ -113,18 +123,47 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # detailed metrics go to a side file so the stdout line stays small
-    # enough for the driver's output-tail JSON capture (see module doc)
+
+    # ---- per-query regression budget (BENCH_BUDGET.json) ----------------
+    here = os.path.dirname(os.path.abspath(__file__))
+    budget_path = os.path.join(here, "BENCH_BUDGET.json")
+    over_budget: dict[str, dict[str, float]] = {}
+    budgeted = 0
+    if os.path.exists(budget_path):
+        with open(budget_path) as f:
+            budget = json.load(f).get("ceilings_sec", {})
+        for name, ceiling in budget.items():
+            if name not in timings:
+                continue
+            budgeted += 1
+            if timings[name] > ceiling:
+                over_budget[name] = {
+                    "sec": timings[name],
+                    "ceiling": ceiling,
+                    "ratio": round(timings[name] / ceiling, 2),
+                }
+        for name, o in sorted(
+            over_budget.items(), key=lambda kv: -kv[1]["ratio"]
+        ):
+            print(
+                f"# OVER BUDGET {name}: {o['sec']:.3f}s > {o['ceiling']:.3f}s"
+                f" ({o['ratio']}x)",
+                file=sys.stderr,
+            )
+
+    # detailed per-query data goes to a side file so the stdout line stays
+    # small enough for the driver's output-tail JSON capture (module doc)
     side = {
+        "queries": timings,
         "query_metrics": metrics,
         "shuffle_write_bytes_total": sum(
             m["shuffle_write_bytes"] for m in metrics.values()
         ),
+        "over_budget": over_budget,
         "total_sec": total,
         "sf": sf_val,
     }
-    side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_metrics.json")
+    side_path = os.path.join(here, "bench_metrics.json")
     with open(side_path, "w") as f:
         json.dump(side, f, indent=1)
     print(f"# metrics -> {side_path}", file=sys.stderr)
@@ -134,12 +173,17 @@ def main() -> int:
                 "metric": "engine_query_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "over_budget": len(over_budget),
             }
         )
     )
     spark.stop()
+    # the gate trips on breadth, not depth: a noisy host inflates every
+    # query a little; a plan regression inflates a few queries a lot
+    if budgeted and len(over_budget) > 0.25 * budgeted:
+        return 1
     return 0
 
 

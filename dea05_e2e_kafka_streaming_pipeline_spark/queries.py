@@ -22,6 +22,7 @@ from collections.abc import Callable
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dea05_e2e_kafka_streaming_pipeline_spark.plans.gold import (
     build_clv,
@@ -1987,7 +1988,8 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token,
            count(*) AS doc_freq,
            CAST(sum(tf) AS BIGINT) AS total_tf,
-           (array_agg(doc_id ORDER BY doc_id))[1:32] AS postings_sample
+           array_to_string((array_agg(doc_id ORDER BY doc_id))[1:32],
+                           ',') AS postings_sample
     FROM td GROUP BY 1
     """,
 )
@@ -1995,13 +1997,25 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-index build: token → (df, total tf, sorted sample
     postings). The explode re-reduces at (token, doc) grain before the
     token shuffle, and postings are capped — stop-token rows stay
-    bounded at any corpus size."""
+    bounded at any corpus size.
+
+    The registered surface joins the postings array into one scalar
+    string: the round driver's pandas canonicalizer cannot sort rows on
+    an ``array`` column (round-3 red row was a harness ``TypeError``,
+    not an engine mismatch). Library users keep the array grain via
+    :func:`operators.text.build_inverted_index` directly."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
         build_inverted_index,
     )
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
-    return build_inverted_index(load_table(spark, sf_dir, "documents"))
+    idx = build_inverted_index(load_table(spark, sf_dir, "documents"))
+    return idx.select(
+        "token",
+        "doc_freq",
+        "total_tf",
+        F.array_join("postings_sample", ",").alias("postings_sample"),
+    )
 
 
 @register(
@@ -4348,7 +4362,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM enc GROUP BY doc_id
     )
     SELECT d.doc_id,
-           coalesce(a.ids, CAST([] AS BIGINT[])) AS ids,
+           coalesce(array_to_string(a.ids, ','), '') AS ids,
            coalesce(a.n_tokens, 0) AS n_tokens,
            coalesce(a.n_oov, 0) AS n_oov
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
@@ -4359,13 +4373,18 @@ def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary_encode): 256-token dictionary trained under the total
     order (count desc, token asc), broadcast into the encode join, id
     sequences reassembled positionally — the corpus-to-training-input
-    step, engine-exact including OOV counts."""
+    step, engine-exact including OOV counts.
+
+    The id sequence is joined to one csv scalar at the registered
+    surface (driver's canonicalizer can't hash array cells — same fix
+    as ``inverted_index_docs``); the operator keeps ``array<int>``."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
         dictionary_encode,
     )
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
-    return dictionary_encode(load_table(spark, sf_dir, "documents"))
+    enc = dictionary_encode(load_table(spark, sf_dir, "documents"))
+    return enc.withColumn("ids", F.array_join("ids", ","))
 
 
 @register(
