@@ -893,3 +893,65 @@ def ivfpq_residual_topk(
     for s in scored[1:]:
         out = out.unionAll(s)
     return out.orderBy("adc_dist", id_col).limit(k)
+
+
+def squared_l2(vec_col: Column, query_vec: list[float]) -> Column:
+    """Exact squared L2 distance to a literal query vector — pure
+    codegen (zip_with + aggregate), computed in double."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(vd, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_regret_violations(
+    df: DataFrame,
+    approx_topk: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    max_regret: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieval-quality audit for an approximate top-k (expects ZERO
+    rows): every id the ANN returned must have TRUE squared-L2 distance
+    to the query within ``max_regret`` × the exact k-th-nearest
+    distance. This is the distance-regret contract ANN literature
+    reports as the "effective epsilon" — the right quality pin for a
+    corpus of i.i.d. random vectors, where recall@k is statistically
+    vacuous (distance concentration makes the exact top-k barely
+    separated from rank 2k, so even a GOOD quantizer's recall@10 sits
+    near noise level) but a returned "neighbor" that is materially
+    FARTHER than the true k-th neighbor is an unambiguous defect.
+
+    Plan shape: exact distances are one codegen projection; the k-th
+    exact distance comes from a TakeOrdered(k) + max aggregate — a
+    one-row frame broadcast into the comparison (the repo's standard
+    broadcast-scalar crossJoin), never a global sort; the ANN result
+    (≤ k rows) joins back to its true distances by id. Nothing here
+    scans the embedding column twice on disk — both sides prune to
+    (id, embedding).
+    """
+    true_dist = df.select(
+        F.col(id_col), squared_l2(F.col(vec_col), query_vec).alias("true_dist")
+    )
+    kth = (
+        true_dist.orderBy("true_dist", id_col)
+        .limit(k)
+        .agg(F.max("true_dist").alias("exact_kth_dist"))
+    )
+    return (
+        approx_topk.select(id_col)
+        .join(true_dist, id_col)
+        .crossJoin(F.broadcast(kth))
+        .withColumn(
+            "regret",
+            F.col("true_dist")
+            / F.greatest(F.col("exact_kth_dist"), F.lit(1e-12)),
+        )
+        .filter(F.col("regret") > F.lit(float(max_regret)))
+        .select(id_col, "true_dist", "exact_kth_dist", F.round("regret", 6).alias("regret"))
+    )

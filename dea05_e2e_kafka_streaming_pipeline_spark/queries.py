@@ -2181,8 +2181,9 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate distance (operators/similarity.py:pq_topk). Codebooks
     train on the deterministic pyarrow sample (plan build job-free) but
     are engine-trained state, so this is rows-only — its arithmetic is
-    pinned by the zero-row `pq_adc_violations` companion and the recall
-    audit in tests/test_extensions.py."""
+    pinned by the zero-row `pq_adc_violations` companion, its retrieval
+    quality by the zero-row `pq_recall_violations` distance-regret
+    audit, and the clustered-recall test in tests/test_extensions.py."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
         pq_topk,
     )
@@ -2203,7 +2204,8 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone queries, so plan build stays job-free. Rows-only (two
     layers of engine-trained state); pinned by `ivf_topk_fullprobe`
     (recall-1 IVF oracle), `pq_adc_violations` (zero-row ADC audit),
-    and the clustered-recall test."""
+    `ivfpq_recall_violations` (zero-row distance-regret audit), and
+    the clustered-recall test."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
         ivfpq_topk,
     )
@@ -2278,6 +2280,80 @@ def q_pq_adc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("adc_dist") - F.col("recon_dist")) > F.lit(1e-6)
         )
     )
+
+
+@register(
+    "pq_recall_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS true_dist,
+           CAST(NULL AS DOUBLE) AS exact_kth_dist,
+           CAST(NULL AS DOUBLE) AS regret
+    WHERE 1 = 0
+    """,
+)
+def q_pq_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality pin for `pq_topk_embeddings` (oracle expects
+    ZERO rows): every id PQ returns must have true squared-L2 distance
+    ≤ 2.0 × the exact 10th-nearest distance. The distance-regret bound
+    is the meaningful quality contract on this fixture — the embeddings
+    are i.i.d. random vectors, so recall@10 of ANY 4-byte quantizer
+    sits at noise level (measured 0.10–0.30 across sf0.001/0.01/0.1)
+    while max regret is stable at ≤1.31; the 2.0 ceiling has ~50%
+    headroom. With `pq_adc_violations` (arithmetic consistency) this
+    closes the rows-only gap: wrong codes, wrong tables, wrong top-k
+    order, or a degenerate codebook all push returned distances past
+    the ceiling."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_regret_violations,
+        pq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(_query_vec(sf_dir))
+    approx = pq_topk(emb, _pq_codebooks(sf_dir), q, k=10)
+    return ann_regret_violations(emb, approx, q, k=10, max_regret=2.0)
+
+
+@register(
+    "ivfpq_recall_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS true_dist,
+           CAST(NULL AS DOUBLE) AS exact_kth_dist,
+           CAST(NULL AS DOUBLE) AS regret
+    WHERE 1 = 0
+    """,
+)
+def q_ivfpq_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality pin for `ivfpq_topk_embeddings` (oracle
+    expects ZERO rows): same distance-regret contract as
+    `pq_recall_violations`, with the same 2.0 ceiling over a measured
+    worst case of 1.57 (nprobe=2 of 8 prunes 3/4 of the table, so the
+    coarse layer adds regret on top of PQ's quantization error). A
+    mis-assigned cell, wrong probe selection, or broken residual
+    arithmetic surfaces here as a returned id far outside the true
+    neighborhood."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_regret_violations,
+        ivfpq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(_query_vec(sf_dir))
+    approx = ivfpq_topk(
+        emb,
+        [list(c) for c in _ivf_centroids(sf_dir)],
+        _pq_codebooks(sf_dir),
+        q,
+        k=10,
+        nprobe=2,
+    )
+    return ann_regret_violations(emb, approx, q, k=10, max_regret=2.0)
 
 
 @register("ivf_topk_pruned")

@@ -865,3 +865,36 @@ def test_hamming_pairs_bucket_cap_bounds_identical_signatures(spark):
         assert comp.select("component_id").distinct().count() == 1
     finally:
         pairs.unpersist()
+
+
+def test_ann_regret_audit_passes_good_and_catches_bad(spark):
+    """The distance-regret audit must return zero rows for a genuinely
+    near top-k AND flag a deliberately broken ANN that returns far-away
+    ids — the audit is only evidence if it can fail."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_regret_violations,
+        cosine_topk,
+    )
+
+    rng = random.Random(11)
+    q = [rng.gauss(0, 1) for _ in range(16)]
+    rows = []
+    for i in range(40):
+        # 10 vectors tightly around q, 30 scattered far
+        if i < 10:
+            v = [x + rng.gauss(0, 0.01) for x in q]
+        else:
+            v = [rng.gauss(0, 5) for _ in range(16)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # exact top-10 = the clustered ids -> zero violations at any ratio
+    good = df.filter(F.col("vec_id") < 10).select("vec_id")
+    assert ann_regret_violations(df, good, q, k=10, max_regret=2.0).count() == 0
+
+    # a "broken ANN" returning 10 scattered ids -> every row violates
+    bad = df.filter(F.col("vec_id") >= 30).select("vec_id")
+    n_bad = ann_regret_violations(df, bad, q, k=10, max_regret=2.0).count()
+    assert n_bad == 10, n_bad
