@@ -94,6 +94,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # engine-native jar-less Avro (format "avro_lite") rides along on
+    # every session — registration is cheap and idempotent
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.avro_datasource import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
     return spark
 
 

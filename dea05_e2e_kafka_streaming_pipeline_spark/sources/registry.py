@@ -160,28 +160,26 @@ def read_avro(
 ) -> DataFrame:
     """Avro CDC dump scan (reference curated/dq_kafka.py:140-141).
 
-    The scale path requires the spark-avro package on the classpath
-    (JVM-side, distributed, pushdown-capable). ``fallback=True``
-    additionally enables the vendored pure-Python container reader
-    (``sources/avro_lite.py``) when the jar is absent — driver-side
-    decode, fixture/small-file scale ONLY, which is exactly what a
-    jar-less environment needs to keep CDC envelopes readable (e.g.
-    the reference's ground-truth Debezium captures).
+    Prefers the JVM spark-avro connector when its jar is on the
+    classpath (codegen decode, block-level splits). When absent —
+    this container, see docs/JAR_ATTEMPT.md — ``fallback=True``
+    switches to the ENGINE-NATIVE jar-less source: the vendored
+    pure-Python container codec registered as ``format("avro_lite")``
+    through the public PySpark 4 Python Data Source API
+    (``sources/avro_datasource.py``) — one partition per container
+    file, decoded on executors, never the driver.
     """
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:  # pragma: no cover - depends on jar availability
         if fallback:
-            from dea05_e2e_kafka_streaming_pipeline_spark.sources.avro_lite import (
-                read_avro_as_dataframe,
-            )
-
-            return read_avro_as_dataframe(spark, path)
+            return spark.read.format("avro_lite").load(path)
         raise RuntimeError(
             "Avro reads need the spark-avro package "
             "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-            "pass fallback=True to decode small files with the vendored "
-            "pure-Python reader (driver-side, fixture-scale). "
+            "pass fallback=True to read with the engine's jar-less "
+            "format('avro_lite') Python data source (distributed, "
+            "per-file partitions). "
             f"Underlying error: {exc}"
         ) from exc
 

@@ -52,10 +52,15 @@ def _value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="selfcheck")
+def run_sweep(
+    spark, sf_dir: str, only: set[str] | None = None, quiet: bool = False
+) -> dict:
+    """Run the driver-mirror sweep with an EXISTING SparkSession.
+
+    Returns ``{"oracle_checked": N, "rows_only": M, "failures": [...]}``
+    — the compact summary bench.py inlines in its stdout line so every
+    round's artifacts prove ALL queries, not just the driver's sample.
+    """
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -63,40 +68,55 @@ def main() -> int:
         )
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    bad = []
+    bad: list[str] = []
+    checked = rows_only = 0
+
+    def say(msg: str) -> None:
+        if not quiet:
+            print(msg)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
-            print(f"ERR  {name}: spark: {e}")
+            say(f"ERR  {name}: spark: {e}")
             bad.append(name)
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ROWS {name}: {len(got)} rows (no oracle)")
+            say(f"ROWS {name}: {len(got)} rows (no oracle)")
+            rows_only += 1
             continue
         try:
             want = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
-            print(f"ERR  {name}: duckdb: {e}")
+            say(f"ERR  {name}: duckdb: {e}")
             bad.append(name)
             continue
         cols_ok = sorted(got.columns) == sorted(want.columns)
         rows_ok = len(got) == len(want)
         hash_ok = cols_ok and rows_ok and _value_hash(got) == _value_hash(want)
-        status = "OK  " if (cols_ok and rows_ok and hash_ok) else "FAIL"
-        if status == "FAIL":
-            bad.append(name)
-            detail = (
-                f" cols={cols_ok} rows={rows_ok}({len(got)}/{len(want)})"
-                f" hash={hash_ok}"
-            )
+        if cols_ok and rows_ok and hash_ok:
+            checked += 1
+            say(f"OK   {name}: {len(got)} rows")
         else:
-            detail = f" {len(got)} rows"
-        print(f"{status} {name}:{detail}")
+            bad.append(name)
+            say(
+                f"FAIL {name}: cols={cols_ok}"
+                f" rows={rows_ok}({len(got)}/{len(want)}) hash={hash_ok}"
+            )
+    return {"oracle_checked": checked, "rows_only": rows_only, "failures": bad}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="selfcheck")
+    res = run_sweep(spark, sf_dir, only=only)
     spark.stop()
+    bad = res["failures"]
     print(f"\n{len(bad)} failures" + (f": {bad}" if bad else ""))
     return 1 if bad else 0
 
