@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def decode_kafka_json(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """Kafka wire rows (``value`` bytes/string + ``timestamp``) → typed
+    rows. The single decode expression shared by the real Kafka source
+    and the file-backed surrogate, so surrogate tests exercise the exact
+    production decode path (reference ingestion/s3-orders-ingestion.py:
+    44: ``json.loads(message.value)``, here one JVM ``from_json``)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r"),
+        F.col("timestamp").alias("_kafka_ts"),
+    ).select("r.*", "_kafka_ts")
+
+
 def kafka_json_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -43,7 +55,7 @@ def kafka_json_stream(
     (ingestion/s3-orders-ingestion.py:66). Requires the
     spark-sql-kafka package on the classpath; everything downstream is
     source-agnostic, so tests exercise the same pipeline via
-    :func:`file_stream`.
+    :func:`kafka_json_stream_surrogate` / :func:`file_stream`.
     """
     reader = (
         spark.readStream.format("kafka")
@@ -53,11 +65,74 @@ def kafka_json_stream(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("r"),
-        F.col("timestamp").alias("_kafka_ts"),
-    ).select("r.*", "_kafka_ts")
+    return decode_kafka_json(reader.load(), schema)
+
+
+# Wire schema of the file-backed topic surrogate — the same three fields
+# the Kafka source exposes (key, value, timestamp).
+KAFKA_SURROGATE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+
+def produce_kafka_surrogate(
+    df: DataFrame, topic_dir: str, key_col: str | None = None
+) -> None:
+    """Publish a batch to a file-backed topic: rows become Kafka-shaped
+    (key, value, timestamp) JSON records via the SAME
+    :func:`to_kafka_payload` encoding the real producer uses, appended
+    as one file per ``produce`` call — the surrogate's offset chunk.
+
+    No broker exists in this container (docs/JAR_ATTEMPT.md), so this
+    is the test-side stand-in for ``write_kafka``: same payload bytes,
+    same append-only ordered-chunk semantics, minus the network."""
+    (
+        to_kafka_payload(df, key_col)
+        .withColumn("timestamp", F.current_timestamp())
+        .coalesce(1)
+        .write.mode("append")
+        .json(topic_dir)
+    )
+
+
+def kafka_json_stream_surrogate(
+    spark: SparkSession,
+    topic_dir: str,
+    schema: T.StructType,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Signature-compatible surrogate for :func:`kafka_json_stream` over
+    a file-backed topic, mapping the Kafka option surface onto the file
+    source's equivalents:
+
+    - ``startingOffsets="earliest"`` → read every existing chunk;
+      ``"latest"`` → drop messages whose producer-stamped wire
+      ``timestamp`` predates this call (the file source forbids
+      ``modifiedAfter`` on streams, so head-joining is expressed as a
+      watermark-free filter on the wire timestamp — same observable
+      semantics: pre-existing messages never reach the consumer).
+    - ``maxOffsetsPerTrigger=N`` → ``maxFilesPerTrigger=N`` (each
+      produce call writes one chunk file, so N chunks ≈ N offset
+      ranges per micro-batch — the reference's ``poll(max_records)``
+      bound).
+
+    Decoding goes through :func:`decode_kafka_json`, the identical
+    expression the real Kafka path uses."""
+    reader = spark.readStream.format("json").schema(KAFKA_SURROGATE_SCHEMA)
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_offsets_per_trigger)
+    raw = reader.load(topic_dir)
+    if starting_offsets == "latest":
+        import datetime as _dt
+
+        head = _dt.datetime.now()
+        raw = raw.filter(F.col("timestamp") > F.lit(head))
+    return decode_kafka_json(raw, schema)
 
 
 def file_stream(

