@@ -6613,3 +6613,163 @@ def q_incremental_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, orders.filter(F.col("o_orderkey") % 2 == 1), keys, spec
     )
     return finalize_aggregate(state, keys, spec)
+
+
+@register(
+    "zorder_orders_keys",
+    oracle="""
+    WITH bits AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 16) t(i)),
+    pts AS (
+      SELECT o_orderkey AS order_id,
+             CAST(o_custkey % 65536 AS BIGINT) AS x,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+      FROM orders
+    )
+    SELECT order_id,
+           CAST(SUM( (((x >> i) & 1) << (2 * i))
+                   + (((y >> i) & 1) << (2 * i + 1)) ) AS BIGINT) AS zval
+    FROM pts, bits
+    GROUP BY 1
+    """,
+)
+def q_zorder_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over orders — customer id
+    interleaved with order day (sources/layout.py:zorder_key), the sort
+    key the OPTIMIZE-style rewrite clusters the table by so zone maps
+    prune scans on EITHER column. Pure shift/and/or codegen fold, no
+    shuffle; the oracle rebuilds the same interleave as a bit-position
+    aggregate. The pruning benefit itself is measured by
+    tests/test_layout.py (z-layout vs linear layout row-group
+    survival under a 2-D box predicate)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.layout import zorder_key
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        zorder_key(
+            [
+                F.col("o_custkey"),
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01")),
+            ],
+            bits=16,
+        ),
+    )
+
+
+@register(
+    "triangle_counts_parts",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+      SELECT a.pk AS ea, b.pk AS eb
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.ea = e1.eb
+      JOIN pairs e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+    )
+    SELECT v, CAST(count(*) AS BIGINT) AS triangles
+    FROM (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y AS v FROM tri
+      UNION ALL SELECT z AS v FROM tri
+    )
+    GROUP BY 1
+    """,
+)
+def q_triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (parts
+    bought together in ≥2 orders) — the clustering-structure signal
+    recommender and community pipelines start from. The engine side is
+    degree-oriented wedge counting (operators/graph.py:triangle_counts,
+    Suri & Vassilvitskii's O(m^1.5) skew-proof orientation); the
+    oracle closes triangles by brute three-way join over the same
+    canonical a<b edge list — both count each triangle exactly once,
+    so per-node counts hash-match."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)
+
+
+@register(
+    "linkage_customer_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+        CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+             WHEN a.c_mktsegment = b.c_mktsegment THEN 16 ELSE -4
+        END AS pts_segment,
+        CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+             WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0 THEN 24 ELSE -8
+        END AS pts_balance,
+        CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+             WHEN right(a.c_name, 2) = right(b.c_name, 2) THEN 8 ELSE -2
+        END AS pts_name_suffix
+      FROM customer a JOIN customer b
+        ON a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT left_id, right_id, pts_segment, pts_balance, pts_name_suffix,
+           pts_segment + pts_balance + pts_name_suffix AS score
+    FROM pairs
+    WHERE pts_segment + pts_balance + pts_name_suffix >= 30
+    """,
+)
+def q_linkage_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter, operators/
+    linkage.py): likely-same-entity customer pairs blocked on nation,
+    scored by integer match points — segment agreement +16/−4, account
+    balance within 100 +24/−8, name-suffix agreement +8/−2, NULLs
+    neutral — emitting pairs scoring ≥ 30. Blocking bounds pair volume
+    to Σ per-nation block²; scoring is a projection on the joined row;
+    integer points keep the score oracle-exact. The oracle replays the
+    identical blocked join + CASE arithmetic in SQL."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        FieldComparison,
+        blocked_linkage,
+        exact,
+        prefix,
+        within,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    suffix2 = lambda l, r: F.substring(l, -2, 2) == F.substring(r, -2, 2)  # noqa: E731,E741
+    return blocked_linkage(
+        cust,
+        cust,
+        block_on=["c_nationkey"],
+        comparisons=[
+            FieldComparison("segment", "c_mktsegment", "c_mktsegment", exact, 16, -4),
+            FieldComparison("balance", "c_acctbal", "c_acctbal", within(100.0), 24, -8),
+            FieldComparison("name_suffix", "c_name", "c_name", suffix2, 8, -2),
+        ],
+        left_id="c_custkey",
+        right_id="c_custkey",
+        min_score=30,
+        dedup_self_pairs=True,
+    )

@@ -547,6 +547,48 @@ def windowed_event_stats(
     )
 
 
+def session_window_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_column: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key SESSION windows (dynamic gap-based, ``F.session_window``):
+    a session extends while events arrive within ``gap`` of the previous
+    one and closes at the first longer silence — the streaming-native
+    twin of the batch sessionizer (operators/sessionize.py, which builds
+    the same sessions with a lag-window cumulative sum).
+
+    State story at scale: session state is per (key, open session) and
+    is emitted+dropped once the watermark passes the session end — the
+    merge of adjacent windows happens inside Spark's session-window
+    aggregation, not in user state. Works identically on batch frames
+    (no watermark), which is how the batch-equivalence test pins it.
+    """
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_column, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_column), gap).alias("s"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def cms_sketch_stream(
     stream: DataFrame,
     text_col: str = "text",

@@ -85,3 +85,43 @@ def test_weighted_pagerank_favors_strong_edges(spark):
         for r in pagerank_fixed_point(v, edges, iterations=3).collect()
     }
     assert unweighted[2] == unweighted[3]
+
+
+def test_triangle_counts_k4_with_pendant(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(1, 5) for j in range(1, 5) if i < j] + [(4, 5)],
+        "src long, dst long",
+    )
+    got = {r.v: r.triangles for r in triangle_counts(edges).collect()}
+    # K4: each vertex in C(3,2)=3 triangles; pendant vertex in none
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_direction_and_dup_invariant(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    messy = tri + [(b, a) for a, b in tri] + tri  # reversed + duplicated
+    got = {r.v: r.triangles for r in triangle_counts(
+        spark.createDataFrame(messy, "src long, dst long")
+    ).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_star_has_none(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # a degree-100 hub with no closures: the orientation argument says
+    # zero wedges form AT the hub, and the answer is zero triangles
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 101)], "src long, dst long"
+    )
+    assert triangle_counts(star).count() == 0

@@ -1057,3 +1057,57 @@ def test_kafka_surrogate_lifecycle_end_to_end(spark, tmp_path):
     )
     want = build_daily_sales(csv_df, customers)
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Gap-based session windows: the streaming aggregation (memory
+    sink, availableNow drain) must produce exactly the batch result on
+    the same data, and sessions must split at gaps > 30 min."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        session_window_stats,
+    )
+
+    _land_events_json(spark, tmp_path / "landing", F.col("event_id") < 400)
+    batch_df = (
+        spark.read.schema(EVENTS_SCHEMA).json(str(tmp_path / "landing"))
+    )
+    want = session_window_stats(batch_df).collect()
+
+    q = (
+        session_window_stats(
+            file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA)
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sessions_mem").collect()
+
+    key = lambda r: (r.user_id, r.session_start, r.session_end)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert {key(r): (r.n_events, r.total_value) for r in got} == {
+        key(r): (r.n_events, r.total_value) for r in want
+    }
+    # sanity: a crafted two-burst user splits into exactly two sessions
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    crafted = spark.createDataFrame(
+        [
+            (1, t0, 1.0),
+            (1, t0 + dt.timedelta(minutes=10), 2.0),
+            (1, t0 + dt.timedelta(hours=3), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = sorted(
+        session_window_stats(crafted).collect(), key=lambda r: r.session_start
+    )
+    assert len(rows) == 2
+    assert rows[0].n_events == 2 and rows[0].total_value == 3.0
+    assert rows[1].n_events == 1 and rows[1].total_value == 4.0
+    # session end = last event + gap
+    assert rows[0].session_end == t0 + dt.timedelta(minutes=40)
