@@ -1111,3 +1111,57 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     assert rows[1].n_events == 1 and rows[1].total_value == 4.0
     # session end = last event + gap
     assert rows[0].session_end == t0 + dt.timedelta(minutes=40)
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a click with NO view inside the
+    join window must still emit — with null view columns — once the
+    watermark passes its window. Outer results only flush when the
+    watermark moves, so the drain is forced through two micro-batches
+    (maxFilesPerTrigger=1) with a later watermark-pushing file."""
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        stream_stream_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks_schema = "user_id long, ts timestamp, click_id long"
+    views_schema = "user_id long, ts timestamp, view_id long"
+    clicks = spark.createDataFrame(
+        [(1, t0, 100), (2, t0, 200)], clicks_schema  # user 2: no view
+    )
+    views = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(minutes=5), 900)], views_schema
+    )
+    late = t0 + dt.timedelta(hours=10)  # pushes the watermark far past t0
+    clicks_push = spark.createDataFrame([(99, late, 999)], clicks_schema)
+    views_push = spark.createDataFrame([(99, late, 888)], views_schema)
+
+    cdir, vdir = tmp_path / "clicks", tmp_path / "views"
+    clicks.coalesce(1).write.mode("append").parquet(str(cdir))
+    views.coalesce(1).write.mode("append").parquet(str(vdir))
+    clicks_push.coalesce(1).write.mode("append").parquet(str(cdir))
+    views_push.coalesce(1).write.mode("append").parquet(str(vdir))
+
+    joined = stream_stream_join(
+        file_stream(spark, str(cdir), clicks.schema, fmt="parquet",
+                    max_files_per_trigger=1),
+        file_stream(spark, str(vdir), views.schema, fmt="parquet",
+                    max_files_per_trigger=1),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    rows = {r.click_id: r.view_id for r in spark.table("ssj_outer").collect()}
+    assert rows[100] == 900  # matched inside the window
+    assert rows[200] is None  # unmatched left row emitted with nulls

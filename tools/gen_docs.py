@@ -37,6 +37,7 @@ FAMILIES = [
     ("Catalog & metadata", f"{PKG}.sources.catalog", "Table DDL registration, file/row-group inventory, zone maps, small-files doctor."),
     ("Sinks (partitioned parquet, compaction, retention)", f"{PKG}.sources.sinks", "Date-partitioned writes, compaction, backfill, retention."),
     ("Versioned snapshot log (Delta-semantics substitute)", f"{PKG}.sources.txlog", "Atomic manifest commits: time travel, history, VACUUM, MERGE INTO — jar-less."),
+    ("Z-order clustering layout", f"{PKG}.sources.layout", "Morton-key clustering writes + zone-map pruning decisions (measured skipping benefit)."),
     ("Gold aggregates", f"{PKG}.plans.gold", "Reference gold tables: daily sales by region, customer lifetime value."),
     ("Analytics plans (windows, cubes, global ordering)", f"{PKG}.plans.analytics", "Ranking/lag/ntile windows, grouping sets, gap-fill, funnel, global row numbering."),
     ("Incremental plans", f"{PKG}.plans.incremental", "Watermark/high-water-mark incremental recomputation."),
@@ -49,6 +50,7 @@ FAMILIES = [
     ("Text analysis", f"{PKG}.operators.text", "Stats, lang-id, fingerprints, BM25, inverted index, BPE, surprisal."),
     ("Curation", f"{PKG}.operators.curation", "Gopher rules, PII, HTML strip, contamination, sampling, splits, chunking, packing."),
     ("Multimodal", f"{PKG}.operators.multimodal", "Binary payload plumbing: features, resize/frame plans, aHash near-dup (decode stubbed — no media libs here)."),
+    ("Record linkage", f"{PKG}.operators.linkage", "Blocked Fellegi–Sunter entity resolution with integer match points."),
     ("Sessionization & funnels", f"{PKG}.operators.sessionize", "Gap-based sessions, funnels, session paths."),
     ("Sketches", f"{PKG}.operators.sketches", "Count-min, HLL reach, quantile audits — mergeable one-pass summaries."),
     ("Graph", f"{PKG}.operators.graph", "PageRank (plain/weighted) in exact fixed-point arithmetic."),
