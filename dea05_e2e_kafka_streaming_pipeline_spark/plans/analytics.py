@@ -991,9 +991,11 @@ def top_supplier_revenue(
     (ties kept, as the spec's scalar-subquery formulation does).
 
     Scale shape: the revenue aggregate reduces the fact table to
-    |suppliers| rows BEFORE any window; the max-selection is a rank()
-    over an empty partition — on one aggregate row per supplier, not on
-    lineitem. The supplier dim then broadcast-joins onto ≤ tie-count
+    |suppliers| rows BEFORE the max-selection, and the max itself is a
+    1-row aggregate broadcast back as a filter (the spec's
+    scalar-subquery form verbatim) — no global-ORDER-BY window, so
+    nothing ever moves to a single partition even when |suppliers| is
+    large. The supplier dim then broadcast-joins onto ≤ tie-count
     rows."""
     rev = (
         F.col("l_extendedprice").cast("decimal(12,2)")
@@ -1007,12 +1009,10 @@ def top_supplier_revenue(
         .groupBy("l_suppkey")
         .agg(F.sum(rev).cast("double").alias("total_revenue"))
     )
-    w = Window.orderBy(F.desc("total_revenue"))
-    best = (
-        per_supp.withColumn("__rk", F.rank().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-    )
+    top = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
+    best = per_supp.join(F.broadcast(top)).filter(
+        F.col("total_revenue") == F.col("__max_rev")
+    ).drop("__max_rev")
     return best.join(
         F.broadcast(supplier.select("s_suppkey", "s_name")),
         best["l_suppkey"] == F.col("s_suppkey"),

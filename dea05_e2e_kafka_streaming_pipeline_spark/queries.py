@@ -6773,3 +6773,37 @@ def q_linkage_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_score=30,
         dedup_self_pairs=True,
     )
+
+
+@register(
+    "order_amount_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           quantile_disc(o_totalprice, 0.95) AS p95
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_order_amount_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles per group (ANSI percentile_disc
+    WITHIN GROUP — the smallest value whose cume_dist ≥ p): the
+    ground-truth companion to the mergeable quantile sketch
+    (`quantile_sketch_violations` bounds the sketch against exactly
+    this). Discrete (not interpolated) on purpose: the result is an
+    actual data element, so no interpolation arithmetic can diverge
+    between engines and the hash is exact. Scale shape: Spark's
+    percentile_disc is a sort-based aggregate within each group —
+    one shuffle on the group key, no global sort."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )

@@ -177,3 +177,32 @@ def merge_into_snapshot(
         target, changes, key, ts_col=ts_col, op_col=op_col, seq_col=seq_col
     )
     return commit_snapshot(merged, table_path, mode="overwrite")
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: tuple[str, ...] = (),
+    compare_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions — the
+    jar-less ``table_changes(from, to)`` (Delta's Change Data Feed
+    read surface, delta.io docs): every insert/update/delete a consumer
+    would need to catch up from ``from_version`` to ``to_version``
+    (default: latest), as ``op`` ∈ i/u/d rows via
+    :func:`~..operators.cdc.snapshot_diff`.
+
+    Delta materializes CDF files at write time; here the feed derives
+    from the two retained snapshots with ONE full-outer key join —
+    same information, zero write-path cost, valid as long as VACUUM
+    keeps ``from_version`` (a vacuumed version raises, same as Delta's
+    out-of-range CDF read)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.cdc import snapshot_diff
+
+    if not key_cols:
+        raise ValueError("key_cols is required to align versions")
+    old = read_snapshot(spark, table_path, from_version)
+    new = read_snapshot(spark, table_path, to_version)
+    return snapshot_diff(old, new, key_cols, compare_cols)

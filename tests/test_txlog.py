@@ -148,3 +148,43 @@ def test_cdc_snapshot_stream_sink_versions_per_epoch(spark, tmp_path):
     assert v0 == {1: "a", 2: "b"}
     v1 = {r.id: r.v for r in read_snapshot(spark, table).collect()}
     assert v1 == {2: "B", 3: "c"}  # 1 deleted, 2 updated, 3 inserted
+
+
+def test_snapshot_changes_between_versions(spark, tmp_path):
+    """table_changes(v_from, v_to) parity: the change feed between two
+    committed versions carries exactly the insert/update/delete rows
+    that replay v_from into v_to."""
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.txlog import (
+        commit_snapshot,
+        snapshot_changes,
+        vacuum_snapshots,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"),
+        table,
+    )
+    commit_snapshot(
+        spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], "id long, v string"),
+        table,
+        mode="overwrite",
+    )
+
+    feed = snapshot_changes(spark, table, 0, 1, key_cols=("id",))
+    got = {r.id: r.op for r in feed.collect()}
+    assert got == {1: "d", 2: "u", 4: "i"}  # 3 unchanged -> absent
+
+    # defaults to latest target version; key_cols mandatory
+    assert {r.id for r in snapshot_changes(
+        spark, table, 0, key_cols=("id",)
+    ).collect()} == {1, 2, 4}
+    with pytest.raises(ValueError):
+        snapshot_changes(spark, table, 0, 1)
+
+    # a vacuumed from_version is an out-of-range CDF read
+    vacuum_snapshots(table, keep_last=1)
+    with pytest.raises(ValueError):
+        snapshot_changes(spark, table, 0, 1, key_cols=("id",))

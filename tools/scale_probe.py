@@ -12,12 +12,14 @@ quadratic pair blowup, no driver bottleneck, and no broadcast that
 should have been a shuffle.
 
 Replication is structure-preserving, not degenerate:
-- documents: replica r rewrites every word w → "w_r" (one
-  codegen transform+array_join) — intra-replica near-dup structure is
-  IDENTICAL to the original corpus, inter-replica Jaccard is 0, so
-  pair volume grows exactly k× (replicating verbatim would instead
-  mass-duplicate every doc k× and measure the degenerate-bucket cap,
-  not scaling).
+- documents: replica r rewrites every token w → "w" + "x<r>" IN PLACE
+  (one codegen regexp_replace on the same [A-Za-z0-9]+ token class the
+  engine's tokenizer uses, so no new tokens appear) — intra-replica
+  near-dup structure is IDENTICAL to the original corpus, inter-replica
+  Jaccard is 0, so pair volume grows exactly k× (replicating verbatim
+  would instead mass-duplicate every doc k× and measure the
+  degenerate-bucket cap, not scaling; suffixing OUTSIDE the token class
+  would inject shared filler tokens and quadratically inflate overlap).
 - orders: order ids offset per replica, dates/customers untouched —
   join fan-in and group-key cardinality stay constant while fact rows
   grow k×.
@@ -60,12 +62,10 @@ def replicate(spark, sf_dir: str, k: int, out: str) -> None:
         docs.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("r") * n_docs).alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.lit("_"), F.col("r")),
-                ),
-                " ",
+            F.regexp_replace(
+                F.col("text"),
+                F.lit("([A-Za-z0-9]+)"),
+                F.concat(F.lit("$1x"), F.col("r").cast("string")),
             ).alias("text"),
             "lang",
             "source",
