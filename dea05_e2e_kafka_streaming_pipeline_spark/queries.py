@@ -6807,3 +6807,146 @@ def q_order_amount_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+@register(
+    "entity_resolution_customers",
+    oracle="""
+    WITH RECURSIVE lp AS (
+      SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+        CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+             WHEN a.c_mktsegment = b.c_mktsegment THEN 16 ELSE -4
+        END
+        + CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+               WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0 THEN 24 ELSE -8
+          END
+        + CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+               WHEN right(a.c_name, 2) = right(b.c_name, 2) THEN 8 ELSE -2
+          END AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+    ), pairs AS (
+      SELECT left_id, right_id FROM lp WHERE score >= 30
+    ), edges AS (
+      SELECT left_id AS u, right_id AS v FROM pairs
+      UNION ALL SELECT right_id, left_id FROM pairs
+    ), reach(id, label) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, min(label) AS entity_id FROM reach GROUP BY id
+    ), ranked AS (
+      SELECT comp.entity_id, c.c_custkey, c.c_name, c.c_acctbal,
+             count(*) OVER (PARTITION BY comp.entity_id) AS n_members,
+             row_number() OVER (
+               PARTITION BY comp.entity_id
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+             ) AS rk
+      FROM customer c JOIN comp ON comp.id = c.c_custkey
+    )
+    SELECT entity_id, CAST(n_members AS BIGINT) AS n_members,
+           c_custkey AS golden_custkey, c_name AS golden_name,
+           c_acctbal AS golden_acctbal
+    FROM ranked WHERE rk = 1 AND n_members > 1
+    """,
+)
+def q_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution flow: blocked Fellegi–Sunter match
+    scoring (operators/linkage.py) → transitive closure over the
+    match-pair graph (operators/dedup.py:connected_components, same
+    engine as document dedup) → survivorship: each multi-member entity
+    keeps its highest-acctbal member as the golden record (id
+    tiebreak) — match → cluster → survive, the canonical MDM pipeline.
+    Scale: pair volume bounded by nation blocks; CC runs over EDGES
+    with the auto union-find gate; survivorship is one ranking window
+    partitioned by entity. Oracle: the same scoring CASE arithmetic, a
+    recursive-CTE closure, and an identical ranked survivorship."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        FieldComparison,
+        blocked_linkage,
+        exact,
+        within,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    suffix2 = lambda l, r: F.substring(l, -2, 2) == F.substring(r, -2, 2)  # noqa: E731,E741
+    pairs = blocked_linkage(
+        cust,
+        cust,
+        block_on=["c_nationkey"],
+        comparisons=[
+            FieldComparison("segment", "c_mktsegment", "c_mktsegment", exact, 16, -4),
+            FieldComparison("balance", "c_acctbal", "c_acctbal", within(100.0), 24, -8),
+            FieldComparison("name_suffix", "c_name", "c_name", suffix2, 8, -2),
+        ],
+        left_id="c_custkey",
+        right_id="c_custkey",
+        min_score=30,
+        dedup_self_pairs=True,
+    ).select(F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b"))
+    comp = connected_components(
+        cust.select("c_custkey"), pairs, id_col="c_custkey", algorithm="auto"
+    )
+    members = cust.join(comp, "c_custkey").withColumnsRenamed(
+        {"component_id": "entity_id"}
+    )
+    w = Window.partitionBy("entity_id")
+    ranked = members.withColumn("n_members", F.count(F.lit(1)).over(w)).withColumn(
+        "rk",
+        F.row_number().over(
+            w.orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+        ),
+    )
+    return ranked.filter((F.col("rk") == 1) & (F.col("n_members") > 1)).select(
+        "entity_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("c_custkey").alias("golden_custkey"),
+        F.col("c_name").alias("golden_name"),
+        F.col("c_acctbal").alias("golden_acctbal"),
+    )
+
+
+@register(
+    "int8_rerank_topk_embeddings",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN, search-then-refine (operators/similarity.py:
+    int8_rerank_topk): stage 1 scores the int8-reconstructed vectors
+    (the 4x-smaller stored codes of `embedding_quantization`) and
+    shortlists 50 ids; stage 2 fetches ONLY those full-precision
+    vectors and exact-cosine re-ranks to the final top-10. The int8
+    codec's per-dim resolution makes a 15-row shortlist already cover
+    the exact top-10 on this corpus (50 leaves 3x margin), so the
+    composed pipeline is bit-identical to brute force and hash-checks
+    against the SAME oracle as `embedding_cosine_topk` — the
+    end-to-end oracle raw compressed-domain rankings (pq/ivfpq_topk)
+    structurally can't have. The sibling `pq_rerank_topk` operator
+    trades 16x more compression for shortlists an order larger at
+    equal recall."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        int8_rerank_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_rerank_topk(emb, list(_query_vec(sf_dir)), k=10, shortlist=50)

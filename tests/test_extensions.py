@@ -898,3 +898,37 @@ def test_ann_regret_audit_passes_good_and_catches_bad(spark):
     bad = df.filter(F.col("vec_id") >= 30).select("vec_id")
     n_bad = ann_regret_violations(df, bad, q, k=10, max_regret=2.0).count()
     assert n_bad == 10, n_bad
+
+
+def test_rerank_topk_two_stage_exactness(spark):
+    """Search-then-refine: int8 stage-1 with a small shortlist, and PQ
+    stage-1 with a full-corpus shortlist, both end bit-identical to
+    exact brute force (stage 2 is exact over the shortlist, so equality
+    holds whenever the shortlist covers the true top-k)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        int8_rerank_topk,
+        pq_rerank_topk,
+        pq_train,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    exact = cosine_topk(emb, q, k=10).collect()
+
+    got8 = int8_rerank_topk(emb, q, k=10, shortlist=50).collect()
+    assert [(r.vec_id, r.score) for r in got8] == [
+        (r.vec_id, r.score) for r in exact
+    ]
+
+    n = emb.count()
+    books = pq_train(emb, m=4, n_codes=16)
+    gotpq = pq_rerank_topk(emb, books, q, k=10, shortlist=n).collect()
+    assert [(r.vec_id, r.score) for r in gotpq] == [
+        (r.vec_id, r.score) for r in exact
+    ]
+
+    with pytest.raises(ValueError):
+        int8_rerank_topk(emb, q, k=10, shortlist=5)
+    with pytest.raises(ValueError):
+        pq_rerank_topk(emb, books, q, k=10, shortlist=5)

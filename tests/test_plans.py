@@ -167,6 +167,9 @@ _EAGER_BUILD_OK = {
     # materializes the snapshot-log table (commit + merge) at build,
     # like the BPE/IVF trained state
     "orders_snapshot_timetravel",
+    # closes the linkage match graph with the same CC loop as
+    # dedup_cc_components (auto union-find edge gate = a count action)
+    "entity_resolution_customers",
 }
 
 
@@ -219,16 +222,15 @@ def test_product_type_profit_broadcast_dims(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_top_supplier_window_after_aggregate(spark):
-    """Q15 shape: the rank window must run over the per-supplier
-    aggregate, not the fact table — in the plan the Window sits above
-    a HashAggregate and below the supplier join."""
+def test_top_supplier_no_window_broadcast_max(spark):
+    """Q15 shape: the max-selection is the scalar-subquery form — a
+    1-row max aggregate broadcast back as a filter over the
+    per-supplier aggregate. NO Window node anywhere (the previous
+    rank()-over-empty-partition form moved the whole supplier aggregate
+    to a single partition; this one never does, at any |suppliers|)."""
     plan = _plan(spark, "top_supplier_revenue")
-    # the tree prints parents first, so the Window line precedes its
-    # HashAggregate child — assert the structure via the rank-pushdown
-    # rewrite instead: WindowGroupLimit keeps only rank<=1 rows
-    # per-partition BEFORE the single-partition exchange
-    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "HashAggregate" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
 
