@@ -1092,3 +1092,48 @@ def dedup_incremental_batch(
     fresh = fresh.localCheckpoint(eager=True)
     fresh.select("__fp").write.mode("append").parquet(store_path)
     return fresh.drop("__fp")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with shingle CONTAINMENT ≥ threshold — the asymmetric
+    near-dup measure ``C(A,B) = |A∩B| / min(|A|,|B|)`` (Broder's
+    containment, the resemblance paper's second measure): a short
+    document wholly quoted inside a long one scores ~1.0 here while
+    its symmetric Jaccard can be arbitrarily small — exactly the
+    excerpt/boilerplate-inclusion case corpus dedup must catch and
+    :func:`ngram_jaccard_pairs` structurally cannot.
+
+    Same inverted-index plan and shuffle economics as the Jaccard
+    variant (explode distinct shingle hashes, equi-join, count common);
+    only the final scoring projection differs."""
+    df = _spread(df)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, k).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select(
+        "id", "n_sh", F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    containment = F.col("common").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.withColumn("containment", F.round(containment, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

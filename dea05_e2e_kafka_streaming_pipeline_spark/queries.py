@@ -6950,3 +6950,105 @@ def q_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return int8_rerank_topk(emb, list(_query_vec(sf_dir)), k=10, shortlist=50)
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / least(n_a, n_b), 6) AS containment
+    FROM p
+    WHERE round(CAST(common AS DOUBLE) / least(n_a, n_b), 6) >= 0.4
+    """,
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B|/min(|A|,|B|) ≥
+    0.4 (operators/dedup.py:ngram_containment_pairs) — catches a short
+    document quoted inside a long one, which symmetric Jaccard misses
+    by construction (same inverted-index plan; only the scoring
+    projection differs)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4
+    )
+
+
+@register(
+    "funnel_conversion_times",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, min(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), conv AS (
+      SELECT e.user_id, c.first_click, min(e.ts) AS conv_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+      GROUP BY 1, 2
+    ), deltas AS (
+      SELECT CAST(epoch(conv_ts) - epoch(first_click) AS BIGINT) AS sec
+      FROM conv
+    )
+    SELECT count(*) AS n_converted,
+           quantile_disc(sec, 0.25) AS p25_sec,
+           quantile_disc(sec, 0.50) AS p50_sec,
+           quantile_disc(sec, 0.75) AS p75_sec
+    FROM deltas
+    """,
+)
+def q_funnel_conversion_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first click → first
+    subsequent purchase, summarized as exact discrete percentiles of
+    the conversion delay — the funnel-latency report product teams run
+    beside the conversion-rate funnel (`event_funnel_users`). Two
+    map-side-combinable aggregates + one user-keyed join; the final
+    percentile_disc runs over |converted users| rows (one sort-based
+    aggregate, no window)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id", "first_click")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    deltas = conv.select(
+        (F.unix_timestamp("conv_ts") - F.unix_timestamp("first_click"))
+        .cast("long")
+        .alias("sec")
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY sec)").alias(
+                f"p{int(p * 100)}_sec"
+            )
+            for p in (0.25, 0.50, 0.75)
+        ],
+    )

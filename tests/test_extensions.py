@@ -932,3 +932,22 @@ def test_rerank_topk_two_stage_exactness(spark):
         int8_rerank_topk(emb, q, k=10, shortlist=5)
     with pytest.raises(ValueError):
         pq_rerank_topk(emb, books, q, k=10, shortlist=5)
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc wholly quoted inside a long one: containment = 1.0,
+    while symmetric Jaccard stays under any practical threshold — the
+    asymmetric measure exists precisely for this case."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    assert ngram_jaccard_pairs(docs, threshold=0.2).count() == 0

@@ -339,3 +339,142 @@ def test_avro_zigzag_varint_identity(n):
     w = _Writer()
     w.long(n)
     assert _Reader(w.getvalue()).long() == n
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zorder_key_matches_python_morton(spark, pts):
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.zval
+        for r in df.select("x", "y", zorder_key(["x", "y"])).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in set(pts)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_triangle_counts_match_bruteforce_model(spark, edges):
+    """Degree-oriented counting == brute-force enumeration over all
+    vertex triples, for random multigraphs with self-loops and
+    duplicate/reversed edges (all of which must be canonicalized away)."""
+    from itertools import combinations
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    verts = {v for e in eset for v in e}
+    want = {}
+    for a, b, c in combinations(sorted(verts), 3):
+        if {(a, b), (b, c), (a, c)} <= eset:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+
+    df = spark.createDataFrame(
+        list(edges) or [(0, 0)], "src long, dst long"
+    )
+    got = {r.v: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # block
+            st.sampled_from(["ann", "bob", "cyd"]),
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_blocked_linkage_matches_python_scoring(spark, rows):
+    """Engine pair scores == a per-pair Python fold of the same match
+    points (NULL-neutral), over every same-block id-ordered pair."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        FieldComparison,
+        blocked_linkage,
+        exact,
+        within,
+    )
+
+    data = [(i, str(b), n, a) for i, (b, n, a) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, blk string, name string, age double")
+    cmps = [
+        FieldComparison("name", "name", "name", exact, 11, -3),
+        FieldComparison("age", "age", "age", within(5.0), 7, -13),
+    ]
+    got = {
+        (r.left_id, r.right_id): r.score
+        for r in blocked_linkage(
+            df, df, ["blk"], cmps, "id", "id",
+            min_score=-10**9, dedup_self_pairs=True,
+        ).collect()
+    }
+    want = {}
+    for i, bi, ni, ai in [(d[0], d[1], d[2], d[3]) for d in data]:
+        for j, bj, nj, aj in [(d[0], d[1], d[2], d[3]) for d in data]:
+            if i < j and bi == bj:
+                s = 11 if ni == nj else -3  # names never NULL here
+                if ai is None or aj is None:
+                    s += 0
+                else:
+                    s += 7 if abs(ai - aj) <= 5.0 else -13
+                want[(i, j)] = s
+    assert got == want
+
+
+def test_containment_dominates_jaccard(spark):
+    """For every pair, containment >= Jaccard (min(n_a,n_b) <= union):
+    checked on the real corpus by joining the two operators' outputs at
+    threshold 0."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    j = ngram_jaccard_pairs(docs, threshold=0.0)
+    c = ngram_containment_pairs(docs, threshold=0.0)
+    both = j.join(c, ["id_a", "id_b"], "inner")
+    assert both.count() == j.count() == c.count()  # same pair space
+    assert both.filter(F.col("containment") < F.col("jaccard")).count() == 0
