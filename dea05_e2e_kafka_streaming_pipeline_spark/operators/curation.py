@@ -709,3 +709,62 @@ def k_anonymity_report(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .withColumn("at_risk", F.col("class_size") < k)
     )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    n_per_group: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling,
+    systematic form (Madow 1949): within each group, lay an evenly
+    spaced grid of ``n_per_group`` tickets over the cumulative integer
+    weight line and keep every row a grid point lands on — selection
+    probability ∝ weight, zero randomness, reproducible at any
+    parallelism (the classic survey-sampling design, here as the
+    data-mixing sampler that favors long/heavy documents without a
+    rand() seed).
+
+    All arithmetic is exact BIGINT (cumulative weights × ticket
+    counts), so the sample is bit-identical across engines and
+    partitionings — the same determinism discipline as the md5 bucket
+    samplers. Rows heavier than one grid step get ``n_tickets > 1``
+    (certainty selections, the standard PPS outcome).
+
+    Scale shape: one window partitioned BY GROUP (never global) for the
+    prefix sum + one broadcastable per-group total — no single-partition
+    exchange; the selection predicate is a pure projection.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1: {n_per_group}")
+    from pyspark.sql import Window
+
+    wq = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    wp = Window.partitionBy(group_col)
+    cum = F.sum("__wq").over(
+        wp.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum("__wq").over(wp)
+    n = int(n_per_group)
+    staged = df.select(F.col(id_col), F.col(group_col), wq.alias("__wq")).select(
+        "*", cum.alias("__cum"), total.alias("__total")
+    )
+    # `div` (integer division) keeps the grid arithmetic exact at ANY
+    # cumulative-weight magnitude — bigint `/` would detour through
+    # double and lose floor-exactness past 2^53 (a real risk at 100 TB
+    # corpus weights), and for positive ints floor(a/b) == a div b
+    tickets = F.expr(
+        f"(__cum * {n}) div __total - ((__cum - __wq) * {n}) div __total"
+    )
+    return (
+        staged.withColumn("n_tickets", tickets.cast("long"))
+        .filter(F.col("n_tickets") >= 1)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("__wq").alias("weight"),
+            "n_tickets",
+        )
+    )

@@ -7052,3 +7052,44 @@ def q_funnel_conversion_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.25, 0.50, 0.75)
         ],
     )
+
+
+@register(
+    "pps_sample_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, greatest(CAST(n_chars AS BIGINT), 1) AS wq
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, wq,
+             sum(wq) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(wq) OVER (PARTITION BY source) AS total
+      FROM w
+    )
+    SELECT doc_id, source, wq AS weight,
+           CAST((cum * 50) // total
+                - ((cum - wq) * 50) // total AS BIGINT) AS n_tickets
+    FROM c
+    WHERE (cum * 50) // total - ((cum - wq) * 50) // total >= 1
+    """,
+)
+def q_pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-proportional sampling (systematic PPS,
+    operators/curation.py:systematic_pps_sample): ~50 docs per source
+    selected with probability ∝ n_chars via an exact-integer ticket
+    grid over the per-source cumulative weight line — the rand()-free
+    data-mixing sampler (heavier docs favored, certainty selections
+    get n_tickets > 1). Per-group windows only (no single-partition
+    exchange); bit-identical across engines by integer arithmetic."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        systematic_pps_sample,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return systematic_pps_sample(
+        load_table(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        group_col="source",
+        n_per_group=50,
+    )

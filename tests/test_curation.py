@@ -398,3 +398,42 @@ def test_bigram_surprisal_detects_scrambled_transitions(spark):
     assert 5 not in rows  # single-token doc: no bigram
     assert rows[4].surprisal_nats > rows[1].surprisal_nats
     assert rows[1].surprisal_nats == rows[2].surprisal_nats  # identical docs
+
+
+def test_systematic_pps_sample_properties(spark):
+    """PPS invariants: ticket counts per group sum exactly to n; every
+    row heavier than one grid step is a certainty selection; output is
+    repartition-stable (deterministic, no rand())."""
+    import pyspark.sql.functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, "a" if i < 30 else "b", (i % 7 + 1) * 10) for i in range(50)]
+    rows.append((99, "b", 100000))  # dominates group b -> certainty multi-ticket
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    out = systematic_pps_sample(
+        df, weight_col="n_chars", group_col="source", n_per_group=10
+    )
+    per_group = {
+        r.source: r.t
+        for r in out.groupBy("source").agg(F.sum("n_tickets").alias("t")).collect()
+    }
+    assert per_group == {"a": 10, "b": 10}
+    heavy = out.filter(F.col("doc_id") == 99).collect()[0]
+    assert heavy.n_tickets >= 9  # ~all of group b's weight
+
+    re = systematic_pps_sample(
+        df.repartition(13, "doc_id"),
+        weight_col="n_chars",
+        group_col="source",
+        n_per_group=10,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, re.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        systematic_pps_sample(df, "n_chars", "source", n_per_group=0)

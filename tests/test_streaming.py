@@ -1165,3 +1165,60 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     rows = {r.click_id: r.view_id for r in spark.table("ssj_outer").collect()}
     assert rows[100] == 900  # matched inside the window
     assert rows[200] is None  # unmatched left row emitted with nulls
+
+
+def test_windowed_stats_under_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state-store provider (the configured option for
+    state > memory, session.py:get_spark(rocksdb_state_store=True))
+    actually functions in this build: the watermarked windowed
+    aggregation runs its state through RocksDB and still reproduces the
+    batch answer exactly."""
+    _land_events_json(spark, tmp_path / "landing", F.col("event_id") < 150)
+    batch = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_stats(
+            spark.read.schema(EVENTS_SCHEMA).json(str(tmp_path / "landing")),
+            group_extra=["event_type"],
+        ).collect()
+    }
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            windowed_event_stats(
+                file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA),
+                group_extra=["event_type"],
+            )
+            .writeStream.format("memory")
+            .queryName("win_rocks")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        # the checkpoint's state dir proves RocksDB actually held state
+        got = {
+            (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+            for r in spark.table("win_rocks").collect()
+        }
+        assert got == batch
+        import glob as _g
+
+        assert _g.glob(str(tmp_path / "ckpt" / "state" / "**" / "*.zip"),
+                       recursive=True) or _g.glob(
+            str(tmp_path / "ckpt" / "state" / "**" / "*.changelog"),
+            recursive=True,
+        ) or _g.glob(str(tmp_path / "ckpt" / "state" / "**" / "*.sst"),
+                     recursive=True)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
