@@ -69,6 +69,27 @@ def _stage_totals(app_id: str) -> dict[str, int] | None:
     }
 
 
+def _plan_fingerprint(df) -> str:
+    """md5 of the normalized physical plan — expression ids, object
+    addresses, temp paths, and codegen stage ids stripped so the hash
+    is stable across sessions. BENCH_BUDGET catches time regressions;
+    fingerprints catch PLAN regressions (a lost broadcast, a new
+    exchange) even inside timing noise: diff `plan_fingerprints`
+    between two bench_metrics.json snapshots and explain() whatever
+    moved."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = re.sub(r"#\d+[L]?", "#", plan)
+    plan = re.sub(r"@[0-9a-f]{6,}", "@", plan)
+    plan = re.sub(r"/tmp/\S+", "/tmp/_", plan)
+    plan = re.sub(r"\[plan_id=\d+\]", "", plan)
+    plan = re.sub(r"\(\d+\)", "()", plan)
+    plan = re.sub(r"ivf_cell=\d+", "ivf_cell=_", plan)
+    return hashlib.md5(plan.encode()).hexdigest()
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -86,6 +107,7 @@ def main() -> int:
     qs = registry.bench_queries()
     timings: dict[str, float] = {}
     metrics: dict[str, dict] = {}
+    plans: dict[str, str] = {}
     # warm the JVM + file listing once (excluded from per-query timings)
     next(iter(qs.values()))(spark, sf_dir).count()
 
@@ -107,6 +129,7 @@ def main() -> int:
                 run2_elapsed = t
             best = t if best is None else min(best, t)
         timings[name] = round(best, 4)
+        plans[name] = _plan_fingerprint(df)
         if before is not None and after is not None:
             delta = {k: after[k] - before[k] for k in after}
             # rows/s from run-2 records over run-2 time: the stage-metric
@@ -161,6 +184,7 @@ def main() -> int:
     side = {
         "queries": timings,
         "query_metrics": metrics,
+        "plan_fingerprints": plans,
         "shuffle_write_bytes_total": sum(
             m["shuffle_write_bytes"] for m in metrics.values()
         ),
