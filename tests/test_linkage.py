@@ -81,3 +81,76 @@ def test_exact_predicate_comparison(spark):
         ).collect()
     }
     assert got == {2: 7, 3: -3}
+
+
+def test_incremental_linkage_against_committed_master(spark, tmp_path):
+    """Incremental ER — the streaming-shaped flow: a committed golden
+    master (snapshot log v0), a new record batch blocked-linked against
+    it, each new record assigned to its best-scoring master entity at
+    or above threshold (else it founds a new entity), and the updated
+    golden table committed as v1 — linkage + txlog composing end to
+    end, with time travel preserving the pre-merge master."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.txlog import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    cust = load_table(spark, "/root/testdata/sf0.01", "customer")
+    master = cust.filter(F.col("c_custkey") < 1000).withColumn(
+        "entity_id", F.col("c_custkey")
+    )
+    batch = cust.filter(F.col("c_custkey") >= 1000)
+    table = str(tmp_path / "golden")
+    commit_snapshot(master, table)
+
+    CMPS = [
+        FieldComparison("segment", "c_mktsegment", "c_mktsegment", exact, 16, -4),
+        FieldComparison("balance", "c_acctbal", "c_acctbal", within(100.0), 24, -8),
+    ]
+    scored = blocked_linkage(
+        batch,
+        read_snapshot(spark, table),
+        block_on=["c_nationkey"],
+        comparisons=CMPS,
+        left_id="c_custkey",
+        right_id="entity_id",
+        min_score=30,
+    )
+    best = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("left_id").orderBy(
+                    F.desc("score"), F.col("right_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("left_id").alias("c_custkey"), F.col("right_id").alias("entity_id"))
+    )
+    assigned = batch.join(best, "c_custkey", "left").withColumn(
+        "entity_id", F.coalesce("entity_id", F.col("c_custkey"))
+    )
+    commit_snapshot(
+        read_snapshot(spark, table).unionByName(assigned), table, mode="overwrite"
+    )
+
+    assert snapshot_versions(table) == [0, 1]
+    v1 = read_snapshot(spark, table)
+    assert v1.count() == cust.count()  # every record has a golden row
+    n_master = master.count()
+    absorbed = v1.filter(
+        (F.col("c_custkey") >= 1000) & (F.col("entity_id") < 1000)
+    ).count()
+    founded = v1.filter(
+        (F.col("c_custkey") >= 1000) & (F.col("entity_id") >= 1000)
+    ).count()
+    assert absorbed > 0 and founded > 0  # both outcomes occur
+    assert absorbed + founded == batch.count()
+    # time travel: the pre-merge master is intact at v0
+    assert read_snapshot(spark, table, version=0).count() == n_master
