@@ -7093,3 +7093,54 @@ def q_pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source",
         n_per_group=50,
     )
+
+
+_TS_PATTERN = [120.0, 80.0, 200.0, 150.0, 60.0, 240.0, 100.0, 180.0]
+_TS_PATTERN_SQL = "[" + ",".join(f"{v:.1f}" for v in _TS_PATTERN) + "]::DECIMAL(18,6)[]"
+
+
+@register(
+    "subsequence_search_events",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts AS start_ts, event_id AS start_id,
+             list(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+      FROM events
+    )
+    SELECT user_id, start_ts, start_id,
+           CAST(list_sum(list_transform(win, (x, i) ->
+             CAST((x - ({_TS_PATTERN_SQL})[i])
+                * (x - ({_TS_PATTERN_SQL})[i]) AS DECIMAL(32,12))))
+             AS DOUBLE) AS dist2
+    FROM w
+    WHERE len(win) = 8
+    ORDER BY dist2, user_id, start_ts, start_id
+    LIMIT 20
+    """,
+)
+def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (operators/
+    timeseries.py:subsequence_search, the EDBT'19 streaming-similarity
+    workload): the 20 per-user sliding windows of length 8 closest to a
+    fixed query pattern by EXACT squared-Euclidean distance — windows
+    come straight from a window-frame collect_list (no self-join),
+    distance is a decimal-exact zip_with/aggregate fold (order-proof),
+    top-k is TakeOrderedAndProject. The oracle rebuilds the identical
+    windows and decimal arithmetic with DuckDB's framed list() and
+    indexed list_transform."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        subsequence_search,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return subsequence_search(
+        load_table(spark, sf_dir, "events"),
+        _TS_PATTERN,
+        k=20,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )

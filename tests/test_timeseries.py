@@ -1,0 +1,65 @@
+"""Time-series subsequence search (operators/timeseries.py)."""
+
+import datetime as dt
+
+import pytest
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+    subsequence_search,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _series(spark, per_user):
+    rows = []
+    eid = 0
+    for u, vals in per_user.items():
+        for i, v in enumerate(vals):
+            rows.append((u, BASE + dt.timedelta(minutes=i), float(v), eid))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+
+
+def test_planted_exact_match_ranks_first(spark):
+    pattern = [5.0, 1.0, 9.0]
+    df = _series(
+        spark,
+        {
+            1: [100, 5, 1, 9, 100],  # exact match starting at index 1
+            2: [5, 1, 8, 50, 60],  # near match at 0 (dist2 = 1)
+        },
+    )
+    out = subsequence_search(
+        df, pattern, k=3, tiebreak_col="event_id"
+    ).collect()
+    assert out[0].user_id == 1 and out[0].dist2 == 0.0
+    assert out[0].start_ts == BASE + dt.timedelta(minutes=1)
+    assert out[1].user_id == 2 and out[1].dist2 == 1.0
+
+
+def test_tail_windows_excluded_and_validation(spark):
+    df = _series(spark, {1: [1, 2]})
+    # series shorter than the pattern -> no complete window
+    assert subsequence_search(df, [1.0, 2.0, 3.0], tiebreak_col="event_id").count() == 0
+    # length-2 pattern -> exactly one complete window
+    rows = subsequence_search(df, [1.0, 2.0], tiebreak_col="event_id").collect()
+    assert len(rows) == 1 and rows[0].dist2 == 0.0
+    with pytest.raises(ValueError):
+        subsequence_search(df, [])
+
+
+def test_distance_is_fold_order_exact(spark):
+    """Repartitioning cannot change any distance: decimal accumulation
+    is order-insensitive (the discipline every hash-checked operator
+    follows)."""
+    vals = [((i * 37) % 100) / 7.0 for i in range(30)]
+    df = _series(spark, {1: vals, 2: vals[::-1]})
+    pattern = [3.0, 1.5, 4.25, 2.0]
+    a = subsequence_search(df, pattern, k=50, tiebreak_col="event_id").collect()
+    b = subsequence_search(
+        df.repartition(17, "event_id"), pattern, k=50, tiebreak_col="event_id"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

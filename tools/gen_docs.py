@@ -52,6 +52,7 @@ FAMILIES = [
     ("Multimodal", f"{PKG}.operators.multimodal", "Binary payload plumbing: features, resize/frame plans, aHash near-dup (decode stubbed — no media libs here)."),
     ("Record linkage", f"{PKG}.operators.linkage", "Blocked Fellegi–Sunter entity resolution with integer match points."),
     ("Sessionization & funnels", f"{PKG}.operators.sessionize", "Gap-based sessions, funnels, session paths."),
+    ("Time-series similarity", f"{PKG}.operators.timeseries", "Sliding-window subsequence search with exact decimal distances."),
     ("Sketches", f"{PKG}.operators.sketches", "Count-min, HLL reach, quantile audits — mergeable one-pass summaries."),
     ("Graph", f"{PKG}.operators.graph", "PageRank (plain/weighted) in exact fixed-point arithmetic."),
     ("Skew mitigation", f"{PKG}.operators.skew", "Salted joins + AQE skew defaults."),
