@@ -7005,7 +7005,10 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
       GROUP BY 1, 2
     ), deltas AS (
-      SELECT CAST(epoch(conv_ts) - epoch(first_click) AS BIGINT) AS sec
+      -- floor each epoch BEFORE differencing: Spark's unix_timestamp
+      -- truncates sub-second timestamps to whole seconds, while
+      -- DuckDB's epoch() keeps the fraction (and CAST rounds)
+      SELECT CAST(floor(epoch(conv_ts)) - floor(epoch(first_click)) AS BIGINT) AS sec
       FROM conv
     )
     SELECT count(*) AS n_converted,
@@ -7046,9 +7049,12 @@ def q_funnel_conversion_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deltas.agg(
         F.count(F.lit(1)).alias("n_converted"),
         *[
-            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY sec)").alias(
-                f"p{int(p * 100)}_sec"
-            )
+            # percentile_disc returns DOUBLE even over longs; the
+            # selected element is an exact integer second count, so
+            # surface it as BIGINT like the oracle
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY sec)")
+            .cast("long")
+            .alias(f"p{int(p * 100)}_sec")
             for p in (0.25, 0.50, 0.75)
         ],
     )
@@ -7144,3 +7150,80 @@ def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         tiebreak_col="event_id",
     )
+
+
+_EWMA_W = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125,
+           0.00390625, 0.001953125]
+_EWMA_W_SQL = "[" + ",".join(f"{w:.9f}" for w in _EWMA_W) + "]::DECIMAL(10,9)[]"
+
+
+@register(
+    "revenue_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT d, rev,
+             list(CAST(rev AS DECIMAL(18,6))) OVER (
+               ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS win
+      FROM daily
+    )
+    SELECT d AS day, CAST(rev AS DOUBLE) AS revenue,
+           CAST(round(CAST(list_sum(list_transform(win, (x, i) ->
+             CAST(CAST(x AS DECIMAL(22,6))
+                  * ({_EWMA_W_SQL})[len(win) - i + 1] AS DECIMAL(32,15))))
+             AS DECIMAL(32,15)), 6) * 1000000 AS BIGINT) AS ewma_micro
+    FROM w
+    ORDER BY day
+    """,
+)
+def q_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted daily-revenue smoothing with a truncated
+    dyadic kernel (α=1/2 over the trailing 9 days): weights are EXACT
+    decimal literals (2^-1 … 2^-9), products/sums accumulate in
+    decimal — no float recursion, no division — so the smoothed series
+    is bit-identical across engines and partitionings (the same
+    fixed-point discipline as PageRank). One shuffle for the daily
+    aggregate; the kernel is a window-frame collect + weighted fold,
+    cost O(9) per day. The global date-ordered frame runs over the
+    |days| post-aggregate series (bounded, the documented exception)."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    frame = Window.orderBy("day").rowsBetween(-8, Window.currentRow)
+    win = F.collect_list(F.col("rev").cast("decimal(18,6)")).over(frame)
+    wlit = F.array(
+        *[F.lit(f"{w:.9f}").cast("decimal(10,9)") for w in _EWMA_W]
+    )
+    staged = daily.select(
+        "day", F.col("rev").cast("double").alias("revenue"), win.alias("win")
+    )
+    # newest element is last in the frame list: distance from current
+    # for 0-based position i is size-1-i -> weight index size-i (1-based)
+    weighted = F.transform(
+        "win",
+        lambda x, i: (x * F.element_at(wlit, F.size("win") - i)).cast(
+            "decimal(32,15)"
+        ),
+    )
+    ewma = F.aggregate(
+        weighted,
+        F.lit(0).cast("decimal(32,15)"),
+        lambda acc, x: (acc + x).cast("decimal(32,15)"),
+    )
+    # exact integer micro-units: a decimal->double cast differs in the
+    # last ulp between engines, so the hash-checked surface is the
+    # 6-digit-rounded decimal scaled to BIGINT (exact in both)
+    return staged.select(
+        "day",
+        "revenue",
+        (F.round(ewma, 6) * F.lit(1_000_000)).cast("long").alias("ewma_micro"),
+    ).orderBy("day")
