@@ -43,18 +43,30 @@ def subsequence_search(
     ts_col: str = "ts",
     value_col: str = "value",
     tiebreak_col: str | None = None,
+    center: bool = False,
 ) -> DataFrame:
     """Top-``k`` sliding-window subsequences (per ``key_col``, ordered
     by ``ts_col``) with the smallest exact squared-Euclidean distance
     to ``query_pattern``.
 
+    ``center=True`` matches SHAPE ignoring vertical offset (the first
+    half of UCR z-normalization): both window and pattern are mean-
+    centered before the distance. To stay division-free (1/m is not an
+    exact decimal for general m) the implementation ranks by the
+    scaled form ``Σ (m·xᵢ − S)²  =  m²·Σ (xᵢ − μ)²`` — same ordering,
+    every intermediate an exact decimal, and the m² scaling is
+    documented in the output (``dist2`` is the scaled value).
+
     Returns (key, start_ts, dist2) with ``dist2`` the decimal-exact
-    squared distance cast to double for display. Windows shorter than
-    the pattern (series tails) are excluded.
+    (scaled, if centered) squared distance cast to double for display.
+    Windows shorter than the pattern (series tails) are excluded.
     """
     m = len(query_pattern)
     if m < 1:
         raise ValueError("query_pattern must be non-empty")
+    if center:
+        qs = sum(round(float(v), 6) for v in query_pattern)
+        query_pattern = [m * round(float(v), 6) - qs for v in query_pattern]
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
@@ -65,8 +77,19 @@ def subsequence_search(
     )
     win = F.collect_list(F.col(value_col).cast(_VAL_DEC)).over(frame)
     q = F.array(*[F.lit(round(float(v), 6)).cast(_VAL_DEC) for v in query_pattern])
+    if center:
+        wsum = F.aggregate(
+            "win",
+            F.lit(0).cast("decimal(24,6)"),
+            lambda acc, x: (acc + x).cast("decimal(24,6)"),
+        )
+        cmp_win = F.transform(
+            "win", lambda x: (x * F.lit(m) - wsum).cast("decimal(24,6)")
+        )
+    else:
+        cmp_win = F.col("win")
     sq_diffs = F.zip_with(
-        "win", q, lambda a, b: ((a - b) * (a - b)).cast(_ACC_DEC)
+        cmp_win, q, lambda a, b: ((a - b) * (a - b)).cast(_ACC_DEC)
     )
     dist2 = F.aggregate(
         sq_diffs,

@@ -7227,3 +7227,59 @@ def q_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.round(ewma, 6) * F.lit(1_000_000)).cast("long").alias("ewma_micro"),
     ).orderBy("day")
+
+
+_TS_CPATTERN_SQL = (
+    "[-170.0,-490.0,470.0,70.0,-650.0,790.0,-330.0,310.0]::DECIMAL(18,6)[]"
+)
+
+
+@register(
+    "subsequence_shape_events",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, ts AS start_ts, event_id AS start_id,
+             list(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+      FROM events
+    ), c AS (
+      SELECT user_id, start_ts, start_id,
+             list_transform(win, x -> CAST(
+               CAST(x AS DECIMAL(22,6)) * 8
+               - CAST(list_sum(win) AS DECIMAL(22,6)) AS DECIMAL(24,6))) AS cw
+      FROM w WHERE len(win) = 8
+    )
+    SELECT user_id, start_ts, start_id,
+           CAST(list_sum(list_transform(cw, (x, i) ->
+             CAST((x - ({_TS_CPATTERN_SQL})[i])
+                * (x - ({_TS_CPATTERN_SQL})[i]) AS DECIMAL(32,12))))
+             AS DOUBLE) AS dist2
+    FROM c
+    ORDER BY dist2, user_id, start_ts, start_id
+    LIMIT 20
+    """,
+)
+def q_subsequence_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-invariant (mean-centered) subsequence matching — the
+    shape-similarity half of UCR z-normalization, division-free via
+    the scaled form Σ(m·xᵢ − S)² = m²·Σ(xᵢ − μ)² so every intermediate
+    stays an exact decimal (operators/timeseries.py:subsequence_search
+    with center=True). Finds windows shaped like the query pattern at
+    ANY vertical offset; `subsequence_search_events` is the raw-level
+    twin."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        subsequence_search,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return subsequence_search(
+        load_table(spark, sf_dir, "events"),
+        _TS_PATTERN,
+        k=20,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        center=True,
+    )

@@ -63,3 +63,19 @@ def test_distance_is_fold_order_exact(spark):
         df.repartition(17, "event_id"), pattern, k=50, tiebreak_col="event_id"
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_centered_search_is_offset_invariant(spark):
+    """center=True matches shape regardless of vertical offset: a
+    window that is the pattern shifted by +1000 scores dist2=0, while
+    the uncentered search ranks it far away."""
+    pattern = [5.0, 1.0, 9.0]
+    shifted = [v + 1000.0 for v in pattern]
+    df = _series(spark, {1: [3.0, *shifted, 3.0], 2: [50.0, 51.0, 52.0, 53.0, 54.0]})
+    cen = subsequence_search(
+        df, pattern, k=1, tiebreak_col="event_id", center=True
+    ).collect()
+    assert cen[0].user_id == 1 and cen[0].dist2 == 0.0
+    assert cen[0].start_ts == BASE + dt.timedelta(minutes=1)
+    raw = subsequence_search(df, pattern, k=1, tiebreak_col="event_id").collect()
+    assert raw[0].dist2 > 0.0  # no exact raw match exists anywhere
