@@ -6752,7 +6752,6 @@ def q_linkage_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FieldComparison,
         blocked_linkage,
         exact,
-        prefix,
         within,
     )
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table

@@ -81,3 +81,39 @@ def capture_stream_metrics(spark, jsonl_path: str | None = None):
         yield listener
     finally:
         spark.streams.removeListener(listener)
+
+
+def observe_quality(
+    df,
+    name: str = "dq",
+    required: list[str] | None = None,
+    value_col: str | None = None,
+):
+    """Attach inline data-quality counters to a (streaming or batch)
+    DataFrame with ``Dataset.observe`` — per micro-batch: row count,
+    per-required-column null counts, and an optional value sum. The
+    metrics ride the EXISTING pass (Spark accumulates them inside the
+    plan — zero extra jobs, zero extra scans, unlike a count()-based
+    check) and surface in every ``StreamingQueryProgress`` under
+    ``observedMetrics[name]``, where :class:`MetricsListener` or any
+    ops shipper can read them.
+
+    This is the streaming-native complement to the batch
+    ``DataQualityValidator``: the validator GATES a batch after
+    computing its report; ``observe_quality`` emits the same
+    completeness counters continuously without touching the data path.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in required or []:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(28,6)"))
+            .cast("double")
+            .alias(f"sum_{value_col}")
+        )
+    return df.observe(name, *aggs)

@@ -1222,3 +1222,53 @@ def test_windowed_stats_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_observe_quality_metrics_in_progress(spark, tmp_path):
+    """Dataset.observe counters ride the ingestion pass and appear in
+    each micro-batch's progress (observedMetrics) — continuous
+    completeness monitoring with zero extra scans."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.metrics import (
+        observe_quality,
+    )
+
+    n = _land_events_json(spark, tmp_path / "landing", F.col("event_id") < 120)
+    stream = observe_quality(
+        file_stream(spark, str(tmp_path / "landing"), EVENTS_SCHEMA),
+        name="dq",
+        required=["user_id", "event_id"],
+        value_col="value",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "lake"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    observed = [
+        p["observedMetrics"]["dq"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("dq")
+    ]
+    assert observed, "no observed metrics in any progress"
+    assert sum(m["rows"] for m in observed) == n
+    assert all(m["null_user_id"] == 0 for m in observed)
+    want_sum = (
+        spark.read.parquet(str(tmp_path / "lake"))
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"))
+        .collect()[0][0]
+    )
+    assert abs(sum(m["sum_value"] for m in observed) - want_sum) < 1e-6
+
+    # batch DataFrames take the same counters (Observation-free read
+    # via the plan's CollectMetrics is streaming-only; in batch the
+    # call is still valid and the plan carries the metrics node)
+    b = observe_quality(
+        spark.read.schema(EVENTS_SCHEMA).json(str(tmp_path / "landing")),
+        name="dq_b",
+        required=["user_id"],
+    )
+    assert b.count() == n
