@@ -1033,3 +1033,45 @@ def int8_rerank_topk(
     ).select(id_col)
     shortlisted = df.join(F.broadcast(cand_ids), id_col, "leftsemi")
     return cosine_topk(shortlisted, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def save_ann_state(
+    path: str,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    metadata: dict | None = None,
+) -> None:
+    """Persist trained ANN state (IVF centroids and/or PQ codebooks) as
+    one JSON artifact — the train-once/score-everywhere contract a
+    production index needs: the ingest job trains and saves, every
+    query job loads and scores, and two jobs can never disagree about
+    the quantizer. Floats round-trip exactly (JSON decimal strings of
+    Python floats are lossless via repr)."""
+    import json
+    import os
+
+    state = {
+        "format_version": 1,
+        "centroids": centroids,
+        "codebooks": codebooks,
+        "metadata": metadata or {},
+    }
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)  # atomic publish, same contract as txlog
+
+
+def load_ann_state(path: str) -> dict:
+    """Load a :func:`save_ann_state` artifact. Raises on version
+    mismatch so a quantizer format change can never be silently
+    misread."""
+    import json
+
+    with open(path) as f:
+        state = json.load(f)
+    if state.get("format_version") != 1:
+        raise ValueError(
+            f"unsupported ann state format: {state.get('format_version')!r}"
+        )
+    return state

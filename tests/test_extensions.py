@@ -951,3 +951,43 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     cont = ngram_containment_pairs(docs, threshold=0.9).collect()
     assert len(cont) == 1 and cont[0].containment == 1.0
     assert ngram_jaccard_pairs(docs, threshold=0.2).count() == 0
+
+
+def test_ann_state_round_trip_bit_exact(spark, tmp_path):
+    """Trained quantizer state (IVF centroids + PQ codebooks) survives
+    save/load BIT-EXACTLY — scoring with reloaded state produces the
+    identical top-k, and a format-version bump fails loudly."""
+    import json
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        load_ann_state,
+        pq_topk,
+        pq_train,
+        save_ann_state,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    cents = kmeans_centroids(emb, n_centroids=4)
+    books = pq_train(emb, m=4, n_codes=8)
+
+    p = str(tmp_path / "ann_state.json")
+    save_ann_state(p, centroids=cents, codebooks=books, metadata={"dim": len(q)})
+    state = load_ann_state(p)
+    assert state["centroids"] == cents  # lossless float round-trip
+    assert state["codebooks"] == books
+    assert state["metadata"] == {"dim": len(q)}
+
+    a = pq_topk(emb, books, q, k=5).collect()
+    b = pq_topk(emb, state["codebooks"], q, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    bad = dict(state, format_version=99)
+    with open(p, "w") as f:
+        json.dump(bad, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_ann_state(p)
