@@ -7282,3 +7282,147 @@ def q_subsequence_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         center=True,
     )
+
+
+@register(
+    "customer_churn_monthly",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT o_custkey AS c,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+      FROM orders
+    ), months AS (
+      SELECT DISTINCT m FROM activity
+    ), churn AS (
+      SELECT a.m AS month,
+             count(*) FILTER (WHERE b.c IS NULL) AS churned,
+             count(*) AS active
+      FROM activity a
+      LEFT JOIN activity b
+        ON b.c = a.c AND b.m = a.m + INTERVAL 1 MONTH
+      WHERE a.m + INTERVAL 1 MONTH IN (SELECT m FROM months)
+      GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(active AS BIGINT) AS active,
+           CAST(churned AS BIGINT) AS churned
+    FROM churn
+    """,
+)
+def q_customer_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month churn: customers active in month m with no
+    order in m+1 (final data month excluded — churn there is
+    unobservable). One DISTINCT (customer, month) reduction first, so
+    the self-join runs over |customers|x|months| activity rows, never
+    order rows; the month+1 lookup is a left join + null test counted
+    in the same aggregate. The standard retention complement to
+    `cohort_retention_weekly`."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    act = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("m"),
+        )
+        .distinct()
+    )
+    months = act.select("m").distinct()
+    nxt = act.select(
+        F.col("c").alias("nc"), F.add_months(F.col("m"), -1).alias("pm")
+    )
+    joined = (
+        act.join(
+            months.select(F.add_months(F.col("m"), -1).alias("m")).distinct(),
+            "m",
+            "leftsemi",
+        )
+        .join(nxt, (F.col("c") == F.col("nc")) & (F.col("m") == F.col("pm")), "left")
+        .groupBy(F.col("m").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("active"),
+            F.sum(F.when(F.col("nc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+    return joined.select("month", "active", "churned")
+
+
+@register(
+    "salient_terms_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC
+             ) AS rk
+      FROM tf JOIN df USING (tok)
+      WHERE df.df < (SELECT count(*) FROM documents)
+    )
+    SELECT doc_id,
+           string_agg(tok, ',' ORDER BY rk) AS salient_terms
+    FROM ranked WHERE rk <= 3
+    GROUP BY 1
+    """,
+)
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms — the TF-IDF keyword-extraction idea
+    with an INTEGER-EXACT ranking (term frequency desc, document
+    frequency asc, token tiebreak) instead of a float idf product, so
+    the ranking is engine-exact with no log() in sight; corpus-
+    universal terms (df = N) carry no signal and are excluded. Plan:
+    (doc, token) counts + a token-keyed document-frequency aggregate,
+    one ranking window per doc, top-3 reassembled as an ordered
+    comma-joined string (driver-hashable scalar). Shuffles carry
+    tokens and counts, never document bodies."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # corpus size as a broadcast 1-row scalar INSIDE the plan — a
+    # driver-side count() here would run a job at DataFrame build,
+    # breaking the registry's lazy-build invariant (test_plans.py)
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n")))
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    ranked = (
+        tf.join(df_, "tok")
+        .crossJoin(n_docs)
+        .filter(F.col("df") < F.col("__n"))
+        .drop("__n")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("tf"), F.asc("df"), F.asc("tok")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            ",",
+        ).alias("salient_terms")
+    )
