@@ -169,3 +169,47 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return per_node
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per vertex — how close a vertex's
+    neighborhood is to a clique: triangles(v) / C(deg(v), 2). Built
+    directly on :func:`triangle_counts` (degree-oriented, skew-proof)
+    plus one degree aggregate; vertices of degree < 2 are excluded
+    (coefficient undefined).
+
+    Determinism: the coefficient is emitted as the exact integer pair
+    (``triangles``, ``wedges`` = deg·(deg−1)/2) plus their rounded
+    ratio — the integers are the hash-safe contract, the ratio is one
+    double division (identical in any engine)."""
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("lo").alias("v"))
+        .unionAll(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    tri = triangle_counts(edges, src_col, dst_col)
+    wedges = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            "v",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            wedges.alias("wedges"),
+        )
+        .withColumn(
+            "coefficient",
+            F.round(F.col("triangles") / F.col("wedges"), 6),
+        )
+    )

@@ -7426,3 +7426,111 @@ def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("salient_terms")
     )
+
+
+@register(
+    "clustering_coeff_parts",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+      SELECT a.pk AS ea, b.pk AS eb
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT ea AS v FROM pairs UNION ALL SELECT eb AS v FROM pairs
+      ) GROUP BY 1 HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.ea = e1.eb
+      JOIN pairs e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+    ), tcount AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.v, coalesce(t.triangles, 0) AS triangles,
+           CAST(d.deg * (d.deg - 1) / 2 AS BIGINT) AS wedges,
+           round(CAST(coalesce(t.triangles, 0) AS DOUBLE)
+                 / (d.deg * (d.deg - 1) / 2), 6) AS coefficient
+    FROM deg d LEFT JOIN tcount t ON t.v = d.v
+    """,
+)
+def q_clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the co-purchase graph
+    (operators/graph.py:clustering_coefficients): triangles(v) /
+    C(deg v, 2) — the neighborhood-cliqueness signal that separates
+    organic communities from hub-and-spoke structure. Exact integer
+    (triangles, wedges) pair plus one rounded double ratio; the
+    degree-oriented triangle engine keeps it skew-proof."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("src", "dst")
+    )
+    return clustering_coefficients(edges)
+
+
+@register(
+    "order_amount_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.5) AS p50
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.p50) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           (SELECT p50 FROM med WHERE med.o_orderpriority = dev.o_orderpriority)
+             AS median_amount,
+           quantile_disc(adev, 0.5) AS mad
+    FROM dev GROUP BY 1
+    """,
+)
+def q_order_amount_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per order priority — the robust
+    dispersion measure (outlier-immune, unlike stddev) as two exact
+    discrete-median passes: group medians (percentile_disc, a real
+    data element — no interpolation arithmetic to diverge), absolute
+    deviations from the group median (one broadcast join of the 5-row
+    median table), then the median of those deviations. Every selected
+    value is an element of the data, so hashes are exact by
+    construction."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "median_amount"
+        )
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("median_amount"))
+    )
+    return dev.groupBy("o_orderpriority", "median_amount").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
