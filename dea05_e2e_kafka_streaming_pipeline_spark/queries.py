@@ -7534,3 +7534,76 @@ def q_order_amount_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.groupBy("o_orderpriority", "median_amount").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
     )
+
+
+@register(
+    "basket_rules_confidence",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), supp AS (
+      SELECT pk, count(*) AS s FROM items GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS together
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT antecedent, consequent, together, n_ante,
+           round(CAST(together AS DOUBLE) / n_ante, 6) AS confidence
+    FROM (
+      SELECT p.part_a AS antecedent, p.part_b AS consequent,
+             p.together, sa.s AS n_ante
+      FROM pairs p JOIN supp sa ON sa.pk = p.part_a
+      UNION ALL
+      SELECT p.part_b, p.part_a, p.together, sb.s
+      FROM pairs p JOIN supp sb ON sb.pk = p.part_b
+    )
+    WHERE round(CAST(together AS DOUBLE) / n_ante, 6) >= 0.1
+    """,
+)
+def q_basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules a→b with confidence = P(b|a) =
+    together/|a| ≥ 0.1 — the actionable recommendation form on top of
+    `basket_part_pairs`' symmetric lift screen (each undirected pair
+    yields both directions; confidence is asymmetric, which is the
+    point). Exact integer numerator/denominator, one rounded division
+    for the hash surface."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    supp = items.groupBy("pk").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "together",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "together",
+        )
+    )
+    out = directed.join(
+        supp.select(F.col("pk").alias("antecedent"), F.col("s").alias("n_ante")),
+        "antecedent",
+    ).withColumn(
+        "confidence",
+        F.round(F.col("together").cast("double") / F.col("n_ante"), 6),
+    )
+    return out.filter(F.col("confidence") >= 0.1).select(
+        "antecedent", "consequent", "together", "n_ante", "confidence"
+    )
