@@ -1075,3 +1075,65 @@ def load_ann_state(path: str) -> dict:
             f"unsupported ann state format: {state.get('format_version')!r}"
         )
     return state
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several bounded candidate rankings —
+    the standard hybrid-retrieval combiner (lexical BM25 + dense
+    cosine, or any mix): fused score = Σ 1/(c + rank_i), with absent
+    arms contributing 0. Each input in ``rankings`` is
+    ``(df, id_col, score_col)`` and MUST already be a bounded top-N
+    candidate list (e.g. from :func:`cosine_topk` /
+    ``text.bm25_topk``): ranks are assigned by a global row_number
+    over (rounded score DESC, id ASC), which is only sane — and only
+    scale-free — over an already-reduced candidate set. Ranks are
+    exact integers, so each contribution is one IEEE double division
+    and the fused score is engine-exact; output ranks use 0 for
+    "not in this arm's top-N" so every column is non-null.
+
+    Output: ``id``, ``rank_0`` … ``rank_{n-1}``, ``rrf_score``
+    (round 6), top-``k`` by (rrf_score DESC, id ASC).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    ranked = []
+    for i, (df, id_col, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.row_number().over(w).cast("long").alias(f"rank_{i}"),
+            )
+        )
+    fused = reduce(lambda l, r: l.join(r, "id", "full_outer"), ranked)
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        for i in range(len(rankings))
+    ]
+    score = contribs[0]
+    for extra in contribs[1:]:
+        score = score + extra
+    return (
+        fused.select(
+            "id",
+            *[
+                F.coalesce(F.col(f"rank_{i}"), F.lit(0).cast("long")).alias(
+                    f"rank_{i}"
+                )
+                for i in range(len(rankings))
+            ],
+            F.round(score, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col("id"))
+        .limit(k)
+    )

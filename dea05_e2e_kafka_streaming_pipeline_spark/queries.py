@@ -7607,3 +7607,807 @@ def q_basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("confidence") >= 0.1).select(
         "antecedent", "consequent", "together", "n_ante", "confidence"
     )
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT day, CAST(rev AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(rev * 100 AS BIGINT)) OVER (ORDER BY day)
+                  AS BIGINT) AS p,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             CAST(SUM(CAST(rev * 100 AS BIGINT)) OVER () AS BIGINT) AS t,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ), s AS (
+      SELECT day, revenue, CAST(n * p - i * t AS BIGINT) AS cusum_cents
+      FROM c
+    )
+    SELECT day, revenue, cusum_cents,
+           CAST(abs(cusum_cents) = max(abs(cusum_cents)) OVER () AS INT)
+             AS is_peak
+    FROM s
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily-revenue series — the
+    level-shift screen behind pipeline regression alerts. The classic
+    statistic S_i = P_i − i·mean needs a division; scaling by n keeps it
+    in EXACT integer cents: S'_i = n·P_i − i·T (P_i prefix sum, T grand
+    total, both bigint cents), so the hash surface is bit-identical in
+    any engine and the peak day (max |S'|) is the argmax changepoint.
+    One shuffle for the daily aggregate; the cumulative window runs over
+    the |days| post-aggregate series (bounded, the documented
+    exception); n/T/max arrive via broadcast one-row joins."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .withColumn("rc", (F.col("rev") * 100).cast("long"))
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rc").alias("t")
+    )
+    seq = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        daily.join(F.broadcast(totals))
+        .withColumn("p", F.sum("rc").over(seq))
+        .withColumn("i", F.row_number().over(Window.orderBy("day")))
+        .select(
+            "day",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("n") * F.col("p") - F.col("i") * F.col("t"))
+            .cast("long")
+            .alias("cusum_cents"),
+        )
+    )
+    peak = staged.agg(F.max(F.abs("cusum_cents")).alias("peak_abs"))
+    return staged.join(F.broadcast(peak)).select(
+        "day",
+        "revenue",
+        "cusum_cents",
+        (F.abs("cusum_cents") == F.col("peak_abs")).cast("int").alias("is_peak"),
+    )
+
+
+@register(
+    "winsorized_order_stats",
+    oracle="""
+    WITH amt AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+      FROM orders
+    ), pct AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY amt) AS p05,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY amt) AS p95
+      FROM amt GROUP BY 1
+    )
+    SELECT a.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(p.p05 AS DOUBLE) AS p05,
+           CAST(p.p95 AS DOUBLE) AS p95,
+           CAST(SUM(greatest(least(a.amt, p.p95), p.p05)) AS DOUBLE)
+             AS w_sum,
+           round(CAST(SUM(greatest(least(a.amt, p.p95), p.p05)) AS DOUBLE)
+                 / count(*), 6) AS w_mean
+    FROM amt a JOIN pct p USING (o_orderpriority)
+    GROUP BY 1, 3, 4
+    """,
+)
+def q_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per order priority: clip amounts at
+    the EXACT 5th/95th percentile_disc values (actual data points, so
+    the clip bounds hash identically across engines — the same parity
+    trick as `order_amount_mad`), then an exact decimal sum of the
+    clipped column. Outlier-robust means without MAD's double pass over
+    deviations. Two shuffles on the same key (percentile agg, clipped
+    agg) with the 5-row percentile table broadcast back — at 100 TB the
+    second shuffle partial-aggregates map-side."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    amt = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+    )
+    pct = amt.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY amt)").alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY amt)").alias("p95"),
+    )
+    clipped = amt.join(F.broadcast(pct), "o_orderpriority").withColumn(
+        "w", F.greatest(F.least(F.col("amt"), F.col("p95")), F.col("p05"))
+    )
+    return (
+        clipped.groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("w").cast("double").alias("w_sum"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("p05").cast("double").alias("p05"),
+            F.col("p95").cast("double").alias("p95"),
+            "w_sum",
+            F.round(F.col("w_sum") / F.col("n_orders"), 6).alias("w_mean"),
+        )
+    )
+
+
+@register(
+    "chisq_region_priority",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS region, o.o_orderpriority AS priority,
+             count(*) AS observed
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT region, priority, observed,
+             CAST(SUM(observed) OVER (PARTITION BY region) AS BIGINT) AS rt,
+             CAST(SUM(observed) OVER (PARTITION BY priority) AS BIGINT) AS ct,
+             CAST(SUM(observed) OVER () AS BIGINT) AS gt
+      FROM obs
+    )
+    SELECT region, priority, observed,
+           round(CAST(rt * ct AS DOUBLE) / gt, 6) AS expected_r6,
+           round((observed - CAST(rt * ct AS DOUBLE) / gt)
+                 * (observed - CAST(rt * ct AS DOUBLE) / gt)
+                 / (CAST(rt * ct AS DOUBLE) / gt), 6) AS chi2_r6
+    FROM tot
+    """,
+)
+def q_chisq_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority — the categorical-drift / A-B sanity screen as a
+    per-cell contribution table (the statistic is the sum; per-cell
+    contributions keep the hash surface free of cross-cell float
+    summation order). Expected count = row_total·col_total/grand_total:
+    integer products, ONE double division — a fixed IEEE expression
+    tree, identical in both engines. One broadcast join + one shuffle to
+    the 25-cell contingency table; marginals are windows over the
+    bounded post-aggregate cells."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("region"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = (
+        obs.withColumn(
+            "rt", F.sum("observed").over(Window.partitionBy("region"))
+        )
+        .withColumn("ct", F.sum("observed").over(Window.partitionBy("priority")))
+        .withColumn("gt", F.sum("observed").over(Window.partitionBy()))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("gt")
+    return tot.select(
+        "region",
+        "priority",
+        "observed",
+        F.round(e, 6).alias("expected_r6"),
+        F.round((F.col("observed") - e) * (F.col("observed") - e) / e, 6).alias(
+            "chi2_r6"
+        ),
+    )
+
+
+@register(
+    "attribution_first_last",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, ts, event_id, event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS ft,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+      FROM events
+    )
+    SELECT coalesce(ft, '(direct)') AS first_touch,
+           coalesce(lt, '(direct)') AS last_touch,
+           count(*) AS n_conversions,
+           count(DISTINCT user_id) AS n_users
+    FROM j WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: each purchase is
+    credited to the user's earliest and latest non-purchase touchpoint
+    strictly before it (window frame ending at 1 PRECEDING, ordered by
+    (ts, event_id) for total determinism), '(direct)' when none exists.
+    One shuffle on user_id serves both window passes; the grain of the
+    output is the (first, last) channel pair — the standard attribution
+    comparison matrix. At 100 TB user partitions are small and the
+    frame is a running first/last, O(1) per row."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("ft", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+    )
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("ft", F.lit("(direct)")).alias("first_touch"),
+            F.coalesce("lt", F.lit("(direct)")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "duplicate_spans_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                                   i -> array_to_string(t[i:i+3], ' ')))
+               AS span
+      FROM toks
+    )
+    SELECT span, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span mining (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): every 4-token window that
+    recurs across ≥2 documents, with document and occurrence counts —
+    the memorization audit that motivates span-level (not doc-level)
+    dedup. Differs from `dedup_chunks_docs` (which dedups fixed chunks)
+    by sliding the window every token, and from `contamination_docs` by
+    reporting the corpus-internal duplicate mass rather than overlap
+    with a benchmark. Spans explode map-side and reduce on the span
+    key with map-side partial aggregation; no doc bodies shuffle — only
+    the 4-token spans themselves, which ARE the result grain. The
+    reference's pipeline has no span-level audit; semantics follow the
+    published suffix-array formulation restricted to fixed k=4."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= 4)
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 3),
+                lambda i: F.array_join(F.slice("t", i, 4), " "),
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "rrf_hybrid_topk_docs",
+    oracle=f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS r
+      FROM ( {_bm25_oracle(_BM25_TERMS, k=100)} )
+    ), vec AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS r
+      FROM (
+        WITH q AS (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6)
+                 AS score
+        FROM embeddings e, q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT 100
+      )
+    )
+    SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+           CAST(coalesce(l.r, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(v.r, 0) AS BIGINT) AS vec_rank,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r), 0.0), 6)
+             AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON v.vec_id = l.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
+    top-100 and the dense cosine top-100 (vec_id aligns with doc_id in
+    the fixtures) fused as Σ 1/(60+rank) — the standard
+    score-scale-free combiner behind hybrid search. Each arm is a
+    bounded candidate list produced by its scalable retriever
+    (TakeOrderedAndProject partial top-k), so the fusion window ranks
+    ≤100 rows per arm; ranks are exact integers and each contribution
+    is one IEEE division, making the fused score engine-exact. Rank 0
+    marks "absent from this arm's top-100"."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bm25_topk
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    lex = bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=100)
+    vec = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), list(_query_vec(sf_dir)), k=100
+    )
+    fused = rrf_fuse(
+        [(lex, "doc_id", "bm25_score"), (vec, "vec_id", "score")], k=20, c=60
+    )
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("vec_rank"),
+        "rrf_score",
+    )
+
+
+@register(
+    "grouped_split_docs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(source || ''), 1, 8))::BIGINT
+                  % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(DISTINCT source) AS n_sources,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+)
+def q_grouped_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware dataset split (80/10/10 keyed on md5(source), not
+    doc_id): every document from one source lands in the same split, so
+    near-duplicates within a source can never leak from train into
+    test — the leakage-prevention variant of `dataset_split_docs`
+    (GroupShuffleSplit semantics). Still a pure projection per row (one
+    md5 of the group key), shuffle-free assignment at any scale; the
+    summary aggregate here is the split-balance audit."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        assign_splits,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    split = assign_splits(
+        docs, key_col="source", splits={"train": 80, "valid": 10, "test": 10}
+    )
+    return split.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "target_encoding_priority",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS order_id, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority, SUM(amt) AS tot, count(*) AS n
+      FROM a GROUP BY 1
+    )
+    SELECT order_id, a.o_orderpriority,
+           CAST(a.amt AS DOUBLE) AS amount,
+           round(CAST(s.tot - a.amt AS DOUBLE) / (s.n - 1), 6) AS te_loo_r6
+    FROM a JOIN s USING (o_orderpriority)
+    """,
+)
+def q_target_encoding_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    amount — the feature-engineering staple that replaces a categorical
+    with its target mean while excluding the row's own label (the
+    anti-leakage form): te_i = (Σ_group − amt_i)/(n_group − 1). The
+    numerator is an exact decimal difference, the denominator an exact
+    count, one IEEE division per row — engine-exact. Plan: one grouped
+    aggregate to the 5-row stats table, broadcast back onto the fact
+    rows; no window over the full table, so group size never bounds a
+    partition."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+    )
+    s = a.groupBy("o_orderpriority").agg(
+        F.sum("amt").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return a.join(F.broadcast(s), "o_orderpriority").select(
+        "order_id",
+        "o_orderpriority",
+        F.col("amt").cast("double").alias("amount"),
+        F.round(
+            (F.col("tot") - F.col("amt")).cast("double") / (F.col("n") - 1), 6
+        ).alias("te_loo_r6"),
+    )
+
+
+@register(
+    "dow_seasonality_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), d AS (
+      SELECT isodow(day) AS dow, count(*) AS n_days, SUM(rev) AS rev
+      FROM daily GROUP BY 1
+    ), t AS (
+      SELECT SUM(rev) AS tot, CAST(SUM(n_days) AS BIGINT) AS nd FROM d
+    )
+    SELECT CAST(dow AS INT) AS dow, n_days,
+           CAST(d.rev AS DOUBLE) AS revenue,
+           round((CAST(d.rev AS DOUBLE) / n_days)
+                 / (CAST(t.tot AS DOUBLE) / t.nd), 6) AS seasonal_index
+    FROM d, t
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week multiplicative seasonal index over daily revenue
+    (ISO weekday 1=Mon…7=Sun): average revenue on that weekday divided
+    by the overall daily average — the seasonality decomposition that
+    feeds staffing/capacity models. Exact decimal daily sums roll up to
+    exact weekday sums; the index is a fixed two-division IEEE tree
+    written identically in both engines. Two cheap shuffles (day, then
+    7-row dow) + one broadcast scalar."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    d = daily.groupBy((F.weekday("day") + 1).cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("rev")
+    )
+    t = d.agg(
+        F.sum("rev").alias("tot"), F.sum("n_days").cast("long").alias("nd")
+    )
+    return d.join(F.broadcast(t)).select(
+        "dow",
+        "n_days",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev").cast("double") / F.col("n_days"))
+            / (F.col("tot").cast("double") / F.col("nd")),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM k
+    )
+    SELECT key, n AS n_rows,
+           round(CAST(n AS DOUBLE) / total, 6) AS share_r6,
+           round(CAST(n * nk AS DOUBLE) / total, 6) AS skew_x_r6
+    FROM k, t ORDER BY n DESC, key LIMIT 20
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over lineitem.l_partkey: the 20
+    heaviest keys with row share and skew factor (rows ÷ the uniform
+    per-key expectation) — the planning report that decides whether a
+    join needs salting or AQE skew handling (see operators/skew.py).
+    One grouped count + broadcast scalar totals + partial top-k; the
+    key histogram never leaves the executors except the top rows."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    k = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = k.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nk"),
+    )
+    return (
+        k.join(F.broadcast(t))
+        .select(
+            "key",
+            F.col("n").alias("n_rows"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share_r6"
+            ),
+            F.round(
+                (F.col("n") * F.col("nk")).cast("double") / F.col("total"), 6
+            ).alias("skew_x_r6"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(20)
+    )
+
+
+@register(
+    "categorical_entropy_orders",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS nt
+      FROM cell
+    )
+    SELECT o_orderstatus, o_orderpriority, n,
+           round(CAST(n AS DOUBLE) / nt, 6) AS p_r6,
+           round(-(CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt), 6)
+             AS entropy_term_r6
+    FROM tot
+    """,
+)
+def q_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of the priority distribution within each
+    order status — the column-profiling signal behind drift monitors
+    and feature-selection screens. Emitted as per-cell −p·ln p
+    contributions (the entropy is their sum) so the hash surface never
+    depends on cross-cell float summation order; p is one exact-count
+    division and ln comes from the same correctly-rounded libm on both
+    engines (the BM25 oracle established the precedent at round-6).
+    One shuffle to the ~15-cell contingency table; marginals are
+    windows over the bounded cells."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "nt",
+            F.sum("n").over(Window.partitionBy("o_orderstatus")).cast("long"),
+        )
+    )
+    p = F.col("n").cast("double") / F.col("nt")
+    return cell.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        F.round(p, 6).alias("p_r6"),
+        F.round(-p * F.log(p), 6).alias("entropy_term_r6"),
+    )
+
+
+@register(
+    "label_centroid_embeddings",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
+    SELECT label, dim, count(*) AS n_vectors,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+                AS BIGINT) AS sum_scaled,
+           round(CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1048576.0, 6) AS centroid_r6
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q_label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the class-prototype
+    aggregate behind SemDeDup cluster auditing, nearest-class-mean
+    classification, and embedding-drift monitors. Element-wise means
+    are float-summation-order-dependent, so the sum is fixed-point:
+    each float scales by 2^20 (EXACT — a power-of-two scale of a
+    float-derived double) and floors to bigint; sums are exact
+    integers at any partitioning and the final division is one fixed
+    IEEE tree. Plan: posexplode to (label, dim) grain — the shuffle
+    carries (label, dim, long), never whole vectors — with map-side
+    partial aggregation; 100 TB of vectors reduce to |labels|·|dims|
+    rows."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+    )
+    scaled = F.floor(F.col("x").cast("double") * 1048576).cast("long")
+    return (
+        emb.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(scaled).alias("sum_scaled"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vectors",
+            "sum_scaled",
+            F.round(
+                F.col("sum_scaled").cast("double")
+                / F.col("n_vectors")
+                / 1048576.0,
+                6,
+            ).alias("centroid_r6"),
+        )
+    )
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH subjects AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 13
+    ), ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM subjects) AS n_rows_to_erase
+    UNION ALL
+    SELECT 'orders', (SELECT count(*) FROM ords)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+    """,
+)
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure blast-radius audit: given a deterministic
+    data-subject list (custkey ≡ 13 mod 97 stands in for the request
+    queue), count the rows each table would lose when the delete
+    cascades customer → orders → lineitem — the compliance dry-run
+    every lakehouse needs before an actual GDPR/CCPA purge (the purge
+    itself is `txlog` MERGE/delete territory). Cascade = two left-semi
+    joins; the subject and order key sets broadcast at request-queue
+    scale, so no fact-table shuffle."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    subjects = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 13)
+        .select("c_custkey")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(subjects),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_to_erase"),
+        )
+
+    return one("customer", subjects).unionAll(one("orders", ords)).unionAll(
+        one("lineitem", li)
+    )
+
+
+@register(
+    "quality_quantile_norm_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_token_len
+      FROM t
+    ), q AS (
+      SELECT doc_id, source,
+             round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + alpha_ratio * 0.4
+                   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM s
+    )
+    SELECT doc_id, source, quality_score,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality_score, doc_id), 6)
+             AS q_norm_r6
+    FROM q
+    """,
+)
+def q_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the quality score — the
+    curation step that makes quality thresholds comparable ACROSS
+    heterogeneous sources (a raw 0.6 from a clean source and from a
+    noisy crawl mean different things; their within-source percentile
+    ranks don't). percent_rank is pure rational arithmetic over the
+    (rounded score, doc_id) total order, so membership and values are
+    engine-exact; the window partitions by source — fully parallel, no
+    global sort."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    scored = with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "quality_score"
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return scored.withColumn(
+        "q_norm_r6", F.round(F.percent_rank().over(w), 6)
+    )
