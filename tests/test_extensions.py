@@ -991,3 +991,48 @@ def test_ann_state_round_trip_bit_exact(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         load_ann_state(p)
+
+
+def test_rrf_fuse_known_answer(spark):
+    """RRF over two hand-built rankings: fused score = sum of
+    1/(c+rank) with rank 0 marking absence from an arm; ordering and
+    exact contributions verified against hand arithmetic."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(10, 3.0), (11, 2.0), (12, 1.0)], "doc_id long, s double"
+    )
+    vec = spark.createDataFrame(
+        [(11, 0.9), (13, 0.8)], "vec_id long, score double"
+    )
+    got = {
+        r.id: r
+        for r in rrf_fuse(
+            [(lex, "doc_id", "s"), (vec, "vec_id", "score")], k=10, c=60
+        ).collect()
+    }
+    # doc 11: rank 2 lexically, rank 1 dense -> both arms contribute
+    assert got[11].rank_0 == 2 and got[11].rank_1 == 1
+    assert got[11].rrf_score == round(1.0 / 62 + 1.0 / 61, 6)
+    # doc 10: lexical only; doc 13: dense only (rank 0 = absent)
+    assert got[10].rank_1 == 0
+    assert got[10].rrf_score == round(1.0 / 61, 6)
+    assert got[13].rank_0 == 0
+    assert got[13].rrf_score == round(1.0 / 62, 6)
+    # fusion order: the doc present in BOTH arms outranks single-arm docs
+    order = sorted(got.values(), key=lambda r: (-r.rrf_score, r.id))
+    assert order[0].id == 11
+
+
+def test_rrf_fuse_ties_break_on_id(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(2, 1.0), (1, 1.0)], "doc_id long, s double")
+    got = rrf_fuse([(a, "doc_id", "s")], k=2).collect()
+    # equal scores: rank assignment (and hence fused order) follows id
+    assert [r.id for r in got] == [1, 2]
+    assert [r.rank_0 for r in got] == [1, 2]

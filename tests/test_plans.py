@@ -295,3 +295,51 @@ def test_excess_shipments_window_reuses_pair_exchange(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("lineitem.parquet") == 1
     assert "Window" in plan
+
+
+def test_target_encoding_broadcasts_group_stats(spark):
+    """LOO target encoding must come from a grouped-agg + broadcast
+    join back onto the fact rows — never a full-table window (whose
+    partition size would be the group size at 100 TB)."""
+    plan = _plan(spark, "target_encoding_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
+def test_gdpr_erasure_semi_join_cascade(spark):
+    """The erasure cascade must be left-semi joins with the (small)
+    subject/order key sets on the build side — the fact tables never
+    shuffle."""
+    plan = _plan(spark, "gdpr_erasure_audit")
+    assert plan.count("LeftSemi") >= 3
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_duplicate_spans_partial_aggregation(spark):
+    """Span mining must partial-aggregate map-side so the shuffle
+    carries (span, partial counts), not one record per occurrence."""
+    plan = _plan(spark, "duplicate_spans_docs")
+    assert "partial_count" in plan
+
+
+def test_key_skew_report_partial_topk(spark):
+    plan = _plan(spark, "key_skew_report")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_label_centroid_partial_sums(spark):
+    """Centroids reduce at (label, dim) grain with map-side combine;
+    the exchange carries longs, not embedding arrays."""
+    plan = _plan(spark, "label_centroid_embeddings")
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_rrf_arms_are_partial_topk(spark):
+    """Both retrieval arms of the hybrid fusion must be bounded
+    TakeOrdered candidate lists before the fusion window runs."""
+    plan = _plan(spark, "rrf_hybrid_topk_docs")
+    assert plan.count("TakeOrderedAndProject") >= 2
