@@ -241,6 +241,46 @@ def read_avro_distributed(
     return files.mapInPandas(decode, spark_schema)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML scan via Spark 4's built-in XML source (spark-xml was folded
+    into core in 4.0 — no extra jar). Same typed-read policy as
+    :func:`read_json`: the schema is mandatory because an inference pass
+    over a large XML prefix is a non-starter, and typed reads catch
+    drift at plan time. ``rowTag`` selects the repeating record
+    element; files split by row boundaries, so reads parallelize like
+    any text source."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (built-in Spark 4 source) — for the interchange feeds
+    (regulatory, B2B) that still require XML. One file per partition,
+    same parallel-writer shape as every other sink here."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
     """Delta table scan (reference mage-programs/orders_delta_lake.py:61).
 
