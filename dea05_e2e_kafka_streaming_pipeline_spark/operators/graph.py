@@ -213,3 +213,67 @@ def clustering_coefficients(
             F.round(F.col("triangles") / F.col("wedges"), 6),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 32,
+) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where
+    every vertex keeps degree ≥ k — by iterative peeling: drop every
+    vertex below degree k, recompute degrees over the surviving edges,
+    repeat until a round removes nothing. The standard community /
+    spam-subgraph densification filter (cores survive where stars and
+    chains dissolve).
+
+    Input edges may be directed/duplicated; they canonicalize to one
+    (lo, hi) row per undirected edge first. Each round is one degree
+    aggregate + two left-semi joins over the EDGE list only; the edge
+    frame is ``localCheckpoint``-ed per round so lineage stays flat,
+    and the convergence check rides the same materialization (the
+    surviving-edge count is a driver scalar — the
+    :func:`connected_components` loop discipline). Peeling converges
+    in at most |V| rounds but in practice in O(diameter)-ish rounds;
+    ``max_iterations`` is a hard stop far above any observed depth.
+
+    Returns (v, core_degree) for every vertex of the k-core, with its
+    degree inside the core (≥ k by construction).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("lo").alias("v"))
+            .unionAll(e.select(F.col("hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        pruned = e.join(
+            keep.withColumnRenamed("v", "lo"), "lo", "leftsemi"
+        ).join(
+            keep.withColumnRenamed("v", "hi"), "hi", "leftsemi"
+        ).localCheckpoint(eager=True)
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
+            break
+        e, n_edges = pruned, n_pruned
+    return (
+        e.select(F.col("lo").alias("v"))
+        .unionAll(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -8411,3 +8411,232 @@ def q_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "q_norm_r6", F.round(F.percent_rank().over(w), 6)
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling in portable SQL (the `_pagerank_oracle`
+    trick: fixed-iteration CTE chains replace the engine's convergent
+    driver loop; `rounds` must exceed the fixture graph's peel depth —
+    11 at sf0.01 for k=3 — so both sides reach the same fixpoint)."""
+    ctes = [
+        """items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e0 AS MATERIALIZED (
+      SELECT a.pk AS src, b.pk AS dst
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+      SELECT v FROM (
+        SELECT src AS v FROM e{i} UNION ALL SELECT dst AS v FROM e{i}
+      ) GROUP BY v HAVING count(*) >= {k}
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT * FROM e{i}
+      WHERE src IN (SELECT v FROM k{i}) AND dst IN (SELECT v FROM k{i})
+    )"""
+        )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT v AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (
+      SELECT src AS v FROM e{rounds} UNION ALL SELECT dst AS v FROM e{rounds}
+    ) GROUP BY v
+    """
+
+
+@register("kcore_parts_graph", oracle=_kcore_oracle(k=3, rounds=16))
+def q_kcore_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the parts co-purchase graph (parts bought together in
+    ≥2 orders): the maximal subgraph where every part keeps ≥3
+    co-purchase partners — the densification filter that separates
+    genuine product communities from incidental co-occurrence stars.
+    Engine side peels iteratively to the fixpoint
+    (operators/graph.py:k_core — per-round degree aggregate + two
+    left-semi joins over edges only, localCheckpoint-flat lineage);
+    the oracle unrolls 16 peel rounds (> the fixture's 11-round depth)
+    so both reach the identical fixpoint and per-vertex core degrees
+    hash-match."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import k_core
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("src", "dst")
+    )
+    core = k_core(edges, k=3)
+    return core.select(F.col("v").alias("part_id"), "core_degree")
+
+
+@register(
+    "mutual_info_region_priority",
+    oracle="""
+    WITH cell AS (
+      SELECT c.c_mktsegment AS region, o.o_orderpriority AS priority,
+             count(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT region, priority, n,
+             CAST(SUM(n) OVER (PARTITION BY region) AS BIGINT) AS rt,
+             CAST(SUM(n) OVER (PARTITION BY priority) AS BIGINT) AS ct,
+             CAST(SUM(n) OVER () AS BIGINT) AS gt
+      FROM cell
+    )
+    SELECT region, priority, n,
+           round((CAST(n AS DOUBLE) / gt)
+                 * ln((CAST(n AS DOUBLE) / gt)
+                      / ((CAST(rt AS DOUBLE) / gt)
+                         * (CAST(ct AS DOUBLE) / gt))), 6) AS mi_term_r6
+    FROM tot
+    """,
+)
+def q_mutual_info_region_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between market segment and order priority as
+    per-cell p(x,y)·ln(p(x,y)/(p(x)p(y))) contributions — the
+    feature-relevance measure that (unlike `chisq_region_priority`'s
+    significance test) is directly comparable across feature pairs.
+    Same bounded-contingency plan as the chi-square twin: one broadcast
+    join + one shuffle to 25 cells, marginal windows over the bounded
+    cells, exact-count divisions and one libm ln per cell, rounded at 6
+    so the hash never sums floats across cells."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cell = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("region"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = (
+        cell.withColumn(
+            "rt", F.sum("n").over(Window.partitionBy("region")).cast("long")
+        )
+        .withColumn(
+            "ct", F.sum("n").over(Window.partitionBy("priority")).cast("long")
+        )
+        .withColumn("gt", F.sum("n").over(Window.partitionBy()).cast("long"))
+    )
+    pxy = F.col("n").cast("double") / F.col("gt")
+    px = F.col("rt").cast("double") / F.col("gt")
+    py = F.col("ct").cast("double") / F.col("gt")
+    return tot.select(
+        "region",
+        "priority",
+        "n",
+        F.round(pxy * F.log(pxy / (px * py)), 6).alias("mi_term_r6"),
+    )
+
+
+@register(
+    "fk_orphans_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderkey IS NOT NULL))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part
+                                    WHERE p_partkey IS NOT NULL))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_suppkey IS NOT NULL))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                      WHERE n_nationkey IS NOT NULL))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation
+            WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region
+                                      WHERE r_regionkey IS NOT NULL))
+    """,
+)
+def q_fk_orphans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep of every foreign-key edge in the
+    star schema: per edge, the count of child rows whose key has no
+    parent — the cross-TABLE data-quality layer above the per-row DQ
+    suite (operators/quality.py screens values; this screens the
+    schema's joins). Each edge is one left-anti join with the parent
+    key set broadcast (dimension-sized) or shuffled (orders at 100 TB —
+    AQE's call); NULL child keys count as orphans in both engines
+    (anti-join semantics; the oracle's NOT IN guards the parent side
+    only)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    def orphans(
+        edge: str, child: DataFrame, ck: str, parent: DataFrame, pk: str
+    ) -> DataFrame:
+        return (
+            child.join(
+                parent.select(pk).filter(F.col(pk).isNotNull()),
+                child[ck] == F.col(pk),
+                "left_anti",
+            ).agg(
+                F.lit(edge).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orphans(
+            "lineitem.l_orderkey->orders",
+            li, "l_orderkey",
+            load_table(spark, sf_dir, "orders"), "o_orderkey",
+        )
+        .unionAll(orphans(
+            "lineitem.l_partkey->part",
+            li, "l_partkey",
+            load_table(spark, sf_dir, "part"), "p_partkey",
+        ))
+        .unionAll(orphans(
+            "lineitem.l_suppkey->supplier",
+            li, "l_suppkey",
+            load_table(spark, sf_dir, "supplier"), "s_suppkey",
+        ))
+        .unionAll(orphans(
+            "orders.o_custkey->customer",
+            load_table(spark, sf_dir, "orders"), "o_custkey",
+            load_table(spark, sf_dir, "customer"), "c_custkey",
+        ))
+        .unionAll(orphans(
+            "customer.c_nationkey->nation",
+            load_table(spark, sf_dir, "customer"), "c_nationkey",
+            load_table(spark, sf_dir, "nation"), "n_nationkey",
+        ))
+        .unionAll(orphans(
+            "nation.n_regionkey->region",
+            load_table(spark, sf_dir, "nation"), "n_regionkey",
+            load_table(spark, sf_dir, "region"), "r_regionkey",
+        ))
+    )

@@ -125,3 +125,38 @@ def test_triangle_counts_star_has_none(spark):
         [(0, i) for i in range(1, 101)], "src long, dst long"
     )
     assert triangle_counts(star).count() == 0
+
+
+def _core(spark, edges, k):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import k_core
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {r.v: r.core_degree for r in k_core(e, k=k).collect()}
+
+
+def test_kcore_peels_tail_into_triangle(spark):
+    """Triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is the
+    triangle alone — peeling must cascade (5 drops, THEN 4 drops),
+    which a single degree-filter pass would miss."""
+    got = _core(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k3_dissolves_cycle_keeps_clique(spark):
+    """A 4-cycle has no 3-core; K4 survives intact with degree 3."""
+    cycle = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = _core(spark, cycle + k4, k=3)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_direction_and_dup_invariant(spark):
+    """Duplicated and reversed edges canonicalize before peeling."""
+    tri = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3)]
+    got = _core(spark, tri, k=2)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_result(spark):
+    got = _core(spark, [(1, 2), (2, 3)], k=2)
+    assert got == {}

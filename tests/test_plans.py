@@ -146,6 +146,9 @@ def test_ivf_pruned_matches_unpartitioned_pipeline(spark):
 # is constructed) and index builders (the IVF-pruned query materializes
 # the cell-partitioned layout on first use).
 _EAGER_BUILD_OK = {
+    # k-core peels to a fixpoint: per-round convergence counts are
+    # driver actions by design (connected_components loop discipline)
+    "kcore_parts_graph",
     "dedup_cc_components",
     "dedup_cluster_sizes",
     "ivf_topk_pruned",
