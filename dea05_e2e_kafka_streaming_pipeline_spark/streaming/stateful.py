@@ -265,3 +265,85 @@ def visit_count_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+DRIFT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("cum_dev_micro", T.LongType()),
+        T.StructField("mean_dev_micro", T.LongType()),
+        T.StructField("alert", T.BooleanType()),
+    ]
+)
+
+DRIFT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("cum_dev_micro", T.LongType()),
+    ]
+)
+
+
+def drift_monitor_stream(
+    events: DataFrame,
+    baseline_micro: dict[str, int],
+    threshold_micro: int,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming mean-drift monitor — the stateful twin of the batch
+    `cusum_changepoint_daily` operator: per event type, an exact
+    integer accumulator of deviations from a FIXED baseline mean
+    (trained offline, passed as micro-units), alerting when the mean
+    deviation |Σdev|/n exceeds ``threshold_micro``. This is the
+    model/data-drift tripwire that pages before a bad feed poisons a
+    day of downstream training data.
+
+    Determinism discipline: values floor-scale to integer micros, so
+    the state (n, Σdev) is order-insensitive and batching-invariant —
+    any micro-batch boundary placement, restart, or replay yields the
+    IDENTICAL final state (restart-tested). A running-max CUSUM peak
+    is deliberately NOT kept: the path maximum depends on arrival
+    order, which would break exactly-once replay equivalence; the
+    mean-deviation alert is order-free and is what an on-call rotation
+    actually pages on. State per key is two longs — the store scales
+    with |event types|, never |events|.
+    """
+    if threshold_micro <= 0:
+        raise ValueError(f"threshold_micro must be positive: {threshold_micro}")
+    import math
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        base = int(baseline_micro.get(et, 0))
+        n, cum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += len(vals)
+            cum += int(
+                sum(int(math.floor(float(v) * 1_000_000)) - base for v in vals)
+            )
+        state.update((n, cum))
+        mean_dev = cum // n if n else 0
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_seen": [n],
+                "cum_dev_micro": [cum],
+                "mean_dev_micro": [mean_dev],
+                "alert": [abs(cum) > threshold_micro * n],
+            }
+        )
+
+    return events.groupBy(type_col).applyInPandasWithState(
+        update,
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1272,3 +1272,78 @@ def test_observe_quality_metrics_in_progress(spark, tmp_path):
         required=["user_id"],
     )
     assert b.count() == n
+
+
+def test_drift_monitor_batching_invariant_and_alerts(spark, tmp_path):
+    """Streaming mean-drift monitor (stateful.drift_monitor_stream):
+    the exact-integer state must be IDENTICAL under different
+    micro-batch boundaries (1 file per trigger vs all at once), match
+    the batch-computed expectation, and fire the alert only for the
+    key whose baseline is planted low."""
+    import math
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.stateful import (
+        drift_monitor_stream,
+    )
+
+    landing = tmp_path / "landing"
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for lo, hi in [(0, 60), (60, 120), (120, 200)]:
+        _land_events_json(
+            spark, landing, (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+
+    events = load_table(spark, SF_SMOKE, "events").filter(F.col("event_id") < 200)
+    rows = events.select("event_type", "value").collect()
+    true_mean_micro: dict[str, int] = {}
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(float(r.value))
+    for et, vals in by_type.items():
+        true_mean_micro[et] = int(
+            sum(math.floor(v * 1_000_000) for v in vals) / len(vals)
+        )
+    # plant drift: purchase baseline 50 units low -> mean dev ~ +50e6
+    baseline = dict(true_mean_micro)
+    baseline["purchase"] = baseline["purchase"] - 50_000_000
+
+    def run(name: str, max_files: int):
+        stream = file_stream(
+            spark, str(landing), EVENTS_SCHEMA, max_files_per_trigger=max_files
+        )
+        q = (
+            drift_monitor_stream(stream, baseline, threshold_micro=10_000_000)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name).toPandas()
+        # update mode emits one row per touched key per batch: the row
+        # with the max n_seen per key is the final state
+        final = out.sort_values("n_seen").groupby("event_type").tail(1)
+        return {
+            r.event_type: (r.n_seen, r.cum_dev_micro, r.alert)
+            for r in final.itertuples()
+        }
+
+    one = run("drift_one_file", 1)
+    all_at_once = run("drift_all_files", 100)
+    assert one == all_at_once  # batching-invariant exact state
+
+    expected = {
+        et: (
+            len(vals),
+            sum(
+                math.floor(v * 1_000_000) - baseline[et] for v in vals
+            ),
+        )
+        for et, vals in by_type.items()
+    }
+    for et, (n, cum, alert) in one.items():
+        assert (n, cum) == expected[et], et
+        # only the planted-low key drifts beyond 10 units mean deviation
+        assert alert == (et == "purchase"), et

@@ -136,7 +136,65 @@ def probes(spark, d: str):
             load_orders(spark, d), load_customers(spark, d)
         ).count(),
         "cosine_topk": lambda: cosine_topk(emb, q, k=20).count(),
+        "duplicate_spans": lambda: _duplicate_spans(docs).count(),
+        "label_centroids": lambda: _label_centroids(emb).count(),
+        "rrf_hybrid": lambda: _rrf_hybrid(spark, docs, emb, q).count(),
     }
+
+
+def _duplicate_spans(docs):
+    """Mirror of the `duplicate_spans_docs` registry plan (4-token
+    sliding spans, ≥2 distinct docs). Replica token namespaces are
+    disjoint, so duplicated-span mass must grow exactly k×."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+
+    d = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 3),
+                lambda i: F.array_join(F.slice("t", i, 4), " "),
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _label_centroids(emb):
+    """Mirror of `label_centroid_embeddings`: input grows k×, output
+    stays |labels|·|dims| — the map-side partial-agg stress case."""
+    e = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+    )
+    scaled = F.floor(F.col("x").cast("double") * 1048576).cast("long")
+    return e.groupBy("label", "dim").agg(F.sum(scaled).alias("s"))
+
+
+def _rrf_hybrid(spark, docs, emb, q):
+    """Mirror of `rrf_hybrid_topk_docs`: both arms are bounded top-100
+    TakeOrdered lists, so wall-clock should track the SCAN cost of the
+    arms and the fused output stays constant."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bm25_topk
+
+    # replica tokens carry the x<r> namespace suffix; replica-0 terms
+    # keep the lexical arm live at every factor
+    lex = bm25_topk(docs, ("sparkx0", "windowx0", "dupx0"), k=100)
+    vec = cosine_topk(emb, q, k=100)
+    return rrf_fuse(
+        [(lex, "doc_id", "bm25_score"), (vec, "vec_id", "score")], k=20
+    )
 
 
 def main() -> int:
