@@ -8640,3 +8640,225 @@ def q_fk_orphans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "region"), "r_regionkey",
         ))
     )
+
+
+@register(
+    "vocab_coverage_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ), cnt AS (
+      SELECT token, count(*) AS n FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt
+    ), top AS (
+      SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 1000
+    ), run AS (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS rank,
+             CAST(SUM(n) OVER (ORDER BY n DESC, token
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+      FROM top
+    )
+    SELECT token, n, rank,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_share_r6
+    FROM run, tot
+    WHERE 10 * (cum - n) < 8 * total
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage of the corpus vocabulary: the smallest
+    frequency-ranked prefix of the (top-1000) vocabulary covering 80%
+    of total token mass — the analysis that sizes tokenizer vocabularies
+    and spots boilerplate-dominated corpora (a tiny prefix covering
+    most mass = heavy repetition). The cutoff membership test is exact
+    integer arithmetic (10·prev_cum < 8·total); shares round at 6. Plan:
+    token counts reduce map-side, the candidate set is a bounded
+    TakeOrdered top-1000 (the cumulative window runs over ≤1000 rows),
+    and the grand total arrives as a broadcast scalar."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").cast("long").alias("total"))
+    top = cnt.orderBy(F.desc("n"), "token").limit(1000)
+    w = Window.orderBy(F.desc("n"), "token")
+    run = top.select(
+        "token",
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    return (
+        run.join(F.broadcast(tot))
+        .filter(10 * (F.col("cum") - F.col("n")) < 8 * F.col("total"))
+        .select(
+            "token",
+            "n",
+            "rank",
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "cum_share_r6"
+            ),
+        )
+    )
+
+
+@register(
+    "customer_pareto_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS customer_id,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT customer_id, cents,
+             row_number() OVER (ORDER BY cents DESC, customer_id) AS rn,
+             count(*) OVER () AS nc,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+      FROM spend
+    )
+    SELECT CAST((rn - 1) * 10 // nc + 1 AS INT) AS decile,
+           count(*) AS n_customers,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100 AS revenue,
+           round(CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / total_cents, 6)
+             AS share_r6
+    FROM ranked
+    GROUP BY 1, total_cents
+    """,
+)
+def q_customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of revenue across customer deciles (the
+    80/20 audit): customers rank by exact integer-cents spend, split
+    into exact equal-frequency deciles, each reporting its revenue
+    share. The ranking uses plans/analytics.py:global_row_number — the
+    zipWithIndex-style range-shuffle plan, NOT the single-reducer
+    `row_number() OVER (ORDER BY ...)` the oracle uses (same rows,
+    opposite scaling). Spend, decile boundaries, and shares are all
+    exact integer arithmetic; the one division per decile rounds at
+    6."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_row_number,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    ranked = global_row_number(spend, ["neg_cents", "customer_id"])
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .groupBy(
+            (((F.col("rn") - 1) * 10 / F.col("nc")).cast("int") + 1).alias(
+                "decile"
+            ),
+            "total_cents",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("sum_cents").cast("double") / 100).alias("revenue"),
+            F.round(
+                F.col("sum_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("share_r6"),
+        )
+    )
+
+
+@register(
+    "bfs_hops_parts",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT a.pk AS src, b.pk AS dst
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), und AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM e
+      UNION ALL SELECT dst, src FROM e
+    ), bfs(v, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT und.b, bfs.d + 1 FROM bfs JOIN und ON und.a = bfs.v
+      WHERE bfs.d < 4
+    )
+    SELECT v AS part_id, CAST(min(d) AS INT) AS hops
+    FROM bfs GROUP BY v
+    """,
+)
+def q_bfs_hops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS shortest distances from part 0 through the
+    co-purchase graph (≤4 hops) — the "customers also bought, N steps
+    out" expansion behind recommendation candidate generation. The
+    engine unrolls 4 frontier-join levels with a DISTINCT per level, so
+    each level's row count is bounded by |V| (no path enumeration); the
+    oracle's recursive CTE enumerates paths and min-aggregates — same
+    distances, and the contrast is the point: level-synchronous
+    frontier BFS is the form that survives a dense 100 TB graph. Fully
+    lazy plan (fixed unroll — no driver loop, unlike `k_core`'s
+    convergence peeling)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("src", "dst")
+    )
+    und = e.select(F.col("src").alias("va"), F.col("dst").alias("vb")).unionAll(
+        e.select(F.col("dst").alias("va"), F.col("src").alias("vb"))
+    )
+    seed = spark.range(1).select(
+        F.lit(0).cast("long").alias("v"), F.lit(0).alias("d")
+    )
+    levels = [seed]
+    frontier = seed.select("v")
+    for depth in range(1, 5):
+        nxt = (
+            frontier.join(und, frontier["v"] == und["va"])
+            .select(F.col("vb").alias("v"))
+            .distinct()
+        )
+        levels.append(nxt.select("v", F.lit(depth).alias("d")))
+        frontier = nxt
+    from functools import reduce
+
+    allv = reduce(lambda l, r: l.unionAll(r), levels)
+    return allv.groupBy(F.col("v").alias("part_id")).agg(
+        F.min("d").cast("int").alias("hops")
+    )

@@ -167,6 +167,7 @@ _EAGER_BUILD_OK = {
     # zipWithIndex semantics: the per-partition count pass is a driver
     # action by construction (see global_row_number docstring)
     "documents_global_rownum",
+    "customer_pareto_deciles",
     # materializes the snapshot-log table (commit + merge) at build,
     # like the BPE/IVF trained state
     "orders_snapshot_timetravel",
