@@ -1089,8 +1089,10 @@ def rrf_fuse(
     ``(df, id_col, score_col)`` and MUST already be a bounded top-N
     candidate list (e.g. from :func:`cosine_topk` /
     ``text.bm25_topk``): ranks are assigned by a global row_number
-    over (rounded score DESC, id ASC), which is only sane — and only
-    scale-free — over an already-reduced candidate set. Ranks are
+    over (score DESC, id ASC) — pass scores already rounded for
+    cross-engine determinism, as bm25_topk/cosine_topk emit them —
+    which is only sane (and only scale-free) over an already-reduced
+    candidate set. Ranks are
     exact integers, so each contribution is one IEEE double division
     and the fused score is engine-exact; output ranks use 0 for
     "not in this arm's top-N" so every column is non-null.

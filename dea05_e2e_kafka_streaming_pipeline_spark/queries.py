@@ -8862,3 +8862,77 @@ def q_bfs_hops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allv.groupBy(F.col("v").alias("part_id")).agg(
         F.min("d").cast("int").alias("hops")
     )
+
+
+@register(
+    "doc_span_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                                   i -> array_to_string(t[i:i+3], ' ')))
+               AS span
+      FROM toks
+    ), dup AS (
+      SELECT span FROM wins GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           count(*) AS n_spans,
+           CAST(SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_spans,
+           round(1.0 - CAST(SUM(CASE WHEN d.span IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS novelty_r6
+    FROM wins w LEFT JOIN dup d ON d.span = w.span
+    GROUP BY 1
+    """,
+)
+def q_doc_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's 4-token
+    sliding spans NOT duplicated elsewhere in the corpus — the
+    doc-level duplicate-mass score (CCNet-style) that turns
+    `duplicate_spans_docs`' corpus audit into a per-row curation
+    signal (filter or down-weight low-novelty docs before training).
+    Plan: spans explode once, reduce to the duplicated-span set
+    (map-side partial agg on the span key), then a second pass joins
+    membership back and re-aggregates per doc — spans shuffle twice,
+    bodies never; one exact division per doc rounds at 6."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= 4)
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 3),
+                lambda i: F.array_join(F.slice("t", i, 4), " "),
+            )
+        ).alias("span"),
+    )
+    dup = (
+        wins.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(1).alias("is_dup"))
+    )
+    joined = wins.join(dup, "span", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias(
+            "n_dup_spans"
+        ),
+        F.round(
+            1.0
+            - F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_r6"),
+    )

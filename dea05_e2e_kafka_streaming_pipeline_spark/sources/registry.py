@@ -262,6 +262,35 @@ def read_xml(
     )
 
 
+def read_xml_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> tuple[DataFrame, DataFrame]:
+    """XML scan with parse-level quarantine — the same ``(good, bad)``
+    contract as :func:`read_json_quarantine`: records that match
+    ``rowTag`` but fail to parse into the schema land in ``bad`` with
+    the raw record text in ``corrupt_record``, instead of folding in
+    silently as all-NULL rows under plain PERMISSIVE mode. One scan,
+    two lazy views split on corrupt-record nullness."""
+    full = T.StructType(
+        schema.fields + [T.StructField("corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .schema(full)
+        .load(path)
+        .cache()  # one pass serves both splits; unpersist after landing
+    )
+    good = df.filter(F.col("corrupt_record").isNull()).drop("corrupt_record")
+    bad = df.filter(F.col("corrupt_record").isNotNull()).select("corrupt_record")
+    return good, bad
+
+
 def write_xml(
     df: DataFrame,
     path: str,

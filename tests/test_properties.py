@@ -478,3 +478,99 @@ def test_containment_dominates_jaccard(spark):
     both = j.join(c, ["id_a", "id_b"], "inner")
     assert both.count() == j.count() == c.count()  # same pair space
     assert both.filter(F.col("containment") < F.col("jaccard")).count() == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(2, 4),
+)
+def test_kcore_is_fixpoint_and_matches_reference_peel(spark, edges, k):
+    """k_core on random graphs: (a) every returned vertex has
+    core_degree >= k; (b) the result IS a fixpoint (degrees recomputed
+    over the induced subgraph don't change); (c) membership matches a
+    driver-side reference peel."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import k_core
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.core_degree for r in k_core(e, k=k).collect()}
+    assert all(d >= k for d in got.values())
+
+    # reference peel over the canonical undirected simple graph
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for n in adj[v]:
+                adj[n].discard(v)
+            del adj[v]
+            changed = True
+    want = {v: len(ns) for v, ns in adj.items() if ns}
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    arms=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.floats(0, 10, allow_nan=False)),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.integers(1, 10),
+)
+def test_rrf_fuse_matches_reference_arithmetic(spark, arms, k):
+    """rrf_fuse on random bounded rankings must reproduce the
+    driver-computed reciprocal-rank fusion exactly (ranks by the input
+    score desc then id; absent arm contributes 0; top-k by fused score
+    then id)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    dfs = [
+        (
+            spark.createDataFrame(arm, "doc_id long, score double"),
+            "doc_id",
+            "score",
+        )
+        for arm in arms
+    ]
+    got = [
+        (r.id, r.rrf_score)
+        for r in rrf_fuse(dfs, k=k, c=60).collect()
+    ]
+
+    ranks: list[dict[int, int]] = []
+    for arm in arms:
+        ordered = sorted(arm, key=lambda t: (-t[1], t[0]))
+        ranks.append({doc: i + 1 for i, (doc, _) in enumerate(ordered)})
+    ids = {doc for arm in arms for doc, _ in arm}
+    fused = {
+        doc: round(sum(1.0 / (60 + rk[doc]) for rk in ranks if doc in rk), 6)
+        for doc in ids
+    }
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert got == want

@@ -70,3 +70,35 @@ def test_xml_read_parallelizes(spark, tmp_path):
     back = read_xml(spark, out, df.schema, row_tag="order")
     assert back.rdd.getNumPartitions() >= 2
     assert back.count() == df.count()
+
+
+def test_xml_quarantine_splits_malformed_rows(spark, tmp_path):
+    """A type-mismatched record must land in the bad split with its
+    raw text, not fold in as an all-NULL row."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import (
+        read_xml_quarantine,
+    )
+
+    xml = (
+        "<rows>"
+        "<row><id>1</id><amount>10.5</amount></row>"
+        "<row><id>oops</id><amount>2.5</amount></row>"
+        "<row><id>3</id><amount>7.25</amount></row>"
+        "</rows>"
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "part-0.xml").write_text(xml)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    good, bad = read_xml_quarantine(spark, str(src), schema, row_tag="row")
+    assert sorted((r.id, r.amount) for r in good.collect()) == [
+        (1, 10.5),
+        (3, 7.25),
+    ]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "oops" in bad_rows[0].corrupt_record
