@@ -8936,3 +8936,119 @@ def q_doc_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_r6"),
     )
+
+
+@register(
+    "user_acquisition_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS hour
+      FROM events GROUP BY 1
+    ), hourly AS (
+      SELECT hour, count(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT hour, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY hour
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM hourly
+    """,
+)
+def q_user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct-users growth curve by hour — the acquisition
+    chart every product dashboard opens with, WITHOUT a per-bucket
+    count(DISTINCT) re-scan: each user reduces to a first-seen hour
+    (one shuffle on user_id), hours aggregate to new-user counts, and
+    the cumulative sum runs over the bounded |hours| series (the
+    documented exception). Exact integers throughout."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    first_seen = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("hour"))
+    )
+    hourly = first_seen.groupBy("hour").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "revenue_mix_shift",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             o_orderpriority AS priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT month, priority, cents,
+             CAST(SUM(cents) OVER (PARTITION BY month) AS BIGINT)
+               AS month_cents
+      FROM m
+    ), sh AS (
+      SELECT month, priority,
+             round(CAST(cents AS DOUBLE) / month_cents, 6) AS share_r6
+      FROM s
+    )
+    SELECT month, priority, share_r6,
+           round(share_r6 - lag(share_r6) OVER (PARTITION BY priority
+                                                ORDER BY month), 6)
+             AS shift_r6
+    FROM sh
+    """,
+)
+def q_revenue_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue-mix shift across order priorities: each
+    (month, priority) cell's share of its month's revenue, and the
+    delta vs the previous month — the mix-shift decomposition that
+    separates "the business grew" from "the business changed shape".
+    Exact integer-cents shares (one division, round 6); the lag window
+    partitions by priority over the bounded month series. Two shuffles:
+    the (month, priority) aggregate, then the tiny cell table's
+    windows."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    s = m.withColumn(
+        "month_cents", F.sum("cents").over(Window.partitionBy("month")).cast("long")
+    )
+    sh = s.select(
+        "month",
+        "priority",
+        F.round(F.col("cents").cast("double") / F.col("month_cents"), 6).alias(
+            "share_r6"
+        ),
+    )
+    lagw = Window.partitionBy("priority").orderBy("month")
+    return sh.select(
+        "month",
+        "priority",
+        "share_r6",
+        F.round(
+            F.col("share_r6") - F.lag("share_r6").over(lagw), 6
+        ).alias("shift_r6"),
+    )
