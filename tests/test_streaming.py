@@ -1347,3 +1347,68 @@ def test_drift_monitor_batching_invariant_and_alerts(spark, tmp_path):
         assert (n, cum) == expected[et], et
         # only the planted-low key drifts beyond 10 units mean deviation
         assert alert == (et == "purchase"), et
+
+
+def test_drift_monitor_kill_and_resume_state_exact(spark, tmp_path):
+    """Kill the drift monitor after its first committed micro-batch,
+    resume from the same checkpoint, and assert the recovered state
+    ends EXACTLY where a single uninterrupted run would: the
+    applyInPandasWithState store must survive restart with its
+    integer accumulators intact (the batch-calc expectation is the
+    same oracle as the batching-invariance test)."""
+    import math
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.stateful import (
+        drift_monitor_stream,
+    )
+
+    landing = tmp_path / "landing"
+    for lo, hi in [(0, 60), (60, 120), (120, 200)]:
+        _land_events_json(
+            spark, landing, (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+    events = load_table(spark, SF_SMOKE, "events").filter(F.col("event_id") < 200)
+    by_type: dict[str, list[float]] = {}
+    for r in events.select("event_type", "value").collect():
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(float(r.value))
+    baseline = {et: 0 for et in by_type}  # raw micro-sums as state
+
+    out = tmp_path / "drift_out"
+
+    def sink(df, _eid):
+        df.write.mode("append").parquet(str(out))
+
+    def start(max_files):
+        stream = file_stream(
+            spark, str(landing), EVENTS_SCHEMA, max_files_per_trigger=max_files
+        )
+        return (
+            drift_monitor_stream(stream, baseline, threshold_micro=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .start()
+        )
+
+    q = start(1)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if (q.lastProgress or {}).get("batchId", -1) >= 0 and out.exists():
+            break
+        time.sleep(0.2)
+    q.stop()
+    assert q.awaitTermination(600)
+
+    q2 = start(1)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got_df = spark.read.parquet(str(out)).toPandas()
+    final = got_df.sort_values("n_seen").groupby("event_type").tail(1)
+    got = {r.event_type: (r.n_seen, r.cum_dev_micro) for r in final.itertuples()}
+    want = {
+        et: (len(vals), sum(math.floor(v * 1_000_000) for v in vals))
+        for et, vals in by_type.items()
+    }
+    assert got == want
