@@ -9052,3 +9052,166 @@ def q_revenue_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("share_r6") - F.lag("share_r6").over(lagw), 6
         ).alias("shift_r6"),
     )
+
+
+@register(
+    "simpson_diversity_sources",
+    oracle="""
+    WITH s AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    ), agg AS (
+      SELECT lang,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             count(*) AS n_sources,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS num
+      FROM s GROUP BY 1
+    )
+    SELECT lang, n_docs, n_sources,
+           round(CAST(num AS DOUBLE) / (n_docs * (n_docs - 1)), 6)
+             AS simpson_r6
+    FROM agg WHERE n_docs > 1
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration index of source composition within each
+    language — P(two random docs share a source) = Σnᵢ(nᵢ−1)/(N(N−1)),
+    the corpus-mixing diagnostic (high = one source dominates, the
+    homogenization risk for training mixes). Numerator and denominator
+    are exact integer aggregates; one division rounds at 6. Two cheap
+    shuffles to the (lang, source) and lang grains."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = s.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("num"),
+    )
+    return agg.filter(F.col("n_docs") > 1).select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1)),
+            6,
+        ).alias("simpson_r6"),
+    )
+
+
+@register(
+    "zipf_slope_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ), cnt AS (
+      SELECT token, count(*) AS n FROM tok GROUP BY 1
+    ), top AS (
+      SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 1000
+    ), xy AS (
+      SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, token)
+                               AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM top
+    ), s AS (
+      SELECT count(*) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM xy
+    )
+    SELECT k AS n_points,
+           CAST(k * sxy - sx * sy AS BIGINT) AS num_milli2,
+           CAST(k * sxx - sx * sx AS BIGINT) AS den_milli2,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (k * sxx - sx * sx), 6) AS slope_r6
+    FROM s
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the vocabulary: the least-squares slope of
+    ln(frequency) on ln(rank) over the top-1000 tokens (natural
+    corpora sit near −1; boilerplate-heavy ones flatten). The
+    regression moments use milli-scaled FLOORED fixed-point logs, so
+    every sum is an exact int64 at any partial-aggregation schedule
+    (bounded: k·Σxy ≤ ~5e13) — the same fixed-point discipline as
+    PageRank — and the single closing division rounds at 6. The rank
+    window runs over the bounded TakeOrdered top-1000."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = cnt.orderBy(F.desc("n"), "token").limit(1000)
+    w = Window.orderBy(F.desc("n"), "token")
+    xy = top.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("k").alias("n_points"),
+        num.cast("long").alias("num_milli2"),
+        den.cast("long").alias("den_milli2"),
+        F.round(num.cast("double") / den, 6).alias("slope_r6"),
+    )
+
+
+@register(
+    "source_contamination_matrix",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})
+    )
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def q_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate WHICH: the near-dup pair graph
+    (`ngram_jaccard_pairs`, τ=0.2) rolled up to an unordered
+    source×source matrix — the provenance view that turns a dedup run
+    into a licensing/contamination finding ("crawl-B is 60% copies of
+    wiki-A"). Pair ids join back to the two source dims (broadcast of
+    the id→source projection at dim scale, AQE's call above it); the
+    matrix grain is |sources|², tiny at any corpus size."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    a = src.withColumnsRenamed({"doc_id": "id_a", "source": "source_a"})
+    b = src.withColumnsRenamed({"doc_id": "id_b", "source": "source_b"})
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    return joined.groupBy(
+        F.least("source_a", "source_b").alias("source_x"),
+        F.greatest("source_a", "source_b").alias("source_y"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
