@@ -45,6 +45,12 @@ __all__ = [
     "cms_build",
     "cms_estimates",
     "cms_heavy_hitters",
+    "hll_estimates",
+    "hll_hash",
+    "hll_merge",
+    "hll_partials",
+    "kmv_pair_overlap",
+    "kmv_sketch",
 ]
 
 
@@ -145,3 +151,238 @@ def cms_heavy_hitters(
     false positives, shrinking with ``width``."""
     est = cms_estimates(df, text_col=text_col, width=width, depth=depth)
     return est.filter(F.col("est_count") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog — re-aggregatable distinct-count registers
+# ---------------------------------------------------------------------------
+#
+# Unlike ``approx_count_distinct`` (Spark's private HLL++, opaque and
+# engine-specific), these registers derive ENTIRELY from md5, so the
+# sketch state itself — not just "is the estimate close" — is
+# reproducible in any engine and therefore hash-checkable against a
+# DuckDB oracle. The long-form ``(key, reg_idx, reg_rho)`` layout is
+# the mergeable partial: max() over any grouping of the same rows
+# yields the same registers, which is what makes the structure safe to
+# pre-aggregate per day/partition at 100 TB and roll up later to ANY
+# coarser grain without rescanning raw data (the DataSketches
+# warehouse pattern). Flajolet et al. 2007 for the estimator; the
+# m<128 alpha constants are the paper's.
+
+_HLL_HASH_BITS = 60  # 15 md5 hex chars — exact in a signed 64-bit int
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_hash(value: Column) -> Column:
+    """60-bit hash: first 15 md5 hex chars of the value's string form.
+    DuckDB mirror: ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hll_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Per-key HLL register table: ``keys + (reg_idx, reg_rho)``.
+
+    ``reg_idx`` = low ``p`` hash bits; ``reg_rho`` = position of the
+    first 1-bit in the remaining ``60-p`` bits (``w+1`` if all zero),
+    computed exactly from the binary-string length (``bin()`` exists
+    and is minimal-width in both Spark and DuckDB) — no floating log,
+    so the registers are bit-exact across engines.
+
+    ONE aggregation pass; map-side combine collapses each partition to
+    ≤ ``2^p`` rows per key before the shuffle, so shuffle volume is
+    bounded by sketch size × partitions, independent of row count.
+    """
+    m = 1 << p
+    w = _HLL_HASH_BITS - p
+    hv = hll_hash(F.col(value_col))
+    # arithmetic shift == floor-div for the non-negative 60-bit hash;
+    # a double `/` here would round above 2^53
+    q = F.shiftright(hv, p)
+    rho = F.when(q == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(q)) + 1
+    )
+    return (
+        df.select(
+            *keys,
+            (hv % m).cast("int").alias("reg_idx"),
+            rho.cast("int").alias("reg_rho"),
+        )
+        .groupBy(*keys, "reg_idx")
+        .agg(F.max("reg_rho").alias("reg_rho"))
+    )
+
+
+def hll_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll partial registers up to a coarser key set — max() per
+    register. Exactly the sketch that ``hll_partials`` would have built
+    from the union of the underlying rows (max is associative), so
+    pre-aggregated sketches compose without touching raw data."""
+    return partials.groupBy(*keys, "reg_idx").agg(
+        F.max("reg_rho").alias("reg_rho")
+    )
+
+
+def hll_estimates(partials: DataFrame, keys: list[str], p: int = 6) -> DataFrame:
+    """Cardinality estimates from a register table.
+
+    The indicator sum Z = Σ 2^-rho is kept as an EXACT scaled integer
+    (``z_scaled`` = Z · 2^(w+1), every term a power of two ≤ 2^w, so a
+    64-bit sum is exact) and the raw estimate is ONE double division of
+    that integer — deterministic across engines. The linear-counting
+    branch (E ≤ 2.5m with empty registers — the regime every small
+    group sits in) uses ln(), rounded to 4 decimals like every other
+    ln-bearing surface in this repo.
+    """
+    m = 1 << p
+    w = _HLL_HASH_BITS - p
+    # alpha·m²·2^(w+1) precomputed in Python and inlined as ONE double
+    # literal so Spark and DuckDB divide identical numerators
+    numerator = _hll_alpha(m) * m * m * float(1 << (w + 1))
+    term = F.expr(f"CAST(power(2, {w + 1} - reg_rho) AS BIGINT)")
+    agg = partials.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("regs_used"),
+        F.sum(term).alias("present_sum"),
+    )
+    zeros = F.lit(m) - F.col("regs_used")
+    z_scaled = zeros * F.lit(1 << (w + 1)) + F.col("present_sum")
+    e_raw = F.lit(numerator) / z_scaled.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *keys,
+        F.col("regs_used"),
+        zeros.cast("long").alias("zero_regs"),
+        z_scaled.cast("long").alias("z_scaled"),
+        F.round(est, 4).alias("est_distinct_r4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — distinct-set OVERLAP estimation
+# ---------------------------------------------------------------------------
+#
+# HLL answers |A|; it cannot answer |A ∩ B| (union via max-merge, yes;
+# intersection, no). The k-minimum-values / theta sketch (Beyer et al.
+# 2007; the DataSketches theta family) does: keep the k smallest
+# hashes per set; for two sets, theta = the k-th smallest of the
+# union, and every retained hash below theta is a uniform sample of
+# the union, so |A ∩ B| ≈ (matching hashes below theta) / theta. Same
+# md5-determinism as the HLL above: the retained-hash sets, theta, and
+# every estimate are bit-reproducible in DuckDB.
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-key KMV sketch: the ``k`` smallest distinct 60-bit hashes of
+    ``value_col`` → rows ``(key, hv, rk)`` with ``rk`` the 1-based rank.
+
+    The distinct-(key, hv) pre-reduction is the volume bound: the
+    ranking window sees one row per distinct value, never per raw row,
+    and map-side combine caps each partition's contribution at its own
+    distinct count. (At truly unbounded per-key cardinality the window
+    would be replaced by a two-phase partial top-k — per-partition
+    k-smallest first — which changes no output; SCALE.md.)"""
+    from pyspark.sql import Window
+
+    hv = hll_hash(F.col(value_col))
+    distinct = (
+        df.select(F.col(key_col).alias("key"), hv.alias("hv")).distinct()
+    )
+    w = Window.partitionBy("key").orderBy("hv")
+    return (
+        distinct.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("key", "hv", "rk")
+    )
+
+
+def kmv_pair_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """All-pairs set-overlap estimates from per-key KMV sketches.
+
+    For each unordered key pair: merge the two retained-hash sets,
+    dedup (equal values hash equally), rank; theta = the k-th smallest
+    merged hash. If the merged set holds fewer than k hashes the
+    sketches ARE the sets (exact mode — theta spans the whole hash
+    space). Estimates are single double divisions of exact integers,
+    rounded to 4 decimals.
+
+    The pair fan-out is |keys|² sketch joins of ≤ k rows each —
+    sketch-sized work, independent of raw data volume, which is the
+    entire point at 100 TB: overlap questions get answered from KBs of
+    sketch state, not by re-joining base tables.
+    """
+    from pyspark.sql import Window
+
+    space = float(1 << _HLL_HASH_BITS)
+    # unordered key pairs — |keys|² rows, broadcast onto the sketches
+    keys = sketch.select("key").distinct()
+    kp = (
+        keys.select(F.col("key").alias("key_a"))
+        .crossJoin(keys.select(F.col("key").alias("key_b")))
+        .filter(F.col("key_a") < F.col("key_b"))
+    )
+    # union of the two retained-hash sets per pair, with membership flags
+    left = (
+        F.broadcast(kp)
+        .join(sketch.select(F.col("key").alias("key_a"), "hv"), "key_a")
+        .select("key_a", "key_b", "hv", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+    )
+    right = (
+        F.broadcast(kp)
+        .join(sketch.select(F.col("key").alias("key_b"), "hv"), "key_b")
+        .select("key_a", "key_b", "hv", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    )
+    u = (
+        left.unionByName(right)
+        .groupBy("key_a", "key_b", "hv")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy("hv")
+    ranked = u.withColumn("rk", F.row_number().over(w))
+    stats = ranked.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max(F.when(F.col("rk") == k, F.col("hv"))).alias("theta"),
+        F.sum(
+            F.when((F.col("fa") == 1) & (F.col("fb") == 1) & (F.col("rk") < k), 1)
+            .otherwise(0)
+        ).alias("common_below"),
+        F.sum(
+            F.when((F.col("fa") == 1) & (F.col("fb") == 1), 1).otherwise(0)
+        ).alias("common_all"),
+    )
+    exact_mode = F.col("n_merged") < k
+    est_union = F.when(exact_mode, F.col("n_merged").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(space) / F.col("theta").cast("double")
+    )
+    est_inter = F.when(exact_mode, F.col("common_all").cast("double")).otherwise(
+        F.col("common_below").cast("double")
+        * F.lit(space)
+        / F.col("theta").cast("double")
+    )
+    return stats.select(
+        "key_a",
+        "key_b",
+        "n_merged",
+        F.col("theta"),
+        F.round(est_union, 4).alias("est_union_r4"),
+        F.round(est_inter, 4).alias("est_inter_r4"),
+    )

@@ -9215,3 +9215,295 @@ def q_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         F.least("source_a", "source_b").alias("source_x"),
         F.greatest("source_a", "source_b").alias("source_y"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL sketch family (operators/sketches.py) — unlike the
+# approx_count_distinct surface above (rows-only, engine-private HLL++),
+# these registers derive from md5, so the SKETCH STATE ITSELF is
+# hash-checked against DuckDB, estimate included.
+# ---------------------------------------------------------------------------
+
+
+def _hll_oracle_core(p: int, src_sql: str, key: str) -> str:
+    """Shared oracle fragment: register table per ``key`` over rows
+    ``(key, v)`` produced by ``src_sql`` — mirrors hll_partials()."""
+    m, w = 1 << p, 60 - p
+    return f"""
+    h AS (
+      SELECT {key}, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM ({src_sql})
+    ),
+    hb AS (
+      SELECT {key}, CAST(hv % {m} AS INT) AS reg_idx,
+             CAST(CASE WHEN hv // {m} = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(hv // {m})) + 1 END AS INT) AS rho
+      FROM h
+    ),
+    hr AS (
+      SELECT {key}, reg_idx, MAX(rho) AS reg_rho FROM hb GROUP BY 1, 2
+    )"""
+
+
+def _hll_oracle_estimate(p: int, key: str) -> str:
+    """Estimate fragment over ``hr`` — mirrors hll_estimates(): exact
+    scaled-integer Z, one double division, linear-counting branch."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        _hll_alpha,
+    )
+
+    m, w = 1 << p, 60 - p
+    num = repr(_hll_alpha(m) * m * m * float(1 << (w + 1)))
+    z = f"({m} - regs_used) * {1 << (w + 1)} + present_sum"
+    raw = f"{num} / CAST({z} AS DOUBLE)"
+    return f"""
+    ha AS (
+      SELECT {key}, count(*) AS regs_used,
+             SUM(CAST(power(2, {w + 1} - reg_rho) AS BIGINT)) AS present_sum
+      FROM hr GROUP BY 1
+    ),
+    he AS (
+      SELECT {key}, regs_used,
+             CAST({m} - regs_used AS BIGINT) AS zero_regs,
+             CAST({z} AS BIGINT) AS z_scaled,
+             round(CASE WHEN {raw} <= {2.5 * m} AND {m} - regs_used > 0
+                   THEN {float(m)} * ln({float(m)} / CAST({m} - regs_used AS DOUBLE))
+                   ELSE {raw} END, 4) AS est_distinct_r4
+      FROM ha
+    )"""
+
+
+@register(
+    "hll_register_sketch",
+    oracle=(
+        "WITH "
+        + _hll_oracle_core(
+            8,
+            "SELECT c_nationkey, c_custkey AS v FROM customer",
+            "c_nationkey",
+        )
+        + "\nSELECT c_nationkey, reg_idx, reg_rho FROM hr"
+    ),
+)
+def q_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable distinct-count PARTIAL itself, as data: per-nation
+    HLL registers (p=8, m=256) over customer keys. At 100 TB this table
+    is what lands in the warehouse — KBs per key per day, re-aggregatable
+    to any coarser grain with max() and never rescanning raw rows. The
+    registers are md5-derived, so DuckDB reproduces the sketch state
+    bit-for-bit (contrast `approx_user_reach`, whose engine-private
+    HLL++ can only be rows-only)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        hll_partials,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return hll_partials(cust, ["c_nationkey"], "c_custkey", p=8)
+
+
+@register(
+    "hll_region_reach",
+    oracle=(
+        "WITH "
+        + _hll_oracle_core(
+            6,
+            "SELECT n.n_regionkey, c.c_custkey AS v FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey",
+            "n_regionkey",
+        )
+        + ","
+        + _hll_oracle_estimate(6, "n_regionkey")
+        + """,
+    ex AS (
+      SELECT n.n_regionkey, count(DISTINCT c.c_custkey) AS exact_distinct
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT he.n_regionkey, he.regs_used, he.zero_regs, he.z_scaled,
+           he.est_distinct_r4, ex.exact_distinct,
+           round(abs(he.est_distinct_r4 - ex.exact_distinct)
+                 / ex.exact_distinct, 4) AS rel_err_r4
+    FROM he JOIN ex ON he.n_regionkey = ex.n_regionkey
+    """
+    ),
+)
+def q_hll_region_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP, end to end: nation-grain HLL partials (p=6)
+    max-merged up to region — the register table the merge produces is
+    provably identical to sketching regions directly (max is
+    associative; the oracle sketches at region grain and the hashes
+    must still match) — then estimated, with the exact distinct and
+    relative error alongside. The nation→region attach is a broadcast
+    of the 25-row dim onto a ≤ m-rows-per-nation sketch table, not onto
+    raw customers."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        hll_estimates,
+        hll_merge,
+        hll_partials,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    parts = hll_partials(cust, ["c_nationkey"], "c_custkey", p=6)
+    merged = hll_merge(
+        parts.join(F.broadcast(nation), "c_nationkey"), ["n_regionkey"]
+    )
+    est = hll_estimates(merged, ["n_regionkey"], p=6)
+    exact = (
+        cust.join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact_distinct"))
+    )
+    return est.join(exact, "n_regionkey").select(
+        "n_regionkey",
+        "regs_used",
+        "zero_regs",
+        "z_scaled",
+        "est_distinct_r4",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct_r4") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err_r4"),
+    )
+
+
+@register(
+    "hll_event_reach_raw",
+    oracle=(
+        "WITH "
+        + _hll_oracle_core(
+            4,
+            "SELECT event_type, user_id AS v FROM events",
+            "event_type",
+        )
+        + ","
+        + _hll_oracle_estimate(4, "event_type")
+        + "\nSELECT event_type, regs_used, zero_regs, z_scaled,"
+        "\n       est_distinct_r4 FROM he"
+    ),
+)
+def q_hll_event_reach_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-m sketch (p=4, m=16) over per-event-type user reach —
+    sized so the cardinality exceeds 2.5m and the estimator takes the
+    RAW harmonic-mean branch, pinning the power-of-two indicator sum
+    and the single double division cross-engine (the linear-counting
+    branch is exercised by `hll_region_reach`)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        hll_estimates,
+        hll_partials,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    parts = hll_partials(events, ["event_type"], "user_id", p=4)
+    return hll_estimates(parts, ["event_type"], p=4)
+
+
+_KMV_K = 64
+_KMV_SPACE = repr(float(1 << 60))
+
+
+@register(
+    "kmv_user_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type AS key,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events
+    ), sk AS (
+      SELECT key, hv,
+             row_number() OVER (PARTITION BY key ORDER BY hv) AS rk
+      FROM d QUALIFY rk <= {_KMV_K}
+    ), kp AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM (SELECT DISTINCT key FROM sk) a, (SELECT DISTINCT key FROM sk) b
+      WHERE a.key < b.key
+    ), u AS (
+      SELECT key_a, key_b, hv, max(fa) AS fa, max(fb) AS fb FROM (
+        SELECT kp.key_a, kp.key_b, s.hv, 1 AS fa, 0 AS fb
+        FROM kp JOIN sk s ON s.key = kp.key_a
+        UNION ALL
+        SELECT kp.key_a, kp.key_b, s.hv, 0 AS fa, 1 AS fb
+        FROM kp JOIN sk s ON s.key = kp.key_b
+      ) GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rk
+      FROM u
+    ), st AS (
+      SELECT key_a, key_b, count(*) AS n_merged,
+             max(CASE WHEN rk = {_KMV_K} THEN hv END) AS theta,
+             sum(CASE WHEN fa = 1 AND fb = 1 AND rk < {_KMV_K} THEN 1 ELSE 0 END)
+               AS common_below,
+             sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS common_all
+      FROM r GROUP BY 1, 2
+    ), ex AS (
+      SELECT a.event_type AS key_a, b.event_type AS key_b,
+             count(*) AS exact_inter
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT st.key_a, st.key_b, st.n_merged, st.theta,
+           round(CASE WHEN st.n_merged < {_KMV_K} THEN CAST(st.n_merged AS DOUBLE)
+                 ELSE {float(_KMV_K - 1)} * {_KMV_SPACE} / CAST(st.theta AS DOUBLE)
+                 END, 4) AS est_union_r4,
+           round(CASE WHEN st.n_merged < {_KMV_K} THEN CAST(st.common_all AS DOUBLE)
+                 ELSE CAST(st.common_below AS DOUBLE) * {_KMV_SPACE}
+                      / CAST(st.theta AS DOUBLE)
+                 END, 4) AS est_inter_r4,
+           COALESCE(ex.exact_inter, 0) AS exact_inter
+    FROM st LEFT JOIN ex
+      ON st.key_a = ex.key_a AND st.key_b = ex.key_b
+    """,
+)
+def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience OVERLAP between every pair of event types from
+    KMV/theta sketches (operators/sketches.py:kmv_sketch) — the
+    question HLL structurally cannot answer (sketch intersection).
+    k=64 smallest md5 hashes per type; theta = k-th smallest of each
+    merged pair; common hashes below theta, scaled by 1/theta, estimate
+    the intersection. Every retained hash, theta, and estimate is
+    md5-deterministic, so the whole sketch pipeline hash-matches the
+    DuckDB oracle; the exact intersection (distinct-pair self-join)
+    rides along for honesty. At 100 TB the pair stage touches only
+    sketch rows (k per key), never the base table."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(events, "event_type", "user_id", k=_KMV_K)
+    est = kmv_pair_overlap(sk, k=_KMV_K)
+    exact = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .alias("a")
+        .join(
+            events.select("event_type", "user_id").distinct().alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("key_a"),
+            F.col("b.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return est.join(exact, ["key_a", "key_b"], "left").select(
+        "key_a",
+        "key_b",
+        "n_merged",
+        "theta",
+        "est_union_r4",
+        "est_inter_r4",
+        F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+    )

@@ -55,3 +55,103 @@ def test_cms_heavy_hitters_threshold(spark):
     df = _docs(spark, ["a a a a b", "a b c"])
     hh = {r.tok for r in cms_heavy_hitters(df, threshold=5, width=4096).collect()}
     assert hh == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL
+# ---------------------------------------------------------------------------
+
+from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (  # noqa: E402
+    hll_estimates,
+    hll_merge,
+    hll_partials,
+    kmv_pair_overlap,
+    kmv_sketch,
+)
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "grp string, v long")
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Register associativity — the 100 TB contract: sketch per fine
+    key, max-merge to a coarse key, and you get EXACTLY the registers
+    of sketching the coarse key directly."""
+    rows = [(f"g{i % 4}", i * 37) for i in range(500)]
+    df = _vals(spark, rows).withColumn(
+        "coarse", F.substring("grp", 1, 1)
+    )  # all groups share coarse key "g"
+    fine = hll_partials(df, ["coarse", "grp"], "v", p=5)
+    merged = hll_merge(fine, ["coarse"])
+    direct = hll_partials(df, ["coarse"], "v", p=5)
+    got = {(r.coarse, r.reg_idx): r.reg_rho for r in merged.collect()}
+    want = {(r.coarse, r.reg_idx): r.reg_rho for r in direct.collect()}
+    assert got == want
+
+
+def test_hll_estimate_accuracy(spark):
+    """Estimate within 5 relative standard errors of truth on both
+    estimator branches (linear counting AND raw harmonic mean)."""
+    import math
+
+    for n, p in ((40, 7), (5000, 7)):  # LC branch, raw branch
+        df = _vals(spark, [("g", i * 1315423911 % 10**9) for i in range(n)])
+        est = hll_estimates(hll_partials(df, ["grp"], "v", p=p), ["grp"], p=p)
+        got = est.collect()[0].est_distinct_r4
+        rse = 1.04 / math.sqrt(1 << p)
+        assert abs(got - n) / n < 5 * rse, (n, p, got)
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """Distinctness: replicating every value 7× leaves the register
+    table untouched."""
+    base = [("g", i) for i in range(200)]
+    df1 = _vals(spark, base)
+    df7 = _vals(spark, base * 7)
+    r1 = sorted(
+        (r.reg_idx, r.reg_rho)
+        for r in hll_partials(df1, ["grp"], "v", p=6).collect()
+    )
+    r7 = sorted(
+        (r.reg_idx, r.reg_rho)
+        for r in hll_partials(df7, ["grp"], "v", p=6).collect()
+    )
+    assert r1 == r7
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta overlap
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_mode_small_sets(spark):
+    """Sets smaller than k: the sketch IS the set — union and
+    intersection estimates are exact."""
+    rows = [("a", v) for v in range(10)] + [("b", v) for v in range(5, 20)]
+    sk = kmv_sketch(_vals(spark, rows), "grp", "v", k=64)
+    out = kmv_pair_overlap(sk, k=64).collect()[0]
+    assert out.n_merged == 20
+    assert out.est_union_r4 == 20.0
+    assert out.est_inter_r4 == 5.0
+
+
+def test_kmv_theta_mode_estimates_overlap(spark):
+    """Large sets with 50% planted overlap: estimates land within the
+    sketch's sampling tolerance (k=256 → rse ≈ 1/√k ≈ 6%; allow 5×)."""
+    k = 256
+    a = [("a", v) for v in range(4000)]
+    b = [("b", v) for v in range(2000, 6000)]
+    sk = kmv_sketch(_vals(spark, a + b), "grp", "v", k=k)
+    out = kmv_pair_overlap(sk, k=k).collect()[0]
+    assert abs(out.est_union_r4 - 6000) / 6000 < 0.3
+    assert abs(out.est_inter_r4 - 2000) / 2000 < 0.4
+
+
+def test_kmv_sketch_bounded(spark):
+    """Never more than k rows per key, ranked by hash ascending."""
+    rows = [("a", v) for v in range(1000)]
+    sk = kmv_sketch(_vals(spark, rows), "grp", "v", k=32).collect()
+    assert len(sk) == 32
+    hvs = [r.hv for r in sorted(sk, key=lambda r: r.rk)]
+    assert hvs == sorted(hvs)
