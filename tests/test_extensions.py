@@ -1036,3 +1036,59 @@ def test_rrf_fuse_ties_break_on_id(spark):
     # equal scores: rank assignment (and hence fused order) follows id
     assert [r.id for r in got] == [1, 2]
     assert [r.rank_0 for r in got] == [1, 2]
+
+
+def test_dbscan_roles_and_clusters(spark):
+    """Hand-built density case: a 4-point clique (all core), one point
+    attached to a single core (border), and one isolate (noise)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import dbscan
+
+    # unit circle directions: clique within ~11 deg, border at 45 deg
+    # from one clique member, noise orthogonal to everything
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [
+        (1, vec(0.0), 0),
+        (2, vec(4.0), 0),
+        (3, vec(8.0), 0),
+        (4, vec(11.0), 0),
+        (5, vec(52.0), 0),    # within eps of #4 only (41 deg)
+        (6, vec(180.0), 0),   # far from all
+        (7, None, 0),         # null embedding: excluded entirely
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    # eps = cos(45 deg) ~ 0.707: clique edges all >= 0.98; 4-5 edge
+    # cos(41 deg) ~ 0.75 qualifies; 3-5 is 44 deg ~ 0.719 qualifies too
+    got = {
+        r.vec_id: (r.role, r.cluster_id, r.n_neighbors)
+        for r in dbscan(
+            df, sim_eps=0.719, min_pts=4, block_col="label",
+            cc_algorithm="label",
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1] == ("core", 1, 3)
+    assert got[2][0] == "core" and got[2][1] == 1
+    assert got[3] == ("core", 1, 4)   # neighbors: 1,2,4,5
+    assert got[4] == ("core", 1, 4)
+    assert got[5] == ("border", 1, 2) # neighbors 3,4 — not core itself
+    assert got[6] == ("noise", None, 0)
+
+
+def test_dbscan_min_pts_promotes_noise(spark):
+    """Raising min_pts demotes a thin clique to all-noise."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import dbscan
+
+    rows = [(i, [1.0, float(i) * 1e-4], 0) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = dbscan(df, sim_eps=0.9, min_pts=4, cc_algorithm="label").collect()
+    assert {r.role for r in out} == {"noise"}
+    assert all(r.cluster_id is None for r in out)

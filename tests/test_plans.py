@@ -174,6 +174,8 @@ _EAGER_BUILD_OK = {
     # closes the linkage match graph with the same CC loop as
     # dedup_cc_components (auto union-find edge gate = a count action)
     "entity_resolution_customers",
+    # DBSCAN's cluster step is the same auto-gated CC closure
+    "dbscan_embeddings",
 }
 
 
