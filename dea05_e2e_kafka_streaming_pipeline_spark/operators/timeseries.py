@@ -109,3 +109,89 @@ def subsequence_search(
         .orderBy("dist2", key_col, *out_cols)
         .limit(k)
     )
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    date_col: str = "day",
+    cents_col: str = "cents",
+    period: int = 7,
+    trend_window: int = 7,
+    anchor: str = "1995-01-01",
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    core of STL, Cleveland et al. 1990) of a one-row-per-period series:
+
+    - ``trend`` — centered moving average over ``trend_window`` rows
+      (odd; NULL at the series edges where the frame is partial),
+    - ``seasonal`` — per-phase mean of the detrended series, phase =
+      days since ``anchor`` mod ``period`` (an anchored modulus, not
+      ``dayofweek()``, whose numbering differs across engines),
+    - ``residual`` — value − trend − seasonal.
+
+    Everything hash-checked is exact-integer until ONE final double
+    division (the PageRank/EWMA fixed-point discipline): with values
+    carried as integer cents, ``det = w·cents − Σwindow`` is exact, the
+    per-phase mean keeps an exact integer numerator/count, and the
+    residual's numerator ``det·s_cnt − s_num`` is again exact — so no
+    float accumulates across rows anywhere, in either engine.
+
+    Scale shape: input is the already-aggregated daily series (one row
+    per period — bounded at any corpus scale; a century is 36.5k rows),
+    so the global date-ordered frame and the per-phase window are the
+    documented bounded-series exception. The heavy lift (raw rows →
+    daily cents) happens upstream in a normal keyed aggregate.
+    """
+    if trend_window % 2 == 0:
+        raise ValueError("trend_window must be odd for a centered average")
+    half = trend_window // 2
+    w = trend_window
+    frame = Window.orderBy(date_col).rowsBetween(-half, half)
+    staged = daily.select(
+        F.col(date_col).alias("d"),
+        F.col(cents_col).alias("cents"),
+        F.sum(cents_col).over(frame).alias("tsum"),
+        F.count(cents_col).over(frame).alias("tcnt"),
+        (F.datediff(F.col(date_col), F.lit(anchor).cast("date")) % period)
+        .alias("phase"),
+    ).withColumn(
+        "det",
+        F.when(
+            F.col("tcnt") == w, F.lit(w) * F.col("cents") - F.col("tsum")
+        ),
+    )
+    byphase = Window.partitionBy("phase")
+    out = staged.select(
+        "d",
+        "phase",
+        "cents",
+        "tsum",
+        "tcnt",
+        "det",
+        F.sum("det").over(byphase).alias("s_num"),
+        F.count("det").over(byphase).alias("s_cnt"),
+    )
+    scale = float(w * 100)
+    return out.select(
+        F.col("d"),
+        F.col("phase"),
+        (F.col("cents") / F.lit(100.0)).alias("value"),
+        F.when(
+            F.col("tcnt") == w,
+            F.round(F.col("tsum") / F.lit(scale), 4),
+        ).alias("trend_r4"),
+        F.when(
+            F.col("s_cnt") > 0,
+            F.round(
+                F.col("s_num") / (F.lit(scale) * F.col("s_cnt")), 4
+            ),
+        ).alias("seasonal_r4"),
+        F.when(
+            F.col("det").isNotNull() & (F.col("s_cnt") > 0),
+            F.round(
+                (F.col("det") * F.col("s_cnt") - F.col("s_num"))
+                / (F.lit(scale) * F.col("s_cnt")),
+                4,
+            ),
+        ).alias("residual_r4"),
+    )

@@ -9577,3 +9577,62 @@ def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(
         load_table(spark, sf_dir, "embeddings"), sim_eps=0.2, min_pts=4
     )
+
+
+@register(
+    "revenue_stl_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), st AS (
+      SELECT d, cents,
+             SUM(cents) OVER (
+               ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum,
+             COUNT(cents) OVER (
+               ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tcnt,
+             date_diff('day', DATE '1995-01-01', d) % 7 AS phase
+      FROM daily
+    ), dt AS (
+      SELECT *, CASE WHEN tcnt = 7 THEN 7 * cents - tsum END AS det FROM st
+    ), ph AS (
+      SELECT *, SUM(det) OVER (PARTITION BY phase) AS s_num,
+                COUNT(det) OVER (PARTITION BY phase) AS s_cnt
+      FROM dt
+    )
+    SELECT d, phase, cents / 100.0 AS value,
+           CASE WHEN tcnt = 7 THEN round(tsum / 700.0, 4) END AS trend_r4,
+           CASE WHEN s_cnt > 0
+                THEN round(s_num / (700.0 * s_cnt), 4) END AS seasonal_r4,
+           CASE WHEN det IS NOT NULL AND s_cnt > 0
+                THEN round((det * s_cnt - s_num) / (700.0 * s_cnt), 4)
+           END AS residual_r4
+    FROM ph
+    """,
+)
+def q_revenue_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily revenue
+    (7-day centered-MA trend, anchored weekly phase means) — the
+    moving-average core of STL. Integer-cents fixed-point throughout
+    with one final double division per component, so the decomposition
+    hash-matches DuckDB exactly (operators/timeseries.py:
+    seasonal_decompose). Upgrades `dow_seasonality_revenue` from
+    per-DOW summary rows to a full per-day decomposition with
+    explicit residuals (the anomaly-scoring input)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return seasonal_decompose(daily, date_col="day", cents_col="cents")

@@ -79,3 +79,61 @@ def test_centered_search_is_offset_invariant(spark):
     assert cen[0].start_ts == BASE + dt.timedelta(minutes=1)
     raw = subsequence_search(df, pattern, k=1, tiebreak_col="event_id").collect()
     assert raw[0].dist2 > 0.0  # no exact raw match exists anywhere
+
+
+def test_seasonal_decompose_linear_series_has_zero_residual(spark):
+    """On a perfectly linear daily series the centered MA reproduces the
+    value exactly, so detrended/seasonal/residual are all zero and the
+    trend equals the value on every interior day."""
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    base = dt.date(1995, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), (i + 1) * 100) for i in range(14)
+    ]
+    daily = spark.createDataFrame(rows, "day date, cents long")
+    got = {
+        r.d: r
+        for r in seasonal_decompose(daily, "day", "cents").collect()
+    }
+    assert len(got) == 14
+    first = got[base]
+    assert first.trend_r4 is None          # partial frame at the edge
+    assert first.value == 1.0
+    mid = got[base + dt.timedelta(days=7)]
+    assert mid.trend_r4 == mid.value == 8.0
+    assert mid.seasonal_r4 == 0.0
+    assert mid.residual_r4 == 0.0
+    assert mid.phase == 0
+
+
+def test_seasonal_decompose_recovers_planted_weekly_bump(spark):
+    """A flat series with a +70-cent bump every 7th day: the bump day's
+    seasonal component absorbs the bump (6/7 of it — phase means of the
+    detrended series), leaving residuals constant across bump weeks."""
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    base = dt.date(1995, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=i), 700 + (70 if i % 7 == 0 else 0))
+        for i in range(28)
+    ]
+    daily = spark.createDataFrame(rows, "day date, cents long")
+    out = seasonal_decompose(daily, "day", "cents").collect()
+    bump = [r for r in out if r.phase == 0 and r.trend_r4 is not None]
+    flat = [r for r in out if r.phase == 3 and r.trend_r4 is not None]
+    assert bump and flat
+    # all interior trend values equal: exactly one bump inside every
+    # 7-day frame -> trend = 7.10 everywhere
+    assert {r.trend_r4 for r in out if r.trend_r4 is not None} == {7.1}
+    assert all(r.seasonal_r4 > 0.5 for r in bump)      # ~ +0.6 of the bump
+    assert all(r.seasonal_r4 < 0.0 for r in flat)      # flat days dip
+    assert len({r.residual_r4 for r in bump}) == 1     # perfectly periodic
