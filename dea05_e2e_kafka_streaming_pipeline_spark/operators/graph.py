@@ -277,3 +277,99 @@ def k_core(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 50,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Top-``k`` predicted links of an undirected graph — the highest
+    Adamic-Adar-scored NON-edges (Liben-Nowell & Kleinberg 2003), with
+    common-neighbor counts and Jaccard overlap alongside.
+
+    Candidates come from the wedge join (two neighbors of a shared
+    pivot) — exactly the triangle-counting pair space, minus existing
+    edges via one left-anti join. Scores stay deterministic under any
+    partitioning: each pivot's Adamic-Adar weight ``1/ln(degree)`` is
+    rounded to 6 decimals and scaled to an exact integer BEFORE the
+    per-pair sum (summing raw doubles would make the hash depend on
+    aggregation order), and Jaccard is one double division of exact
+    integers. Output ordering ``(aa_micro, common, pair)`` is a total
+    order, so the top-k cut is reproducible.
+
+    Scale shape: wedge volume is Σ deg(p)² over pivots — the same
+    economics as :func:`triangle_counts`. ``max_pivot_degree`` drops
+    super-hub pivots from candidate generation (standard practice: a
+    hub's wedges are noise, and one hub can dominate Σ deg²); the cut
+    changes which candidates exist and is therefore part of the
+    operator's declared semantics, not an approximation knob.
+
+    Returns ``(part_a, part_b, common_nbrs, aa_micro, jaccard_r6)``.
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    und = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # round straight to integer micro-units: round(x, 6) * 1e6 puts a
+    # float multiply AFTER the rounding, and a .999999 product would
+    # truncate one unit low in the long cast
+    wt = deg.filter(F.col("d") >= 2).select(
+        "u",
+        F.round(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")), 0)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    if max_pivot_degree is not None:
+        wt = wt.join(
+            deg.filter(F.col("d") <= max_pivot_degree).select("u"), "u"
+        )
+    l, r = und.alias("l"), und.alias("r")
+    wedge = l.join(
+        r, (F.col("l.u") == F.col("r.u")) & (F.col("l.v") < F.col("r.v"))
+    ).select(
+        F.col("l.v").alias("x"), F.col("r.v").alias("y"), F.col("l.u").alias("p")
+    )
+    cand = (
+        wedge.join(wt.withColumnRenamed("u", "p"), "p")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common_nbrs"),
+            F.sum("w_micro").alias("aa_micro"),
+        )
+    )
+    nonedge = cand.join(
+        e,
+        (cand["x"] == e["lo"]) & (cand["y"] == e["hi"]),
+        "left_anti",
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    scored = (
+        nonedge.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common_nbrs",
+            "aa_micro",
+            F.round(
+                F.col("common_nbrs")
+                / (F.col("dx") + F.col("dy") - F.col("common_nbrs")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard_r6"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("aa_micro"), F.desc("common_nbrs"), "part_a", "part_b"
+    ).limit(k)

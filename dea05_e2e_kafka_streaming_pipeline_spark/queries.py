@@ -9636,3 +9636,69 @@ def q_revenue_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose(daily, date_col="day", cents_col="cents")
+
+
+@register(
+    "link_prediction_parts",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+      SELECT a.pk AS ea, b.pk AS eb
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), und AS (
+      SELECT ea AS u, eb AS v FROM pairs UNION ALL SELECT eb, ea FROM pairs
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), wt AS (
+      SELECT u, CAST(round(1000000.0 / ln(d), 0) AS BIGINT) AS w_micro
+      FROM deg WHERE d >= 2
+    ), wedge AS (
+      SELECT a.v AS x, b.v AS y, a.u AS p
+      FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+    ), cand AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS common_nbrs,
+             CAST(SUM(w.w_micro) AS BIGINT) AS aa_micro
+      FROM wedge JOIN wt w ON wedge.p = w.u
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN pairs e ON c.x = e.ea AND c.y = e.eb
+      WHERE e.ea IS NULL
+    )
+    SELECT x AS part_a, y AS part_b, common_nbrs, aa_micro,
+           round(common_nbrs / CAST(dx.d + dy.d - common_nbrs AS DOUBLE), 6)
+             AS jaccard_r6
+    FROM nonedge JOIN deg dx ON x = dx.u JOIN deg dy ON y = dy.u
+    ORDER BY aa_micro DESC, common_nbrs DESC, part_a, part_b LIMIT 50
+    """,
+)
+def q_link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted co-purchase links: the highest Adamic-Adar
+    non-edges of the parts graph (same ≥2-orders edge definition as
+    `triangle_counts_parts`) — the "customers who bought X also
+    bought Y" candidate generator. Fixed-point AA weights make the
+    ranking hash-exact across engines (operators/graph.py:
+    link_prediction)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+        )
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+        .select("src", "dst")
+    )
+    return link_prediction(edges, k=50)

@@ -160,3 +160,46 @@ def test_kcore_direction_and_dup_invariant(spark):
 def test_kcore_empty_result(spark):
     got = _core(spark, [(1, 2), (2, 3)], k=2)
     assert got == {}
+
+
+def test_link_prediction_scores_known_graph(spark):
+    """Path graph 1-2-3-4 plus edge 2-4: the only candidate non-edges
+    are (1,3) and (1,4), both via pivot 2 — check the wedge/anti-join
+    arithmetic against exact hand-computed scores."""
+    import math
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 4)], "src long, dst long"
+    )
+    got = {
+        (r.part_a, r.part_b): r
+        for r in link_prediction(edges, k=10).collect()
+    }
+    # degrees: 1->1, 2->3, 3->2, 4->2
+    # non-edges with a common neighbor: (1,3) via 2, (1,4) via 2
+    assert set(got) == {(1, 3), (1, 4)}
+    w2 = round(1_000_000.0 / math.log(3))
+    assert got[(1, 3)].common_nbrs == 1
+    assert got[(1, 3)].aa_micro == w2
+    # jaccard(1,3) = 1 / (1 + 2 - 1)
+    assert got[(1, 3)].jaccard_r6 == 0.5
+    assert got[(1, 4)].jaccard_r6 == round(1 / 2, 6)
+
+
+def test_link_prediction_hub_cap_drops_hub_wedges(spark):
+    """max_pivot_degree excludes the hub as pivot: a star's leaf pairs
+    disappear from the candidate set."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        link_prediction,
+    )
+
+    star = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    full = link_prediction(edges, k=100)
+    capped = link_prediction(edges, k=100, max_pivot_degree=4)
+    assert full.count() == 10  # C(5,2) leaf pairs via the hub
+    assert capped.count() == 0
