@@ -768,3 +768,95 @@ def systematic_pps_sample(
             "n_tickets",
         )
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the refinement of :func:`k_anonymity_report`
+    for the homogeneity attack: a class can hold ≥ k individuals yet
+    leak the sensitive attribute outright when they all share one
+    value (Machanavajjhala et al., ICDE 2006). Reports, per
+    quasi-identifier class, the class size, the count of DISTINCT
+    sensitive values (distinct l-diversity; ``at_risk`` when < l), and
+    the sensitive-value entropy (entropy l-diversity's gate quantity).
+
+    Entropy stays hash-deterministic via the repo's fixed-point rule:
+    ``H = ln N − (Σ cᵢ·ln cᵢ)/N`` with each ``ln cᵢ`` rounded to
+    integer micro-units BEFORE the sum, so the only floats are one
+    ``ln`` and one division per class — never a float accumulation.
+
+    Two stacked map-side-combinable aggregates: (class × sensitive)
+    grain, then class grain — output is |classes| rows at any scale.
+    """
+    per = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_micro = F.round(
+        F.lit(1_000_000.0) * F.log(F.col("c").cast("double")), 0
+    ).cast("long")
+    cls = per.groupBy(*quasi_cols).agg(
+        F.sum("c").alias("class_size"),
+        F.count(F.lit(1)).alias("distinct_sensitive"),
+        F.sum(F.col("c") * w_micro).alias("s_micro"),
+    )
+    entropy = F.round(
+        F.log(F.col("class_size").cast("double"))
+        - F.col("s_micro") / (F.lit(1_000_000.0) * F.col("class_size")),
+        6,
+    )
+    return cls.select(
+        *quasi_cols,
+        "class_size",
+        "distinct_sensitive",
+        entropy.alias("entropy_r6"),
+        (F.col("distinct_sensitive") < l).alias("at_risk"),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """ε-differentially-private noisy counts: per-group count plus
+    Laplace(1/ε) noise via the inverse CDF,
+    ``-(1/ε)·sign(u−½)·ln(1−2|u−½|)``.
+
+    ``u`` is NOT a random draw — it derives from md5(seed|group key),
+    uniform on (0,1) and fixed per (seed, key). That is a deliberate
+    engineering trade, not a shortcut: re-releasing the same query must
+    NOT spend fresh privacy budget or let averaging wash the noise out,
+    so production DP systems memoize noise per (release, key) exactly
+    like this — here the memo IS the hash function, which also makes
+    the release bit-reproducible across engines and reruns. Rotating
+    ``seed`` is what spends budget (ε per distinct seed, by
+    composition). True counts are never emitted.
+
+    One aggregate; the noise is a handful of scalar expressions on the
+    |groups|-row result. Callers release counts only for PUBLICLY
+    enumerable group keys — emitting a row per *observed* secret key
+    would itself leak membership (the known DP-over-GROUP-BY caveat).
+    """
+    cnt = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws(
+        "|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return cnt.select(
+        *group_cols,
+        F.round(F.col("n") + noise, 4).alias("noisy_count_r4"),
+    )

@@ -9702,3 +9702,82 @@ def q_link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return link_prediction(edges, k=50)
+
+
+@register(
+    "l_diversity_customers",
+    oracle="""
+    WITH per AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             c_mktsegment, count(*) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT c_nationkey, bal_bucket,
+             SUM(c) AS class_size,
+             count(*) AS distinct_sensitive,
+             SUM(c * CAST(round(1000000.0 * ln(c), 0) AS BIGINT)) AS s_micro
+      FROM per GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_bucket,
+           CAST(class_size AS BIGINT) AS class_size,
+           distinct_sensitive,
+           round(ln(class_size) - s_micro / (1000000.0 * class_size), 6)
+             AS entropy_r6,
+           distinct_sensitive < 3 AS at_risk
+    FROM cls
+    """,
+)
+def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) of market segment within
+    (nation, balance-bucket) quasi-identifier classes — the
+    homogeneity-attack gate k-anonymity misses: a ≥k class whose
+    members all share one segment still leaks it. Entropy per class is
+    fixed-point exact (operators/curation.py:l_diversity_report)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        l_diversity_report,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "bal_bucket"], "c_mktsegment", l=3
+    )
+
+
+@register(
+    "dp_noisy_priority_counts",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+    ), h AS (
+      SELECT o_orderpriority, n,
+             ('0x' || substr(md5('dp-v1' || '|' || o_orderpriority), 1, 12))
+               ::BIGINT / 281474976710656.0 AS u
+      FROM g
+    )
+    SELECT o_orderpriority,
+           round(n + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4)
+             AS noisy_count_r4
+    FROM h
+    """,
+)
+def q_dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 differentially-private order counts by priority: Laplace
+    noise via inverse CDF with md5-memoized uniforms — the
+    re-release-safe noise pattern (same seed ⇒ same release ⇒ no
+    budget spent on reruns), bit-reproducible across engines. Priority
+    is a public enum, so the group keys themselves leak nothing
+    (operators/curation.py:dp_noisy_counts)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dp_noisy_counts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dp_noisy_counts(
+        load_table(spark, sf_dir, "orders"), ["o_orderpriority"], epsilon=1.0
+    )

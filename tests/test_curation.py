@@ -437,3 +437,48 @@ def test_systematic_pps_sample_properties(spark):
 
     with _pytest.raises(ValueError):
         systematic_pps_sample(df, "n_chars", "source", n_per_group=0)
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    """A class of 5 sharing one diagnosis is k-anonymous (k=5) but
+    1-diverse: exactly the leak l-diversity exists to catch."""
+    import math
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        l_diversity_report,
+    )
+
+    rows = [("z1", "flu")] * 5 + [("z2", "flu"), ("z2", "cold"), ("z2", "ulcer")]
+    df = spark.createDataFrame(rows, "zip string, diagnosis string")
+    got = {r.zip: r for r in l_diversity_report(df, ["zip"], "diagnosis", l=2).collect()}
+    assert got["z1"].class_size == 5
+    assert got["z1"].distinct_sensitive == 1
+    assert got["z1"].at_risk
+    assert got["z1"].entropy_r6 == round(
+        math.log(5) - 5 * round(1e6 * math.log(5)) / (1e6 * 5), 6
+    )  # ~0: a homogeneous class has zero sensitive entropy
+    assert abs(got["z1"].entropy_r6) < 1e-5
+    assert got["z2"].distinct_sensitive == 3
+    assert not got["z2"].at_risk
+    assert got["z2"].entropy_r6 == round(math.log(3), 6) - 0.0  # uniform over 3
+
+
+def test_dp_noisy_counts_deterministic_and_seed_sensitive(spark):
+    """Same seed -> identical release (re-runs spend no budget);
+    different seed -> different noise; noise centered near zero."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(300)], "id long, grp string"
+    )
+    a = {r.grp: r.noisy_count_r4 for r in dp_noisy_counts(df, ["grp"]).collect()}
+    b = {r.grp: r.noisy_count_r4 for r in dp_noisy_counts(df, ["grp"]).collect()}
+    c = {r.grp: r.noisy_count_r4 for r in dp_noisy_counts(df, ["grp"], seed="dp-v2").collect()}
+    assert a == b
+    assert a != c
+    # Laplace(1) noise: |noisy - true| < 30 with overwhelming margin
+    assert all(abs(v - 100) < 30 for v in a.values())
+    # and the release is actually noisy, not the raw count
+    assert any(v != 100 for v in a.values())
