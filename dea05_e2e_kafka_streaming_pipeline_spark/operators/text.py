@@ -519,3 +519,110 @@ def bigram_surprisal(
             -F.sum("logp_q").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
         ).alias("surprisal_nats"),
     )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 50,
+    salt: str = "ppl-v1",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under a language model trained on a HELD-OUT slice
+    of the corpus, then cut the corpus into equal-frequency quality
+    buckets (CCNet's head/middle/tail) by that score.
+
+    What :func:`unigram_surprisal` (train = score = whole corpus)
+    cannot give you: a train/apply separation — the model here is an
+    add-one-smoothed unigram LM over the deterministic md5 ``train_pct``%
+    doc split, so scoring is well-defined for tokens the model never
+    saw (the +1/UNK mass), exactly like scoring fresh crawl data with
+    a frozen KenLM. Smoothed probability: ``p(tok) = (cnt+1)/(N+V+1)``
+    with N = train token count, V = train vocabulary size.
+
+    Determinism: the md5 split is the repo's standard sample bucket;
+    per-token −ln p is quantized to 1e-9 fixed-point before the doc
+    sum (order-insensitive); bucket = exact equal-frequency ntile over
+    the (surprisal, id) total order, computed WITHOUT a single-reducer
+    sort via :func:`~..plans.analytics.global_row_number` + the
+    ``1+(rn−1)·k/total`` identity (matches SQL ``ntile`` exactly).
+
+    Scale: one vocab aggregate over the train slice, one join of
+    exploded tokens to the vocab (AQE broadcasts while it fits), one
+    doc aggregate, one range shuffle for numbering. Nothing touches
+    document bodies after the explode.
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        _sample_bucket,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_row_number,
+    )
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    flags = df.select(
+        F.col(id_col),
+        (_sample_bucket(F.col(id_col), salt) < train_pct).alias("in_train"),
+    )
+    tcounts = (
+        toks.join(flags.filter("in_train").select(id_col), id_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = tcounts.agg(
+        F.sum("cnt").alias("n_train"), F.count(F.lit(1)).alias("v_train")
+    )
+    scored = (
+        toks.join(tcounts, "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_train") + F.col("v_train") + 1).cast("double")
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+    perdoc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            -F.sum("logp_q").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+        ).alias("surprisal_nats"),
+    )
+    numbered = global_row_number(
+        perdoc, ["surprisal_nats", id_col], out_col="__rn"
+    )
+    total = perdoc.agg(F.count(F.lit(1)).alias("__total"))
+    labels = F.array(*[F.lit(s) for s in ("head", "middle", "tail")])
+    bucket = (
+        F.lit(1)
+        + F.floor(
+            (F.col("__rn") - 1) * n_buckets / F.col("__total")
+        ).cast("int")
+    )
+    out = (
+        numbered.crossJoin(F.broadcast(total))
+        .join(flags, id_col)
+        .withColumn("ppl_bucket", bucket)
+    )
+    label = (
+        F.element_at(labels, F.col("ppl_bucket"))
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("ppl_bucket").cast("string"))
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "in_train",
+        "surprisal_nats",
+        "ppl_bucket",
+        label.alias("ppl_label"),
+    )

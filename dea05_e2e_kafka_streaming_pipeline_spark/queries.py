@@ -9781,3 +9781,60 @@ def q_dp_noisy_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(
         load_table(spark, sf_dir, "orders"), ["o_orderpriority"], epsilon=1.0
     )
+
+
+@register(
+    "perplexity_buckets_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ppl-v1'), 1, 8))
+               ::BIGINT % 100 < 50 AS in_train
+      FROM documents
+    ), tcounts AS (
+      SELECT t.tok, count(*) AS cnt
+      FROM toks t JOIN flags f USING (doc_id)
+      WHERE f.in_train GROUP BY 1
+    ), stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_train,
+             CAST(COUNT(*) AS BIGINT) AS v_train
+      FROM tcounts
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln(
+               CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+               / CAST(s.n_train + s.v_train + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+               AS logp_q
+      FROM toks t LEFT JOIN tcounts c ON t.tok = c.tok CROSS JOIN stats s
+    ), perdoc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(-CAST(sum(logp_q) AS DOUBLE) / 1e9 / count(*), 6)
+               AS surprisal_nats
+      FROM scored GROUP BY doc_id
+    ), nt AS (
+      SELECT p.*, f.in_train,
+             ntile(3) OVER (ORDER BY surprisal_nats, doc_id) AS ppl_bucket
+      FROM perdoc p JOIN flags f USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, in_train, surprisal_nats, ppl_bucket,
+           (['head', 'middle', 'tail'])[ppl_bucket] AS ppl_label
+    FROM nt
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: every doc scored by
+    an add-one-smoothed unigram LM trained on the md5-half of the
+    corpus (train/apply separation — unseen tokens get the UNK mass),
+    then exact equal-frequency terciles over the (surprisal, doc_id)
+    total order. Bucket assignment uses the range-shuffle global
+    numbering, never a single-reducer ntile window; the oracle's
+    ntile(3) is provably the same cut (operators/text.py:
+    perplexity_filter)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        perplexity_filter,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return perplexity_filter(load_table(spark, sf_dir, "documents"))

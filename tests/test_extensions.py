@@ -1092,3 +1092,36 @@ def test_dbscan_min_pts_promotes_noise(spark):
     out = dbscan(df, sim_eps=0.9, min_pts=4, cc_algorithm="label").collect()
     assert {r.role for r in out} == {"noise"}
     assert all(r.cluster_id is None for r in out)
+
+
+def test_perplexity_filter_buckets_and_smoothing(spark):
+    """Gibberish docs must land in the tail bucket; the smoothed LM
+    assigns unseen tokens finite surprisal; terciles are equal-size."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        perplexity_filter,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(12)] + [
+        (100, "zxqv wvtk qqpl mnbx"),   # tokens the LM never saw
+        (101, "zzz yyy xxx www"),
+        (102, common),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_filter(df).collect()
+    assert len(out) == 15
+    by_id = {r.doc_id: r for r in out}
+    # equal-frequency terciles over 15 docs -> 5 per bucket
+    from collections import Counter
+
+    sizes = Counter(r.ppl_bucket for r in out)
+    assert sizes == {1: 5, 2: 5, 3: 5}
+    assert by_id[100].ppl_label == "tail"
+    assert by_id[101].ppl_label == "tail"
+    # the 13 identical docs tie on surprisal; ties rank by doc_id, so
+    # doc 0 is head and doc 102 (largest id among the ties) may spill
+    # into a later bucket — the deterministic tie-break, not a bug
+    assert by_id[0].ppl_label == "head"
+    assert by_id[102].surprisal_nats == by_id[0].surprisal_nats
+    # unseen tokens: finite, strictly higher surprisal than common text
+    assert by_id[100].surprisal_nats > by_id[0].surprisal_nats

@@ -176,6 +176,8 @@ _EAGER_BUILD_OK = {
     "entity_resolution_customers",
     # DBSCAN's cluster step is the same auto-gated CC closure
     "dbscan_embeddings",
+    # global_row_number's per-partition count pass, as above
+    "perplexity_buckets_docs",
 }
 
 
