@@ -195,3 +195,88 @@ def seasonal_decompose(
             ),
         ).alias("residual_r4"),
     )
+
+
+def kaplan_meier(
+    life: DataFrame,
+    duration_col: str = "t",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over ``(duration, event)`` rows
+    (event=1 observed, event=0 right-censored): at each distinct
+    duration t, the at-risk count, event/censor counts, and the product
+    estimate ``S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)``.
+
+    The product is carried in LOG space as an exact integer: each
+    factor's ``ln((nᵢ−dᵢ)/nᵢ)`` — a ratio of exact counts, one double
+    division and one ln — is quantized to 1e-9 nano-nats BEFORE the
+    cumulative sum, so the running product can never depend on float
+    summation order (``log_surv_nano`` is the bit-exact hash surface;
+    ``surv_r6`` is its single-exp readout). When a step consumes the
+    whole risk set (dᵢ = nᵢ, ln 0 undefined) survival hits exactly
+    zero: ``log_surv_nano`` goes NULL and ``surv_r6`` is 0 from that
+    t on — the estimator's true value, not a sentinel.
+
+    Scale shape: one aggregate to duration grain; every window runs
+    over the |distinct durations| post-aggregate table (bounded — a
+    duration histogram, not the population), the documented bounded-
+    series exception. The population-sized input shuffles once.
+
+    Returns ``(t, n_at_risk, n_events, n_censored, log_surv_nano,
+    surv_r6)``.
+    """
+    per_t = life.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    total = life.agg(F.count(F.lit(1)).alias("pop"))
+    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    staged = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "n_total",
+        "n_events",
+        (
+            F.col("pop")
+            - F.coalesce(F.sum("n_total").over(before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    factor = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_at_risk")),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_events")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(1e9)
+        ).cast("long"),
+    ).when(F.col("n_events") == 0, F.lit(0).cast("long"))
+    dead = F.max(
+        F.when(
+            (F.col("n_events") > 0)
+            & (F.col("n_events") == F.col("n_at_risk")),
+            1,
+        ).otherwise(0)
+    ).over(upto)
+    scored = staged.select(
+        "t",
+        "n_at_risk",
+        "n_events",
+        (F.col("n_total") - F.col("n_events")).alias("n_censored"),
+        F.sum(factor).over(upto).alias("cum_nano"),
+        dead.alias("__dead"),
+    )
+    return scored.select(
+        "t",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("__dead") == 0, F.col("cum_nano")).alias(
+            "log_surv_nano"
+        ),
+        F.when(F.col("__dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("cum_nano").cast("double") / F.lit(1e9)), 6)
+        )
+        .alias("surv_r6"),
+    )

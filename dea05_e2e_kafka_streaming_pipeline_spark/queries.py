@@ -9838,3 +9838,204 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     return perplexity_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "kaplan_meier_churn",
+    oracle="""
+    WITH percust AS (
+      SELECT o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS first_d,
+             max(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1
+    ), horizon AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ), life AS (
+      SELECT date_diff('day', first_d, last_d) AS t,
+             CASE WHEN date_diff('day', last_d, maxd) > 90
+                  THEN 1 ELSE 0 END AS event
+      FROM percust CROSS JOIN horizon
+    ), per_t AS (
+      SELECT t, count(*) AS n_total,
+             CAST(SUM(event) AS BIGINT) AS n_events
+      FROM life GROUP BY 1
+    ), pop AS (SELECT count(*) AS pop FROM life),
+    staged AS (
+      SELECT t, n_total, n_events,
+             pop - COALESCE(SUM(n_total) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_at_risk
+      FROM per_t CROSS JOIN pop
+    ), scored AS (
+      SELECT t, n_at_risk, n_events, n_total - n_events AS n_censored,
+             SUM(CASE
+               WHEN n_events > 0 AND n_events < n_at_risk THEN
+                 CAST(round(ln(
+                   CAST(n_at_risk - n_events AS DOUBLE)
+                   / CAST(n_at_risk AS DOUBLE)) * 1e9) AS BIGINT)
+               WHEN n_events = 0 THEN 0
+             END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_nano,
+             MAX(CASE WHEN n_events > 0 AND n_events = n_at_risk
+                 THEN 1 ELSE 0 END) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS dead
+      FROM staged
+    )
+    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           CAST(CASE WHEN dead = 0 THEN cum_nano END AS VARCHAR)
+             AS log_surv_nano,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(CAST(cum_nano AS DOUBLE) / 1e9), 6)
+           END AS surv_r6
+    FROM scored
+    """,
+)
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime survival curve: per-customer lifetime = days
+    between first and last order, churn event = no order within 90
+    days of the dataset horizon (else right-censored — the customer
+    may still be active). Kaplan-Meier with the log-space fixed-point
+    product (operators/timeseries.py:kaplan_meier); `log_surv_nano`
+    is the bit-exact surface, `surv_r6` the human-readable curve."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    percust = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd")
+    )
+    life = percust.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").alias("t"),
+        F.when(F.datediff("maxd", "last_d") > 90, 1)
+        .otherwise(0)
+        .alias("event"),
+    )
+    km = kaplan_meier(life)
+    # driver-surface adaptation (the inverted_index_docs precedent): a
+    # NULLABLE bigint comes back from DuckDB's pandas bridge as float64
+    # and the driver's %.6g float canonicalization truncates nano-nat
+    # integers — ship the exact digits as a string on both sides
+    return km.withColumn(
+        "log_surv_nano", F.col("log_surv_nano").cast("string")
+    )
+
+
+@register(
+    "welch_ttest_segments",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), g AS (
+      SELECT seg, count(*) AS n,
+             CAST(SUM(p) AS DOUBLE) AS s1,
+             CAST(SUM(p * p) AS DOUBLE) AS s2
+      FROM j GROUP BY 1
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n_a,
+        MAX(CASE WHEN seg = 'BUILDING' THEN s1 END) AS s1_a,
+        MAX(CASE WHEN seg = 'BUILDING' THEN s2 END) AS s2_a,
+        MAX(CASE WHEN seg = 'MACHINERY' THEN n END) AS n_b,
+        MAX(CASE WHEN seg = 'MACHINERY' THEN s1 END) AS s1_b,
+        MAX(CASE WHEN seg = 'MACHINERY' THEN s2 END) AS s2_b
+      FROM g
+    ), v AS (
+      SELECT n_a, n_b,
+             s1_a / n_a AS m_a, s1_b / n_b AS m_b,
+             (s2_a - s1_a * s1_a / n_a) / (n_a - 1) / n_a AS q_a,
+             (s2_b - s1_b * s1_b / n_b) / (n_b - 1) / n_b AS q_b
+      FROM w
+    )
+    SELECT n_a, n_b, round(m_a, 6) AS mean_a_r6, round(m_b, 6) AS mean_b_r6,
+           round((m_a - m_b) / sqrt(q_a + q_b), 6) AS t_stat_r6,
+           round((q_a + q_b) * (q_a + q_b)
+                 / (q_a * q_a / (n_a - 1) + q_b * q_b / (n_b - 1)), 6)
+             AS df_r6
+    FROM v
+    """,
+)
+def q_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean order value
+    between the BUILDING and MACHINERY segments — the A/B-comparison
+    primitive (unequal n, unequal variance, Welch–Satterthwaite df).
+    Group moments come from EXACT decimal sums (Σp, Σp² at scale 4)
+    cast to double once, then the statistic is a fixed scalar
+    expression tree on the 2-row aggregate — identical in both engines,
+    no float accumulation anywhere."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+    )
+    g = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("double").alias("s1"),
+        F.sum(F.col("p") * F.col("p")).cast("double").alias("s2"),
+    )
+
+    def pick(seg: str, col: str):
+        return F.max(F.when(F.col("seg") == seg, F.col(col)))
+
+    w = g.agg(
+        pick("BUILDING", "n").alias("n_a"),
+        pick("BUILDING", "s1").alias("s1_a"),
+        pick("BUILDING", "s2").alias("s2_a"),
+        pick("MACHINERY", "n").alias("n_b"),
+        pick("MACHINERY", "s1").alias("s1_b"),
+        pick("MACHINERY", "s2").alias("s2_b"),
+    )
+    m_a = F.col("s1_a") / F.col("n_a")
+    m_b = F.col("s1_b") / F.col("n_b")
+    q_a = (
+        (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    )
+    q_b = (
+        (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    v = w.select(
+        "n_a", "n_b",
+        m_a.alias("m_a"), m_b.alias("m_b"),
+        q_a.alias("q_a"), q_b.alias("q_b"),
+    )
+    return v.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a_r6"),
+        F.round("m_b", 6).alias("mean_b_r6"),
+        F.round(
+            (F.col("m_a") - F.col("m_b"))
+            / F.sqrt(F.col("q_a") + F.col("q_b")),
+            6,
+        ).alias("t_stat_r6"),
+        F.round(
+            (F.col("q_a") + F.col("q_b")) * (F.col("q_a") + F.col("q_b"))
+            / (
+                F.col("q_a") * F.col("q_a") / (F.col("n_a") - 1)
+                + F.col("q_b") * F.col("q_b") / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_r6"),
+    )

@@ -137,3 +137,28 @@ def test_seasonal_decompose_recovers_planted_weekly_bump(spark):
     assert all(r.seasonal_r4 > 0.5 for r in bump)      # ~ +0.6 of the bump
     assert all(r.seasonal_r4 < 0.0 for r in flat)      # flat days dip
     assert len({r.residual_r4 for r in bump}) == 1     # perfectly periodic
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Durations 1E,2C,3E,4C,5E: S = 0.8, 0.8, 0.8*(2/3), same, then 0
+    when the last at-risk subject events (d == n -> exact zero, NULL
+    log-survival)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    life = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)], "t int, event int"
+    )
+    got = {r.t: r for r in kaplan_meier(life).collect()}
+    assert got[1].n_at_risk == 5 and got[1].n_events == 1
+    assert got[1].surv_r6 == 0.8
+    assert got[2].surv_r6 == 0.8 and got[2].n_censored == 1
+    assert got[3].n_at_risk == 3
+    assert got[3].surv_r6 == round(0.8 * 2 / 3, 6) or abs(
+        got[3].surv_r6 - 0.533333
+    ) < 2e-6
+    assert got[4].surv_r6 == got[3].surv_r6
+    assert got[5].n_at_risk == 1 and got[5].surv_r6 == 0.0
+    assert got[5].log_surv_nano is None
+    assert got[1].log_surv_nano is not None
