@@ -860,3 +860,52 @@ def dp_noisy_counts(
         *group_cols,
         F.round(F.col("n") + noise, 4).alias("noisy_count_r4"),
     )
+
+
+def aes_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES keys (IPL 2006): each row draws ``u`` uniform on (0,1) and the
+    sample is the top-``n`` by ``u^(1/w)`` — ranked here by the
+    monotone-equivalent ``ln(u)/w`` (better conditioned near 1; same
+    order). P(row in sample) is exactly the weighted
+    without-replacement process, which systematic PPS
+    (:func:`systematic_pps_sample`) only approximates per-stratum.
+
+    ``u`` derives from md5(salt|id) — the repo's reproducible-sampling
+    rule: the "random" order is a pure projection, identical at any
+    parallelism, re-dealable by salt. Top-n is TakeOrdered (partial
+    per-partition top-k, no global sort); rows with non-positive
+    weights are excluded (A-ES requires w > 0).
+
+    Returns the sampled rows' ``(id, weight, aes_key_r9)`` ordered by
+    key descending — deterministic total order with the id tiebreak.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.round(F.log(u) / w, 9).alias("aes_key_r9"),
+        )
+        .orderBy(F.desc("aes_key_r9"), F.col(id_col))
+        .limit(n)
+    )

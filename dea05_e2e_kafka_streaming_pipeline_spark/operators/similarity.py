@@ -1240,3 +1240,80 @@ def dbscan(
         role.alias("role"),
         F.coalesce("core_cluster", "border_cluster").alias("cluster_id"),
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 32,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` results maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` — the
+    diversification pass RAG retrieval runs on a relevance top-list so
+    near-duplicate passages don't crowd out coverage.
+
+    Two distributed stages + one bounded greedy: (1) top
+    ``n_candidates`` by query cosine — TakeOrdered, no shuffle of the
+    embedding column; (2) pairwise candidate sims — a broadcast-sized
+    self-join over ≤ n² rows; (3) the inherently sequential greedy runs
+    on the COLLECTED candidate tables (≤ n + n² bounded rows — the
+    repo's deterministic-bounded-fetch policy, same as BPE's argmax
+    chain; the corpus never leaves the executors, only the candidate
+    scores do).
+
+    Exactness: similarities quantize to integer micro-units at scoring,
+    λ to ppm, so every MMR score is the exact integer
+    ``λ_ppm·rel_micro − (10⁶−λ_ppm)·pen_micro`` — no float enters the
+    greedy, every tie breaks by id, and an unrolled-CTE SQL oracle
+    reproduces the selection bit-for-bit.
+
+    Returns ``(step, id, rel_micro, mmr_score)`` — selection order.
+    """
+    spark = df.sparkSession
+    lam_ppm = int(round(lam * 1_000_000))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("rel_micro"),
+        )
+        .orderBy(F.desc("rel_micro"), F.col(id_col))
+        .limit(n_candidates)
+    )
+    cvec = df.join(cand.select(id_col), id_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    a, b = cvec.alias("a"), cvec.alias("b")
+    sims = a.join(b, F.col("a.cid") != F.col("b.cid")).select(
+        F.col("a.cid").alias("ia"),
+        F.col("b.cid").alias("ib"),
+        F.round(
+            cosine_similarity(F.col("a.cv"), F.col("b.cv")) * F.lit(1e6), 0
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    rel = {r[0]: r[1] for r in cand.collect()}
+    sim = {(r.ia, r.ib): r.s_micro for r in sims.collect()}
+    selected: list = []
+    rows = []
+    for step in range(1, min(k, len(rel)) + 1):
+        best_id, best_score = None, None
+        for c in sorted(cid for cid in rel if cid not in selected):
+            pen = max((sim[(c, s)] for s in selected), default=0)
+            score = lam_ppm * rel[c] - (1_000_000 - lam_ppm) * pen
+            if best_score is None or score > best_score:
+                best_id, best_score = c, score
+        selected.append(best_id)
+        rows.append((step, best_id, rel[best_id], best_score))
+    return spark.createDataFrame(
+        rows, f"step int, {id_col} long, rel_micro long, mmr_score long"
+    )

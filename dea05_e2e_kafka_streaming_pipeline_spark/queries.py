@@ -10039,3 +10039,110 @@ def q_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_r6"),
     )
+
+
+@register(
+    "aes_weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             round(ln(
+               ('0x' || substr(md5('aes-v1' || '|'
+                   || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               / 281474976710656.0) / CAST(n_chars AS DOUBLE), 9)
+               AS aes_key_r9
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT doc_id, weight, aes_key_r9
+    FROM keyed ORDER BY aes_key_r9 DESC, doc_id LIMIT 20
+    """,
+)
+def q_aes_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (n=20, weight = n_chars):
+    exact weighted-without-replacement semantics with md5-derived
+    uniforms — the principled upgrade over per-stratum systematic PPS,
+    reproducible at any parallelism (operators/curation.py:
+    aes_weighted_sample)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        aes_weighted_sample,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return aes_weighted_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars", n=20
+    )
+
+
+def _mmr_oracle(k: int = 10, n_candidates: int = 32, lam_ppm: int = 500_000) -> str:
+    """Unrolled-CTE mirror of the MMR greedy (the PageRank discipline:
+    a fixed iteration count unrolls into chained CTEs; all-integer
+    scores make every step's argmax engine-exact)."""
+    cos = (
+        "CAST(round(list_cosine_similarity("
+        "list_transform({a}, x -> CAST(x AS DOUBLE)), "
+        "list_transform({b}, x -> CAST(x AS DOUBLE))) * 1e6, 0) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH cand AS MATERIALIZED (
+      SELECT e.vec_id,
+             {cos.format(a="e.embedding", b="q.qv")} AS rel_micro
+      FROM embeddings e,
+           (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+      WHERE e.embedding IS NOT NULL
+      ORDER BY rel_micro DESC, e.vec_id LIMIT {n_candidates}
+    ), sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {cos.format(a="ea.embedding", b="eb.embedding")} AS s_micro
+      FROM cand a
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN cand b ON a.vec_id != b.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ), s1 AS (
+      SELECT vec_id, rel_micro,
+             CAST({lam_ppm} AS BIGINT) * rel_micro AS mmr
+      FROM cand ORDER BY rel_micro DESC, vec_id LIMIT 1
+    ), sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT c.vec_id, c.rel_micro,
+             CAST({lam_ppm} AS BIGINT) * c.rel_micro
+             - CAST({1_000_000 - lam_ppm} AS BIGINT) * (
+                 SELECT MAX(s.s_micro) FROM sims s
+                 WHERE s.ia = c.vec_id
+                   AND s.ib IN (SELECT vec_id FROM sel{i - 1})
+               ) AS mmr
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+    ), s{i} AS MATERIALIZED (
+      SELECT vec_id, rel_micro, mmr
+      FROM r{i} ORDER BY mmr DESC, vec_id LIMIT 1
+    ), sel{i} AS MATERIALIZED (
+      SELECT vec_id FROM sel{i - 1}
+      UNION ALL SELECT vec_id FROM s{i}
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, rel_micro, mmr AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + finals
+
+
+@register("mmr_rerank_embeddings", oracle=_mmr_oracle())
+def q_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (λ=0.5 over a 32-candidate cosine
+    shortlist for vec_id=0's query) — the RAG diversification pass:
+    relevance alone floods a top-list with near-duplicates; MMR's
+    greedy penalizes each candidate by its max similarity to what's
+    already picked. All-integer scoring; the oracle unrolls the greedy
+    into 10 chained CTEs (operators/similarity.py:mmr_rerank)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), list(_query_vec(sf_dir))
+    )

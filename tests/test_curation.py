@@ -482,3 +482,25 @@ def test_dp_noisy_counts_deterministic_and_seed_sensitive(spark):
     assert all(abs(v - 100) < 30 for v in a.values())
     # and the release is actually noisy, not the raw count
     assert any(v != 100 for v in a.values())
+
+
+def test_aes_weighted_sample_properties(spark):
+    """Huge-weight rows dominate the sample (key -> 0 as w -> inf);
+    non-positive weights are excluded; same salt -> same sample."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        aes_weighted_sample,
+    )
+
+    rows = [(i, 1.0) for i in range(50)] + [(100, 1e9), (101, -2.0), (102, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = aes_weighted_sample(df, "w", n=5, id_col="doc_id").collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 100            # ln(u)/1e9 ~ 0 beats every unit weight
+    assert 101 not in ids and 102 not in ids
+    again = [r.doc_id for r in aes_weighted_sample(df, "w", n=5).collect()]
+    assert ids == again
+    other = [
+        r.doc_id
+        for r in aes_weighted_sample(df, "w", n=5, salt="aes-v2").collect()
+    ]
+    assert ids != other             # salt re-deals the draw

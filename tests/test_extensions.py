@@ -1125,3 +1125,30 @@ def test_perplexity_filter_buckets_and_smoothing(spark):
     assert by_id[102].surprisal_nats == by_id[0].surprisal_nats
     # unseen tokens: finite, strictly higher surprisal than common text
     assert by_id[100].surprisal_nats > by_id[0].surprisal_nats
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Three near-identical high-relevance vectors vs one orthogonal
+    mid-relevance vector: pure relevance picks the clones; MMR's second
+    pick must jump to the diverse vector."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.001]),
+        (2, [1.0, 0.0, 0.002]),   # clone of 1
+        (3, [1.0, 0.0, 0.003]),   # clone of 1
+        (4, [0.5, 0.86, 0.0]),    # diverse, lower relevance
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, [1.0, 0.0, 0.0], k=3, n_candidates=4).collect()
+    order = [r.vec_id for r in out]
+    assert order[0] == 1            # best relevance, id tiebreak
+    assert order[1] == 4            # diversity beats the clones
+    assert out[0].step == 1 and out[2].step == 3
+    # clone penalty: its mmr score is far below its pure relevance
+    clone = out[2]
+    assert clone.vec_id in (2, 3)
+    assert clone.mmr_score < 500_000 * clone.rel_micro

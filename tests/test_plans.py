@@ -178,6 +178,9 @@ _EAGER_BUILD_OK = {
     "dbscan_embeddings",
     # global_row_number's per-partition count pass, as above
     "perplexity_buckets_docs",
+    # MMR's greedy argmax chain collects the bounded candidate tables
+    # at build (the BPE-merge-chain precedent)
+    "mmr_rerank_embeddings",
 }
 
 
