@@ -354,3 +354,34 @@ def test_rrf_arms_are_partial_topk(spark):
     TakeOrdered candidate lists before the fusion window runs."""
     plan = _plan(spark, "rrf_hybrid_topk_docs")
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_aes_sample_is_partial_topk(spark):
+    """A-ES sampling must plan as TakeOrdered (per-partition partial
+    top-k) — never a global sort of the keyed corpus."""
+    plan = _plan(spark, "aes_weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_link_prediction_no_cartesian(spark):
+    """The wedge join is an equi-join on the pivot; nothing in the plan
+    may degenerate to a nested-loop/cartesian pair space."""
+    plan = _plan(spark, "link_prediction_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dbscan_shuffles_ids_not_vectors(spark):
+    """After pair scoring, DBSCAN's exchanges must carry id/degree
+    columns only — the embedding column may never appear in a shuffle
+    above the pair-scoring join."""
+    df = registry.queries()["dbscan_embeddings"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # hash exchanges exist (degree agg, CC, border join) ...
+    assert "Exchange hashpartitioning" in plan
+    # ... but none of them partitions by or carries the raw vector
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "embedding" not in line, line
