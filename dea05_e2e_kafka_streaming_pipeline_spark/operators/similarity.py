@@ -1317,3 +1317,55 @@ def mmr_rerank(
     return spark.createDataFrame(
         rows, f"step int, {id_col} long, rel_micro long, mmr_score long"
     )
+
+
+def ndcg_eval(
+    candidate: DataFrame,
+    truth: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    method: str = "candidate",
+) -> DataFrame:
+    """NDCG@k of a candidate ranking against a ground-truth ranking —
+    the graded retrieval-quality metric that closes the gap between
+    the repo's binary recall audits (`*_recall_violations`: "did the
+    true neighbors appear") and ranking quality ("did they appear in
+    the right ORDER"). Gain of the truth's rank-r item is ``k+1−r``;
+    discount weights ``1/log2(pos+1)`` quantize to integer micro-units
+    so both DCG sums are exact; NDCG is one double division.
+
+    Inputs are bounded (id, rk) top-lists (rk 1..k) — everything here
+    is list-sized; the heavy lifting happened in whatever produced the
+    rankings. Returns one row ``(method, dcg_micro, idcg_micro,
+    ndcg_r6)``.
+    """
+    w = F.round(
+        F.lit(1_000_000.0) / F.log2(F.col("rk").cast("double") + 1), 0
+    ).cast("long")
+    t = truth.select(
+        F.col(id_col),
+        (F.lit(k + 1) - F.col("rk")).alias("gain"),
+        w.alias("w_t"),
+    )
+    c = candidate.select(F.col(id_col), w.alias("w_c"))
+    dcg = (
+        c.join(t.select(id_col, "gain"), id_col, "left")
+        .select(
+            (F.coalesce(F.col("gain"), F.lit(0)) * F.col("w_c")).alias("d")
+        )
+        .agg(F.sum("d").alias("dcg_micro"))
+    )
+    idcg = t.select((F.col("gain") * F.col("w_t")).alias("d")).agg(
+        F.sum("d").alias("idcg_micro")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(method).alias("method"),
+            "dcg_micro",
+            "idcg_micro",
+            F.round(
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+            ).alias("ndcg_r6"),
+        )
+    )

@@ -280,3 +280,67 @@ def kaplan_meier(
         )
         .alias("surv_r6"),
     )
+
+
+def seasonal_naive_conformal(
+    daily: DataFrame,
+    date_col: str = "day",
+    cents_col: str = "cents",
+    season_rows: int = 7,
+    cutoff: str = "2000-01-01",
+    level_pct: int = 90,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018)
+    around a seasonal-naive forecast: predict each period as the value
+    ``season_rows`` rows earlier, calibrate |error| on all pre-cutoff
+    periods, and widen every post-cutoff forecast by the conformal
+    quantile — the k-th smallest calibration score with
+    ``k = ⌈(n_cal+1)·level/100⌉``, which guarantees ≥ level% marginal
+    coverage on exchangeable errors with NO distributional assumption.
+
+    Everything is integer cents: scores are exact |value − pred|,
+    k comes from the integer identity ``⌊(level·(n+1)+99)/100⌋``, and
+    the quantile is an ORDER STATISTIC (row_number selection), not an
+    interpolated percentile — so the interval is engine-exact.
+
+    Scale: all windows run over the bounded one-row-per-period series
+    (the documented exception); the calibration quantile is a 1-row
+    broadcast. Returns post-cutoff rows ``(day, value, pred, lower,
+    upper, covered)`` in dollars.
+    """
+    ordered = Window.orderBy(date_col)
+    staged = daily.select(
+        F.col(date_col).alias("d"),
+        F.col(cents_col).alias("c"),
+        F.lag(cents_col, season_rows).over(ordered).alias("pred_c"),
+    ).filter(F.col("pred_c").isNotNull())
+    cut = F.lit(cutoff).cast("date")
+    cal = staged.filter(F.col("d") < cut).select(
+        F.abs(F.col("c") - F.col("pred_c")).alias("score")
+    )
+    ranked = cal.select(
+        "score",
+        F.row_number().over(Window.orderBy("score")).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_cal"),
+    )
+    k = F.floor(
+        (F.lit(level_pct) * (F.col("n_cal") + 1) + 99) / F.lit(100)
+    ).cast("long")
+    qhat = ranked.filter(F.col("rk") == k).select(
+        F.col("score").alias("qhat_c")
+    )
+    ev = staged.filter(F.col("d") >= cut).crossJoin(F.broadcast(qhat))
+    return ev.select(
+        F.col("d"),
+        (F.col("c") / F.lit(100.0)).alias("value"),
+        (F.col("pred_c") / F.lit(100.0)).alias("pred"),
+        ((F.col("pred_c") - F.col("qhat_c")) / F.lit(100.0)).alias("lower"),
+        ((F.col("pred_c") + F.col("qhat_c")) / F.lit(100.0)).alias("upper"),
+        (
+            F.abs(F.col("c") - F.col("pred_c")) <= F.col("qhat_c")
+        ).alias("covered"),
+    )

@@ -1406,3 +1406,83 @@ def excess_shipment_suppliers(
         F.broadcast(supplier.select("s_suppkey", "s_name")),
         per_supp["l_suppkey"] == F.col("s_suppkey"),
     ).select("s_suppkey", "s_name", "excess_parts", "excess_qty")
+
+
+def hbos_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    bins: int = 16,
+    k: int = 25,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel, 2012): per
+    feature, an equal-width histogram over the observed [min, max];
+    a row's score is Σ_features −ln(density of its bin) — high where
+    ANY feature sits in a sparse bin. The linear-time multivariate
+    outlier screen (assumes feature independence — that's the
+    published trade that makes it embarrassingly parallel, vs
+    tree/distance methods that need pair or partition state).
+
+    Determinism: per-bin weight ``ln(n/count)`` quantizes to integer
+    micro-nats, so the per-row sum across features is exact; top-k
+    orders by (score, id) — a total order.
+
+    Scale shape: one global min/max aggregate (broadcast one-row), one
+    |bins|-row histogram aggregate per feature (map-side combinable),
+    broadcast-joined back onto the fact rows as pure projections, then
+    TakeOrdered partial top-k. Nothing but the fact scan touches data
+    volume; adding features adds broadcast joins, never shuffles.
+
+    Returns ``(id, bin_<feature>..., hbos_micro)`` for the top ``k``.
+    """
+    aggs = []
+    for f in feature_cols:
+        aggs += [
+            F.min(F.col(f).cast("double")).alias(f"__min_{f}"),
+            F.max(F.col(f).cast("double")).alias(f"__max_{f}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    stats = df.agg(*aggs)
+    binned = df.crossJoin(F.broadcast(stats))
+    bin_cols = []
+    for f in feature_cols:
+        lo, hi = F.col(f"__min_{f}"), F.col(f"__max_{f}")
+        b = F.when(
+            hi > lo,
+            F.least(
+                F.floor(
+                    (F.col(f).cast("double") - lo) / (hi - lo) * bins
+                ).cast("int"),
+                F.lit(bins - 1),
+            ),
+        ).otherwise(F.lit(0))
+        bin_cols.append(b.alias(f"bin_{f}"))
+    binned = binned.select(
+        F.col(id_col), F.col("__n"), *bin_cols
+    )
+    out = binned
+    score = None
+    for f in feature_cols:
+        hist = (
+            binned.groupBy(f"bin_{f}")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(
+                f"bin_{f}",
+                F.col("__c").alias(f"__c_{f}"),
+            )
+        )
+        out = out.join(F.broadcast(hist), f"bin_{f}")
+        w = F.round(
+            F.log(F.col("__n").cast("double") / F.col(f"__c_{f}")) * F.lit(1e6),
+            0,
+        ).cast("long")
+        score = w if score is None else score + w
+    return (
+        out.select(
+            F.col(id_col),
+            *[F.col(f"bin_{f}") for f in feature_cols],
+            score.alias("hbos_micro"),
+        )
+        .orderBy(F.desc("hbos_micro"), F.col(id_col))
+        .limit(k)
+    )

@@ -10146,3 +10146,210 @@ def q_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         load_table(spark, sf_dir, "embeddings"), list(_query_vec(sf_dir))
     )
+
+
+@register(
+    "hbos_outlier_orders",
+    oracle="""
+    WITH per AS (
+      SELECT o.o_orderkey AS order_id,
+             CAST(o.o_totalprice AS DOUBLE) AS f1,
+             CAST(li.n_items AS DOUBLE) AS f2
+      FROM orders o JOIN (
+        SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+      ) li ON li.l_orderkey = o.o_orderkey
+    ), stats AS (
+      SELECT min(f1) AS min1, max(f1) AS max1,
+             min(f2) AS min2, max(f2) AS max2, count(*) AS n
+      FROM per
+    ), binned AS (
+      SELECT p.order_id, s.n,
+        CASE WHEN s.max1 > s.min1 THEN LEAST(CAST(floor(
+          (p.f1 - s.min1) / (s.max1 - s.min1) * 16) AS INT), 15)
+        ELSE 0 END AS bin_f1,
+        CASE WHEN s.max2 > s.min2 THEN LEAST(CAST(floor(
+          (p.f2 - s.min2) / (s.max2 - s.min2) * 16) AS INT), 15)
+        ELSE 0 END AS bin_f2
+      FROM per p CROSS JOIN stats s
+    ), h1 AS (SELECT bin_f1, count(*) AS c1 FROM binned GROUP BY 1),
+    h2 AS (SELECT bin_f2, count(*) AS c2 FROM binned GROUP BY 1)
+    SELECT b.order_id, b.bin_f1, b.bin_f2,
+           CAST(round(ln(CAST(b.n AS DOUBLE) / c1) * 1e6, 0) AS BIGINT)
+           + CAST(round(ln(CAST(b.n AS DOUBLE) / c2) * 1e6, 0) AS BIGINT)
+             AS hbos_micro
+    FROM binned b JOIN h1 USING (bin_f1) JOIN h2 USING (bin_f2)
+    ORDER BY hbos_micro DESC, order_id LIMIT 25
+    """,
+)
+def q_hbos_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 multivariate outlier orders by Histogram-Based Outlier
+    Score over (order value, item count): equal-width 16-bin histograms
+    per feature, score = Σ −ln(bin density) in exact micro-nats — the
+    linear-time anomaly screen that needs only broadcast-joined
+    histograms, no pair space (plans/analytics.py:hbos_scores)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import hbos_scores
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    per = orders.join(items, orders.o_orderkey == items.l_orderkey).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").cast("double").alias("f1"),
+        F.col("n_items").cast("double").alias("f2"),
+    )
+    return hbos_scores(per, ["f1", "f2"], "order_id", bins=16, k=25)
+
+
+@register(
+    "conformal_revenue_intervals",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS c
+      FROM orders GROUP BY 1
+    ), staged AS (
+      SELECT d, c, lag(c, 7) OVER (ORDER BY d) AS pred_c FROM daily
+    ), st AS (
+      SELECT * FROM staged WHERE pred_c IS NOT NULL
+    ), cal AS (
+      SELECT abs(c - pred_c) AS score FROM st WHERE d < DATE '2000-01-01'
+    ), ranked AS (
+      SELECT score,
+             row_number() OVER (ORDER BY score) AS rk,
+             count(*) OVER () AS n_cal
+      FROM cal
+    ), qhat AS (
+      SELECT score AS qhat_c FROM ranked
+      WHERE rk = CAST(floor((90 * (n_cal + 1) + 99) / 100) AS BIGINT)
+    )
+    SELECT d, c / 100.0 AS value, pred_c / 100.0 AS pred,
+           (pred_c - qhat_c) / 100.0 AS lower,
+           (pred_c + qhat_c) / 100.0 AS upper,
+           abs(c - pred_c) <= qhat_c AS covered
+    FROM st CROSS JOIN qhat
+    WHERE d >= DATE '2000-01-01'
+    """,
+)
+def q_conformal_revenue_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% split-conformal intervals around a 7-row seasonal-naive
+    daily-revenue forecast: calibrate |error| before 2000-01-01, widen
+    every later forecast by the exact conformal order statistic —
+    distribution-free coverage, all integer cents
+    (operators/timeseries.py:seasonal_naive_conformal)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        seasonal_naive_conformal,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return seasonal_naive_conformal(daily)
+
+
+@register(
+    "ndcg_int8_ranking",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id != 0
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), deq AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(v) = list_min(v) THEN v
+             ELSE list_transform(v, x ->
+               list_min(v) + round((x - list_min(v))
+                 / ((list_max(v) - list_min(v)) / 255.0), 0)
+                 * ((list_max(v) - list_min(v)) / 255.0))
+             END AS dv
+      FROM e
+    ), exact AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(d.v, q.qv), 6) DESC,
+                        vec_id) AS rk
+      FROM deq d, q LIMIT 20
+    ), cand AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(d.dv, q.qv), 6) DESC,
+                        vec_id) AS rk
+      FROM deq d, q LIMIT 20
+    ), wt AS (
+      SELECT t.vec_id, 21 - t.rk AS gain,
+             CAST(round(1000000.0 / log2(t.rk + 1), 0) AS BIGINT) AS w_t
+      FROM exact t
+    ), dcg AS (
+      SELECT CAST(SUM(COALESCE(wt.gain, 0)
+             * CAST(round(1000000.0 / log2(c.rk + 1), 0) AS BIGINT))
+             AS BIGINT) AS dcg_micro
+      FROM cand c LEFT JOIN wt ON c.vec_id = wt.vec_id
+    ), idcg AS (
+      SELECT CAST(SUM(gain * w_t) AS BIGINT) AS idcg_micro FROM wt
+    )
+    SELECT 'int8_asym' AS method, dcg_micro, idcg_micro,
+           round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg_r6
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def q_ndcg_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the int8-dequantized cosine ranking against the exact
+    float ranking (query = vec 0, self excluded) — the graded answer to
+    "what does 4x compression cost in ranking quality", complementing
+    the binary recall audits (operators/similarity.py:ndcg_eval)."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        ndcg_eval,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _query_vec(sf_dir)])
+    lo, hi = F.array_min("v"), F.array_max("v")
+    scale = (hi - lo) / F.lit(255.0)
+    deq = F.when(hi == lo, F.col("v")).otherwise(
+        F.transform(
+            "v", lambda x: lo + F.round((x - lo) / scale, 0) * scale
+        )
+    )
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("v"), qv), 6).alias("s_exact"),
+        F.round(cosine_similarity(deq, qv), 6).alias("s_int8"),
+    )
+
+    def toplist(col: str) -> DataFrame:
+        top = scored.orderBy(F.desc(col), "vec_id").limit(20)
+        return top.select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc(col), "vec_id"))
+            .alias("rk"),
+        )
+
+    return ndcg_eval(
+        toplist("s_int8"), toplist("s_exact"), k=20, method="int8_asym"
+    )

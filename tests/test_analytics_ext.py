@@ -566,3 +566,40 @@ def test_global_row_number_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hbos_flags_sparse_bin_rows(spark):
+    """99 clustered rows + 1 far outlier: the outlier occupies a
+    singleton bin in both features -> top HBOS score by construction."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import hbos_scores
+
+    rows = [(i, 10.0 + (i % 10) * 0.1, 5.0 + (i % 3)) for i in range(99)]
+    rows.append((999, 1000.0, 50.0))
+    df = spark.createDataFrame(rows, "id long, f1 double, f2 double")
+    top = hbos_scores(df, ["f1", "f2"], "id", bins=16, k=3).collect()
+    assert top[0].id == 999
+    assert top[0].hbos_micro > top[1].hbos_micro
+    # singleton bins in both features: score = 2 * ln(100/1)
+    import math
+
+    assert top[0].hbos_micro == 2 * round(1e6 * math.log(100.0))
+
+
+def test_ndcg_eval_perfect_and_reversed(spark):
+    """NDCG is 1 for the truth ranking itself and strictly below 1 for
+    a reversed candidate list."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ndcg_eval,
+    )
+
+    truth = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "vec_id long, rk int"
+    )
+    rev = spark.createDataFrame(
+        [(i, 6 - i) for i in range(1, 6)], "vec_id long, rk int"
+    )
+    perfect = ndcg_eval(truth, truth, k=5).collect()[0]
+    assert perfect.ndcg_r6 == 1.0
+    worse = ndcg_eval(rev, truth, k=5).collect()[0]
+    assert worse.ndcg_r6 < 1.0
+    assert worse.dcg_micro < worse.idcg_micro

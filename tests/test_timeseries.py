@@ -162,3 +162,45 @@ def test_kaplan_meier_textbook_curve(spark):
     assert got[5].n_at_risk == 1 and got[5].surv_r6 == 0.0
     assert got[5].log_surv_nano is None
     assert got[1].log_surv_nano is not None
+
+
+def test_conformal_interval_exact_quantile_and_coverage(spark):
+    """Hand-built series: constant weekly pattern for calibration, so
+    all calibration scores are a known set; verify qhat is the exact
+    order statistic and coverage flags are right."""
+    import datetime as dt
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.timeseries import (
+        seasonal_naive_conformal,
+    )
+
+    base = dt.date(1999, 10, 1)
+    # one continuous daily series: weekly level + a mod-3 wobble, so
+    # every |value(t) - value(t-7)| is in {1, 2}; days 0-69 calibrate,
+    # days 70-76 evaluate, day 73 carries a planted 5000-cent spike
+    rows = [
+        (
+            base + dt.timedelta(days=i),
+            1000 + (i % 7) * 10 + (i % 3) + (5000 if i == 73 else 0),
+        )
+        for i in range(77)
+    ]
+    daily = spark.createDataFrame(rows, "day date, cents long")
+    cutoff = base + dt.timedelta(days=70)
+    out = seasonal_naive_conformal(
+        daily, cutoff=cutoff.isoformat()
+    ).collect()
+    assert len(out) == 7
+    covered = {r.d: r.covered for r in out}
+    assert covered[base + dt.timedelta(days=73)] is False  # the spike
+    assert sum(1 for v in covered.values() if v) == 6      # rest inside
+    for r in out:
+        assert r.lower <= r.pred <= r.upper
+        # symmetric widening (compare in cents: the dollar values are
+        # exact but their double differences are not)
+        assert round((r.upper - r.pred) * 100) == round(
+            (r.pred - r.lower) * 100
+        )
+    # qhat is the exact order statistic of the {1,2} score set: 2 cents
+    inside = [r for r in out if r.covered][0]
+    assert round((inside.upper - inside.pred) * 100) == 2
