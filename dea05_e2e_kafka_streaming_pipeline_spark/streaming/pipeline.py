@@ -727,3 +727,66 @@ def cdc_snapshot_stream_sink(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def hll_register_store_sink(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    p: int = 6,
+    available_now: bool = False,
+    trigger_seconds: int | None = 5,
+) -> StreamingQuery:
+    """Continuously-maintained distinct-count register store: each
+    micro-batch sketches into per-key HLL registers
+    (:func:`~..operators.sketches.hll_partials`) and max-merges them
+    into a parquet register table — the streaming half of the
+    DataSketches warehouse pattern (the batch half:
+    :func:`~..operators.sketches.hll_merge` rolls the same store to
+    coarser grains; :func:`~..operators.sketches.hll_estimates` reads
+    estimates off it at query time, never touching raw events).
+
+    Effectively-once FOR FREE: registers are a max-semilattice, so
+    replaying an unacknowledged batch after a crash max-merges the
+    same values again — a mathematical no-op. No dedup state, no
+    transactional sink needed; the store converges to exactly the
+    registers a single batch sketch over all events would produce
+    (register associativity, property-tested batch-side).
+
+    The store is sketch-sized (≤ |keys|·2^p rows), so each batch
+    rewrites it whole after a bounded read — O(sketch), never
+    O(events). At larger key cardinality the same sink shards by key
+    hash like :func:`upsert_batch_into_parquet`; the register algebra
+    is unchanged.
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        hll_merge,
+        hll_partials,
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = hll_partials(batch_df, keys, value_col, p=p)
+        try:
+            current = spark.read.parquet(target_dir)
+        except Exception:  # first batch: empty store
+            current = spark.createDataFrame([], fresh.schema)
+        merged = hll_merge(
+            current.unionByName(fresh), keys
+        ).localCheckpoint(eager=True)  # materialize before overwrite
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

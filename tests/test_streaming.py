@@ -1412,3 +1412,60 @@ def test_drift_monitor_kill_and_resume_state_exact(spark, tmp_path):
         for et, vals in by_type.items()
     }
     assert got == want
+
+
+def test_hll_register_store_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streamed register store equals the one-shot batch sketch
+    over all drained events (max-semilattice merge), and a restart
+    with replayed files converges — max-merging a replay is a no-op."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        hll_partials,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        hll_register_store_sink,
+    )
+
+    landing = tmp_path / "landing"
+    store = str(tmp_path / "store")
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("uid", LongType())]
+    )
+    f1 = [(f"g{i % 2}", i * 7) for i in range(40)]
+    spark.createDataFrame(f1, schema).write.mode("append").json(str(landing / "b1"))
+
+    def run():
+        stream = file_stream(
+            spark, str(landing / "*"), schema, max_files_per_trigger=1
+        )
+        q = hll_register_store_sink(
+            stream, store, str(tmp_path / "ckpt"), ["grp"], "uid",
+            p=5, available_now=True,
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    got = {
+        (r.grp, r.reg_idx): r.reg_rho for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r.grp, r.reg_idx): r.reg_rho
+        for r in hll_partials(
+            spark.createDataFrame(f1, schema), ["grp"], "uid", p=5
+        ).collect()
+    }
+    assert got == want
+
+    f2 = [(f"g{i % 2}", i * 7) for i in range(35, 60)]  # overlaps f1
+    spark.createDataFrame(f2, schema).write.mode("append").json(str(landing / "b2"))
+    run()
+    got2 = {
+        (r.grp, r.reg_idx): r.reg_rho for r in spark.read.parquet(store).collect()
+    }
+    both = spark.createDataFrame(f1 + f2, schema)
+    want2 = {
+        (r.grp, r.reg_idx): r.reg_rho
+        for r in hll_partials(both, ["grp"], "uid", p=5).collect()
+    }
+    assert got2 == want2
