@@ -909,3 +909,134 @@ def aes_weighted_sample(
         .orderBy(F.desc("aes_key_r9"), F.col(id_col))
         .limit(n)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epochs: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic multi-epoch training order: every epoch is an
+    independent pseudo-random permutation of the corpus, keyed by
+    ``md5(key:salt:epoch)`` — the global-shuffle step a training-data
+    pipeline runs before sharding examples to data loaders. Hash-keyed
+    instead of ``rand()`` so the order is reproducible run-to-run,
+    stable under any partitioning, and resumable mid-epoch (position k
+    is a pure function of the key, not of execution history).
+
+    Positions are GLOBAL per epoch without a single-partition window:
+    epochs explode map-side (each row becomes ``epochs`` rows — the
+    only fan-out), :func:`~..plans.analytics.global_row_number` stamps
+    a total order over (epoch, hash) with a range shuffle, and a tiny
+    per-epoch min-offset aggregate (≤ epochs rows, broadcast back)
+    rebases each epoch to 1..N. At 100 TB the natural form is one
+    range-sorted write per epoch; this is the same plan.
+
+    Output: (epoch, key, shuffle_pos) — shuffle_pos in [1, N] within
+    each epoch.
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_row_number,
+    )
+
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1: {epochs}")
+    exploded = df.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
+    ).select(
+        "epoch",
+        F.col(key_col),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col(key_col).cast("string"),
+                F.lit(salt),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("__h"),
+    )
+    numbered = global_row_number(
+        exploded, ["epoch", "__h", key_col], out_col="__rn"
+    )
+    base = numbered.groupBy("epoch").agg(F.min("__rn").alias("__base"))
+    return (
+        numbered.join(F.broadcast(base), "epoch")
+        .select(
+            "epoch",
+            F.col(key_col),
+            (F.col("__rn") - F.col("__base") + 1).alias("shuffle_pos"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169) scoring: estimate hashed-unigram bag-of-
+    words models for a TARGET domain (the rows matching
+    ``target_filter``) and for the RAW corpus, then score every
+    document by its log importance weight
+    ``Σ_tokens ln p_target(bucket)/p_raw(bucket)`` — documents that
+    look like the target domain score high and get up-sampled into the
+    training mixture (pair with ``pps_sample``/``quality_weighted_
+    sample`` for the resampling step).
+
+    Hashing trick exactly as in the paper: unigrams → ``n_buckets``
+    via an md5-prefix bucket (portable across engines, unlike
+    ``xxhash``); both models are Laplace-smoothed ``(cnt+1)/(tot+B)``
+    so unseen buckets stay finite. Plan shape for 100 TB: ONE explode
+    over tokens feeds (a) two vocabulary-bucket-grain conditional-sum
+    aggregates (map-side combinable, ≤ B rows — the trained state is
+    bounded exactly like the BPE vocab and k-means centroids), and
+    (b) a doc-keyed exact aggregate after a broadcast join of the
+    B-row model table. Token log-ratios are quantized to 1e-9
+    fixed-point BIGINTs before the per-doc sum — order-insensitive
+    under any partial-agg schedule, mirrored bit-for-bit by the
+    DuckDB oracle.
+
+    Output: (id, n_tokens, dsir_logweight) — higher = more
+    target-like.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_filter.cast("int").alias("__tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(
+        id_col,
+        "__tgt",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    model = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("__tgt").alias("n_tgt"),
+    )
+    totals = model.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_tgt").alias("tot_tgt")
+    )
+    b = float(n_buckets)
+    p_tgt = (F.col("n_tgt") + 1).cast("double") / (F.col("tot_tgt") + b)
+    p_raw = (F.col("n_raw") + 1).cast("double") / (F.col("tot_raw") + b)
+    scored = (
+        toks.join(model.crossJoin(F.broadcast(totals)), "bucket")
+        .select(
+            F.col(id_col),
+            F.round(F.log(p_tgt / p_raw) * F.lit(1e9)).cast("long").alias("lr_q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lr_q").cast("double") / F.lit(1e9), 6).alias(
+            "dsir_logweight"
+        ),
+    )

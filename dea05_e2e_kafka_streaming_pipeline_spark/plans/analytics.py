@@ -1486,3 +1486,140 @@ def hbos_scores(
         .orderBy(F.desc("hbos_micro"), F.col(id_col))
         .limit(k)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running totals of ``sum_cols`` in ``order_cols`` order WITHOUT the
+    single-reducer ``sum() OVER (ORDER BY ...)`` collapse — the cumsum
+    sibling of :func:`global_row_number`, same three-step plan: range
+    shuffle + in-partition sort, one Arrow pass stamping per-partition
+    local running totals, then per-partition sums (a ≤ num_partitions-row
+    aggregate) prefix-summed on the driver and broadcast back as
+    offsets. Every partition works independently; nothing sorts the
+    world. ``order_cols`` should be a total order for a deterministic
+    result; ``sum_cols`` must be integer-typed (the offsets add exactly
+    in any schedule — the same order-insensitivity discipline as the
+    fixed-point aggregates elsewhere).
+
+    Output: the input columns plus ``cum_<c>`` for each ``c`` in
+    ``sum_cols``.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("__pid", T.IntegerType(), False)]
+        + [T.StructField(f"__lcs_{c}", T.LongType(), False) for c in sum_cols]
+    )
+
+    def running(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry = {c: 0 for c in sum_cols}
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__pid"] = pid
+            for c in sum_cols:
+                pdf[f"__lcs_{c}"] = pdf[c].astype("int64").cumsum() + carry[c]
+                if len(pdf):
+                    carry[c] = int(pdf[f"__lcs_{c}"].iloc[-1])
+            yield pdf
+
+    local = ranged.mapInPandas(running, out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = sorted(
+        (r["__pid"], tuple(r[f"__t_{c}"] for c in sum_cols))
+        for r in local.groupBy("__pid")
+        .agg(*[F.sum(c).alias(f"__t_{c}") for c in sum_cols])
+        .collect()
+    )
+    offsets, acc = [], [0] * len(sum_cols)
+    for pid, tots in totals:
+        offsets.append((pid, *acc))
+        acc = [a + (t or 0) for a, t in zip(acc, tots)]
+    off_schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off_df), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"__off_{c}") + F.col(f"__lcs_{c}"))
+    return out.drop(
+        "__pid", *[f"__lcs_{c}" for c in sum_cols], *[f"__off_{c}" for c in sum_cols]
+    )
+
+
+def ks_two_sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the
+    distribution-free companion to :func:`psi_drift`: PSI localizes
+    drift per bucket but needs a binning choice; KS is the sup-norm
+    distance between the two EXACT empirical CDFs, so it catches any
+    distributional change without tuning, the standard gate between a
+    reference window and a current window (training/serving skew,
+    feature drift) before a model retrain is triggered.
+
+    Plan shape for 100 TB: each side first collapses to per-distinct-
+    value counts in ONE tagged union + conditional-sum aggregate (map-
+    side combinable; the grain after this is |distinct values|, not
+    rows). The ECDFs need a cumulative sum in value order —
+    :func:`global_cumsum` does it with a range shuffle + broadcast
+    offsets, never a single-partition window. The statistic itself is
+    computed in EXACT INTEGER arithmetic: at each distinct value the
+    ECDF difference is |cum_a·tot_b − cum_b·tot_a| over the common
+    denominator tot_a·tot_b, so ``d_num`` (the max numerator, as
+    decimal(38,0) internally — overflow-safe to ~1e19 rows per side)
+    is engine-exact and only the final division is floating point.
+
+    Output: ONE row — ``n_a``, ``n_b``, ``d_num`` (exact integer
+    numerator of D), ``d_stat`` = d_num/(n_a·n_b) rounded to 9 dp.
+    """
+    tagged = df_a.select(
+        F.col(value_col).alias("v"), F.lit(1).alias("__a")
+    ).unionByName(
+        df_b.select(F.col(value_col).alias("v"), F.lit(0).alias("__a"))
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
+    )
+    cum = global_cumsum(counts, ["v"], ["n_a", "n_b"])
+    totals = cum.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    dec = "decimal(38,0)"
+    diff = F.abs(
+        F.col("cum_n_a").cast(dec) * F.col("tot_b").cast(dec)
+        - F.col("cum_n_b").cast(dec) * F.col("tot_a").cast(dec)
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("tot_a").cast("long").alias("n_a"),
+            F.max("tot_b").cast("long").alias("n_b"),
+            F.max(diff).cast("long").alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                9,
+            ).alias("d_stat"),
+        )
+    )

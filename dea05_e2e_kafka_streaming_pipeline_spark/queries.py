@@ -10353,3 +10353,132 @@ def q_ndcg_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_eval(
         toplist("s_int8"), toplist("s_exact"), k=20, method="int8_asym"
     )
+
+
+@register(
+    "ks_price_drift",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS a
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ), c AS (
+      SELECT v, SUM(a) AS n_a, SUM(1 - a) AS n_b FROM t GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(n_a) OVER (ORDER BY v) AS ca,
+             SUM(n_b) OVER (ORDER BY v) AS cb
+      FROM c
+    ), tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM c)
+    SELECT CAST(ta AS BIGINT) AS n_a,
+           CAST(tb AS BIGINT) AS n_b,
+           CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 9) AS d_stat
+    FROM cum, tot GROUP BY ta, tb
+    """,
+)
+def q_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between the 1996 and 1997
+    order-value distributions — the binning-free companion to
+    ``order_price_drift``'s PSI: sup-norm ECDF distance with the
+    numerator in exact integer arithmetic (only the final division is
+    floating point), cumulative counts via the range-shuffle
+    ``global_cumsum`` rather than a single-partition window."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        ks_two_sample,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        )
+
+    return ks_two_sample(year(1996), year(1997), "o_totalprice")
+
+
+@register(
+    "epoch_shuffle_docs",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, t.epoch,
+             md5(CAST(doc_id AS VARCHAR) || '::'
+                 || CAST(t.epoch AS VARCHAR)) AS h
+      FROM documents, (VALUES (0), (1)) AS t(epoch)
+    )
+    SELECT epoch, doc_id,
+           row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+             AS shuffle_pos
+    FROM e
+    """,
+)
+def q_epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch deterministic training order over the documents
+    corpus: each epoch is an independent md5-keyed permutation with
+    global positions stamped by ``global_row_number`` (range shuffle +
+    broadcast offsets — no single-partition sort), rebased per epoch by
+    a tiny broadcast min-offset aggregate."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        epoch_shuffle,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, key_col="doc_id", epochs=2)
+
+
+@register(
+    "dsir_importance_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(lang = 'en' AS INT) AS tgt,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, tgt,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM toks
+    ), model AS (
+      SELECT bucket, count(*) AS n_raw, SUM(tgt) AS n_tgt
+      FROM tb GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(n_raw) AS tot_raw, SUM(n_tgt) AS tot_tgt FROM model
+    ), scored AS (
+      SELECT tb.doc_id,
+             CAST(round(ln(
+               ((CAST(n_tgt AS DOUBLE) + 1) / (CAST(tot_tgt AS DOUBLE) + 1024.0))
+               / ((CAST(n_raw AS DOUBLE) + 1) / (CAST(tot_raw AS DOUBLE) + 1024.0))
+             ) * 1e9, 0) AS BIGINT) AS lr_q
+      FROM tb JOIN model USING (bucket), tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(SUM(lr_q) / 1e9, 6) AS dsir_logweight
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with English documents
+    as the target domain: hashed-unigram Laplace-smoothed bag-of-words
+    models for target and raw corpus (1024 md5 buckets — bounded
+    trained state), per-token log-ratios quantized to 1e-9 fixed point
+    before the order-insensitive per-doc sum."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dsir_importance,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en")

@@ -603,3 +603,79 @@ def test_ndcg_eval_perfect_and_reversed(spark):
     worse = ndcg_eval(rev, truth, k=5).collect()[0]
     assert worse.ndcg_r6 < 1.0
     assert worse.dcg_micro < worse.idcg_micro
+
+
+def test_global_cumsum_matches_window(spark):
+    """global_cumsum under a scrambled multi-partition input equals the
+    single-partition SUM() OVER (ORDER BY) window on every row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_cumsum,
+    )
+
+    df = (
+        spark.range(0, 500)
+        .select(
+            (F.col("id") * 2654435761 % 997).alias("key"),
+            (F.col("id") % 7 + 1).alias("x"),
+            (F.col("id") % 3).alias("y"),
+        )
+        .repartition(6)
+    )
+    got = {
+        (r.key): (r.cum_x, r.cum_y)
+        for r in global_cumsum(df, ["key"], ["x", "y"], num_partitions=5).collect()
+    }
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.key): (r.cum_x, r.cum_y)
+        for r in df.select(
+            "key",
+            F.sum("x").over(w).alias("cum_x"),
+            F.sum("y").over(w).alias("cum_y"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ks_two_sample_identical_and_disjoint(spark):
+    """KS D = 0 when both samples are identical; D = 1 (d_num =
+    n_a*n_b) when their supports are disjoint; a hand-checkable
+    midpoint case matches scipy-style manual ECDF arithmetic."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        ks_two_sample,
+    )
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    same = ks_two_sample(a, a, "v").collect()[0]
+    assert same.d_num == 0 and same.d_stat == 0.0
+
+    b = spark.createDataFrame([(float(100 + i),) for i in range(50)], "v double")
+    disj = ks_two_sample(a, b, "v").collect()[0]
+    assert disj.d_num == disj.n_a * disj.n_b and disj.d_stat == 1.0
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: D = 1/2 at v=2 (F_a=1/2, F_b=0)
+    x = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    y = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    mid = ks_two_sample(x, y, "v").collect()[0]
+    assert mid.d_num == 8 and mid.d_stat == 0.5
+
+
+def test_ks_two_sample_no_unpartitioned_window(spark):
+    """The cumulative ECDF must come from the range-shuffle
+    global_cumsum: the KS plan contains NO Window operator (the
+    single-partition ``SUM() OVER (ORDER BY)`` anti-pattern) and DOES
+    contain the rangepartitioning exchange. (SinglePartition exchanges
+    remain for the final one-ROW aggregate combine — that reducer sees
+    <= num_partitions partial rows, not the data.)"""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        ks_two_sample,
+    )
+
+    a = spark.range(0, 200).selectExpr("cast(id % 13 as double) as v")
+    b = spark.range(0, 150).selectExpr("cast(id % 17 as double) as v")
+    plan = ks_two_sample(a, b, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan

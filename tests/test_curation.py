@@ -504,3 +504,71 @@ def test_aes_weighted_sample_properties(spark):
         for r in aes_weighted_sample(df, "w", n=5, salt="aes-v2").collect()
     ]
     assert ids != other             # salt re-deals the draw
+
+
+def test_epoch_shuffle_permutations_differ_and_are_complete(spark):
+    """Each epoch is a complete 1..N permutation of the corpus; the two
+    epochs order the keys differently (independent md5 keying); and the
+    order is reproducible across invocations."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        epoch_shuffle,
+    )
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id").repartition(5)
+    out = epoch_shuffle(df, key_col="doc_id", epochs=2).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.shuffle_pos
+    assert set(by_epoch) == {0, 1}
+    for positions in by_epoch.values():
+        assert sorted(positions.values()) == list(range(1, 201))
+    assert by_epoch[0] != by_epoch[1]  # different permutations
+
+    again = epoch_shuffle(df, key_col="doc_id", epochs=2).collect()
+    assert {(r.epoch, r.doc_id): r.shuffle_pos for r in again} == {
+        (r.epoch, r.doc_id): r.shuffle_pos for r in out
+    }
+
+
+def test_epoch_shuffle_salt_redeal(spark):
+    """A different salt re-deals the permutation without touching data."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        epoch_shuffle,
+    )
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    a = {
+        r.doc_id: r.shuffle_pos
+        for r in epoch_shuffle(df, epochs=1).collect()
+    }
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in epoch_shuffle(df, epochs=1, salt="s2").collect()
+    }
+    assert set(a) == set(b) and a != b
+
+
+def test_dsir_importance_upweights_target_like_docs(spark):
+    """Documents sharing the target domain's vocabulary must outscore
+    documents made of off-domain tokens: with a clean two-vocabulary
+    corpus the mean log-weight of target-vocab docs is strictly higher."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dsir_importance,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta epsilon", "en"))
+    for i in range(30, 60):
+        rows.append((i, "zulu yankee xray whiskey victor", "de"))
+    # held-out docs, NOT in the target slice, from each vocabulary:
+    rows.append((100, "alpha beta gamma", "fr"))
+    rows.append((101, "zulu yankee xray", "fr"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_importance(df, F.col("lang") == "en").collect()
+    }
+    assert got[100] > got[101]
+    assert got[0] > 0 > got[30]  # target vocab up, off-domain down
