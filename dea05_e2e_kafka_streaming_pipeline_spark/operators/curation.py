@@ -1040,3 +1040,67 @@ def dsir_importance(
             "dsir_logweight"
         ),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled mixture rates — the multilingual/multi-source
+    sampling formula (mT5/XLM-R style): sample source s with
+    probability ``q_s ∝ p_s^alpha``, flattening the head and boosting
+    the tail so low-resource sources aren't drowned (alpha=1 keeps the
+    natural mix, alpha→0 approaches uniform). This derives the PER-
+    SOURCE RATES that :func:`mixture_sample` then applies.
+
+    One source-grain count aggregate (map-side combinable, |sources|
+    rows) and a broadcast total — nothing else touches the corpus.
+    Float discipline: ``p_s^alpha`` is quantized to a 1e-9 fixed-point
+    BIGINT before the normalization sum, so the denominator is
+    integer-exact and order-insensitive — the same quantize-then-sum
+    rule as every other trained statistic here.
+
+    Output per source: ``n_docs``, ``p_raw`` (natural share, 9 dp),
+    ``q_temp`` (temperature share, 9 dp), ``boost`` = q/p (6 dp — >1
+    means up-sampled), ``expected_docs`` (q·N rounded to nearest).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("tot"))
+    with_p = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        "n_docs",
+        "tot",
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("tot"), F.lit(alpha))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("pq_q"),
+    )
+    denom = with_p.agg(F.sum("pq_q").alias("den"))
+    return (
+        with_p.crossJoin(F.broadcast(denom))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("tot"), 9).alias(
+                "p_raw"
+            ),
+            F.round(
+                F.col("pq_q").cast("double") / F.col("den").cast("double"), 9
+            ).alias("q_temp"),
+            F.round(
+                (F.col("pq_q").cast("double") / F.col("den").cast("double"))
+                / (F.col("n_docs").cast("double") / F.col("tot")),
+                6,
+            ).alias("boost"),
+            F.round(
+                F.col("pq_q").cast("double")
+                / F.col("den").cast("double")
+                * F.col("tot")
+            )
+            .cast("long")
+            .alias("expected_docs"),
+        )
+    )

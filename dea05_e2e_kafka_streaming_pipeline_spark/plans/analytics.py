@@ -1623,3 +1623,77 @@ def ks_two_sample(
             ).alias("d_stat"),
         )
     )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between two samples —
+    the nonparametric location-shift companion to :func:`ks_two_sample`
+    (KS asks "same distribution?"; MWU asks "is one systematically
+    larger?") and to ``welch_ttest_segments`` (which assumes means are
+    the story). Used to gate "did the new cohort really spend more?"
+    questions where heavy tails make the t-test lie.
+
+    Same scale scaffolding as KS: both sides collapse to per-distinct-
+    value counts in one tagged union + conditional-sum aggregate, then
+    :func:`global_cumsum` stamps pooled cumulative counts in value
+    order (range shuffle, no single-partition window). Midrank algebra
+    runs in DOUBLED integers so ties stay exact: the average rank of a
+    tied block is ``cum_before + (n+1)/2``, so ``2·R_a = Σ n_a·(2·
+    cum_before + n + 1)`` is integer-exact under any partial-agg
+    schedule. The tie-corrected normal approximation ``z`` is the only
+    floating-point step (one sqrt at the end, rounded to 6 dp).
+
+    Output: ONE row — ``n_a``, ``n_b``, ``u2_a`` (exact 2·U_a, so
+    half-integer U from ties stays integral), ``z`` (tie-corrected).
+    """
+    tagged = df_a.select(
+        F.col(value_col).alias("v"), F.lit(1).alias("__a")
+    ).unionByName(
+        df_b.select(F.col(value_col).alias("v"), F.lit(0).alias("__a"))
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
+    )
+    pooled = counts.select(
+        "v", "n_a", "n_b", (F.col("n_a") + F.col("n_b")).alias("n_v")
+    )
+    cum = global_cumsum(pooled, ["v"], ["n_v"])
+    dec = "decimal(38,0)"
+    # 2*rank_avg of the tied block at v = 2*cum_before + n_v + 1
+    two_r = (
+        2 * (F.col("cum_n_v") - F.col("n_v")) + F.col("n_v") + 1
+    ).cast(dec)
+    tie_term = (
+        F.col("n_v").cast(dec) * F.col("n_v").cast(dec) * F.col("n_v").cast(dec)
+        - F.col("n_v").cast(dec)
+    )
+    agg = cum.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum(F.col("n_a").cast(dec) * two_r).cast(dec).alias("two_ra"),
+        F.sum(tie_term).cast(dec).alias("ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u2 = (
+        F.col("two_ra").cast(dec)
+        - (F.col("n_a").cast(dec) * (F.col("n_a").cast(dec) + 1))
+    )
+    mu2 = na * nb  # 2*mean(U) = n_a*n_b
+    var = (na * nb / 12.0) * (
+        (n + 1) - F.col("ties").cast("double") / (n * (n - 1))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2_a"),
+        F.round(
+            (u2.cast("double") - mu2) / (2.0 * F.sqrt(var)), 6
+        ).alias("z"),
+    )

@@ -10482,3 +10482,101 @@ def q_dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance(docs, F.col("lang") == "en")
+
+
+@register(
+    "mannwhitney_price_shift",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS a
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ), c AS (
+      SELECT v, SUM(a) AS n_a, SUM(1 - a) AS n_b, COUNT(*) AS n_v
+      FROM t GROUP BY v
+    ), cum AS (
+      SELECT v, n_a, n_b, n_v, SUM(n_v) OVER (ORDER BY v) AS cnv FROM c
+    ), agg AS (
+      SELECT SUM(n_a) AS na, SUM(n_b) AS nb,
+             SUM(n_a * (2 * (cnv - n_v) + n_v + 1)) AS two_ra,
+             SUM(n_v * n_v * n_v - n_v) AS ties
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(two_ra - na * (na + 1) AS BIGINT) AS u2_a,
+           ROUND(
+             (CAST(two_ra - na * (na + 1) AS DOUBLE)
+              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             / (2.0 * sqrt(
+                 (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                 * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+                    - CAST(ties AS DOUBLE)
+                      / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                         * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1))))),
+             6) AS z
+    FROM agg
+    """,
+)
+def q_mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (tie-corrected z) between 1996 and 1997
+    order values — the nonparametric location test beside the KS
+    distribution test and Welch's mean test: doubled-integer midrank
+    algebra over the same value-grain + global_cumsum scaffolding, one
+    sqrt at the end."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        mann_whitney_u,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        )
+
+    return mann_whitney_u(year(1996), year(1997), "o_totalprice")
+
+
+@register(
+    "temperature_mixture_docs",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ), t AS (SELECT SUM(n_docs) AS tot FROM c),
+    p AS (
+      SELECT source, n_docs, tot,
+             CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE),
+                            0.7) * 1e9, 0) AS BIGINT) AS pq_q
+      FROM c, t
+    ), d AS (SELECT SUM(pq_q) AS den FROM p)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS p_raw,
+           round(CAST(pq_q AS DOUBLE) / CAST(den AS DOUBLE), 9) AS q_temp,
+           round((CAST(pq_q AS DOUBLE) / CAST(den AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS boost,
+           CAST(round(CAST(pq_q AS DOUBLE) / CAST(den AS DOUBLE)
+                      * CAST(tot AS DOUBLE), 0) AS BIGINT) AS expected_docs
+    FROM p, d
+    """,
+)
+def q_temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.7) per-source sampling rates over the
+    documents corpus — the mT5/XLM-R mixture formula with p^alpha
+    quantized to 1e-9 fixed point before the normalization sum, so the
+    denominator is order-insensitive."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        temperature_mixture_rates,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_rates(docs, "source", alpha=0.7)

@@ -679,3 +679,42 @@ def test_ks_two_sample_no_unpartitioned_window(spark):
     plan = ks_two_sample(a, b, "v")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_mann_whitney_hand_case_and_symmetry(spark):
+    """Hand-checked ranks with ties: a={1,2,2}, b={2,3} pooled ranks
+    are 1, 3, 3, 3, 5 (midranks), R_a = 7, U_a = R_a - 3*4/2 = 1, so
+    u2_a = 2. Identical samples give z = 0. And U_a + U_b = n_a*n_b
+    (antisymmetry) on a scrambled larger input."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        mann_whitney_u,
+    )
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a) == (3, 2, 2)
+
+    same = spark.createDataFrame([(float(i % 5),) for i in range(40)], "v double")
+    rs = mann_whitney_u(same, same, "v").collect()[0]
+    assert rs.u2_a == rs.n_a * rs.n_b and rs.z == 0.0
+
+    x = spark.range(0, 300).selectExpr("cast(id * 37 % 101 as double) as v")
+    y = spark.range(0, 200).selectExpr("cast(id * 53 % 97 + 2 as double) as v")
+    fwd = mann_whitney_u(x, y, "v").collect()[0]
+    rev = mann_whitney_u(y, x, "v").collect()[0]
+    assert fwd.u2_a + rev.u2_a == 2 * fwd.n_a * fwd.n_b
+    assert abs(fwd.z + rev.z) < 1e-9
+
+
+def test_mann_whitney_detects_shift_direction(spark):
+    """A clearly right-shifted sample b must give a strongly negative
+    z for a (a systematically smaller)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        mann_whitney_u,
+    )
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    b = spark.createDataFrame([(float(i + 200),) for i in range(100)], "v double")
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert r.u2_a == 0 and r.z < -10

@@ -572,3 +572,27 @@ def test_dsir_importance_upweights_target_like_docs(spark):
     }
     assert got[100] > got[101]
     assert got[0] > 0 > got[30]  # target vocab up, off-domain down
+
+
+def test_temperature_mixture_alpha1_is_natural_and_tail_boosts(spark):
+    """alpha=1 reproduces the natural mix (boost == 1 everywhere);
+    alpha=0.7 up-samples the rare source (boost > 1) and down-samples
+    the dominant one (boost < 1), with temperature shares summing to 1."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        temperature_mixture_rates,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    nat = {
+        r.source: r for r in temperature_mixture_rates(df, alpha=1.0).collect()
+    }
+    assert all(abs(r.boost - 1.0) < 1e-6 for r in nat.values())
+
+    hot = {
+        r.source: r for r in temperature_mixture_rates(df, alpha=0.7).collect()
+    }
+    assert hot["small"].boost > 1.0 > hot["big"].boost
+    assert abs(sum(r.q_temp for r in hot.values()) - 1.0) < 1e-6
+    assert hot["small"].expected_docs > 100  # up-sampled beyond natural
