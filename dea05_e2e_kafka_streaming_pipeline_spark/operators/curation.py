@@ -1104,3 +1104,83 @@ def temperature_mixture_rates(
             .alias("expected_docs"),
         )
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea on a token
+    stream): a chunk boundary falls after token ``i`` whenever the md5
+    bucket of the trailing ``window``-gram hits ``0 mod divisor`` —
+    boundaries are decided by CONTENT, not position, so inserting or
+    deleting a token early in a document only perturbs the chunks
+    around the edit; every later chunk re-synchronizes and still
+    matches its twin in a near-duplicate. Fixed-size chunking
+    (``chunk_documents``/``dedup_chunks``) misaligns everything after
+    the edit — this operator is the robust sibling, feeding the same
+    chunk-level dedup/audit machinery. Expected chunk length =
+    ``divisor`` tokens.
+
+    Scale shape: the boundary-flag array is ONE ``transform`` over the
+    token array (per-row projection, zero shuffle); chunk membership is
+    a prefix count of flags via a PER-DOCUMENT window (partitioned by
+    id — bounded by document length, never global); chunk reassembly
+    is one (id, chunk_id) aggregate. Document bodies shuffle once, at
+    the reassembly — the same single-reassembly-shuffle budget as
+    ``chunk_documents``.
+
+    Output: (id, chunk_id, first_pos, n_tokens, chunk_text).
+    """
+
+    def gram_bucket(i: Column) -> Column:
+        """md5 bucket of the window-gram ending at 1-based position i."""
+        gram = F.array_join(F.slice(F.col("t"), i - (window - 1), window), " ")
+        return (
+            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % divisor
+        )
+
+    flagged = df.select(F.col(id_col), tokens(text_col).alias("t")).withColumn(
+        "flags",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda i: F.when(
+                (i >= F.lit(window)) & (gram_bucket(i) == 0), 1
+            ).otherwise(0),
+        ),
+    )
+    pairs = flagged.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip("t", "flags")).alias("pos0", "z"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("z.t").alias("tok"),
+        F.col("z.flags").alias("b"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pairs.select(
+        id_col,
+        "pos",
+        "tok",
+        F.coalesce(F.sum("b").over(win), F.lit(0)).alias("chunk_id"),
+    )
+    return chunked.groupBy(id_col, "chunk_id").agg(
+        F.min("pos").alias("first_pos"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -10580,3 +10580,64 @@ def q_temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mixture_rates(docs, "source", alpha=0.7)
+
+
+@register(
+    "content_chunks_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM toks
+    ), fl AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos >= 3
+                       AND (CAST('0x' || substr(md5(
+                              array_to_string(t[pos-2:pos], ' ')), 1, 8)
+                            AS BIGINT) % 8) = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos
+    ), ch AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS chunk_id
+      FROM fl
+    ), chunks AS (
+      SELECT doc_id, chunk_id, count(*) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM ch GROUP BY 1, 2
+    )
+    SELECT md5(chunk_text) AS chunk_fp,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM chunks GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_content_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate audit over CONTENT-DEFINED chunks
+    (FastCDC-style token-gram boundaries, expected length 8 tokens):
+    chunks that recur in >= 2 documents, robust to insertions that
+    would misalign every fixed-size chunk after the edit."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        content_defined_chunks,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = content_defined_chunks(docs, window=3, divisor=8)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_fp"))
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

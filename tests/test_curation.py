@@ -596,3 +596,53 @@ def test_temperature_mixture_alpha1_is_natural_and_tail_boosts(spark):
     assert hot["small"].boost > 1.0 > hot["big"].boost
     assert abs(sum(r.q_temp for r in hot.values()) - 1.0) < 1e-6
     assert hot["small"].expected_docs > 100  # up-sampled beyond natural
+
+
+def test_content_defined_chunks_resync_after_insertion(spark):
+    """The FastCDC property: insert one token near the front of a long
+    document and the LATER chunks still match the original's chunks
+    (boundaries re-synchronize on content), while fixed-size chunking
+    shares nothing after the edit point. Also: chunks partition the
+    token stream exactly (no token lost or duplicated)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        chunk_documents,
+        content_defined_chunks,
+    )
+
+    words = [f"w{i * 37 % 211}" for i in range(400)]
+    original = " ".join(words)
+    edited = " ".join(words[:5] + ["zzinserted"] + words[5:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id long, text string"
+    )
+
+    cdc = content_defined_chunks(df, window=3, divisor=8).collect()
+    by_doc = {1: set(), 2: set()}
+    tok_counts = {1: 0, 2: 0}
+    for r in cdc:
+        by_doc[r.doc_id].add(r.chunk_text)
+        tok_counts[r.doc_id] += r.n_tokens
+    assert tok_counts == {1: 400, 2: 401}  # exact partition of tokens
+    shared_cdc = by_doc[1] & by_doc[2]
+    assert len(shared_cdc) >= 0.5 * len(by_doc[1])  # later chunks re-sync
+
+    fixed = chunk_documents(df, chunk_tokens=8, overlap=0).collect()
+    fx = {1: set(), 2: set()}
+    for r in fixed:
+        fx[r.doc_id].add(r.chunk_text)
+    shared_fixed = fx[1] & fx[2]
+    # the single early insertion shifts every later fixed chunk
+    assert len(shared_fixed) < len(shared_cdc)
+
+
+def test_content_defined_chunks_short_doc_single_chunk(spark):
+    """Documents shorter than the gram window can never flag a boundary
+    and come back as exactly one whole-document chunk."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        content_defined_chunks,
+    )
+
+    df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    rows = content_defined_chunks(df).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "ab cd" and rows[0].n_tokens == 2
