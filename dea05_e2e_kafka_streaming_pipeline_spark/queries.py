@@ -10641,3 +10641,53 @@ def q_content_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "hilbert_orders_keys",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT o_orderkey AS order_id,
+             CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+      FROM orders
+    ), h AS (
+      SELECT order_id, x, y, CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+      FROM pts
+      UNION ALL
+      SELECT order_id,
+             CASE WHEN (y & s) = 0 THEN
+               CASE WHEN (x & s) > 0 THEN 255 - y ELSE y END
+             ELSE x END AS x,
+             CASE WHEN (y & s) = 0 THEN
+               CASE WHEN (x & s) > 0 THEN 255 - x ELSE x END
+             ELSE y END AS y,
+             d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                             (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)) AS d,
+             s // 2 AS s
+      FROM h WHERE s > 0
+    )
+    SELECT order_id, d AS hval FROM h WHERE s = 0
+    """,
+)
+def q_hilbert_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering keys over orders (customer id x order day on
+    a 256x256 grid) — the locality-preserving sibling of
+    `zorder_orders_keys`: consecutive ranks are always-adjacent cells,
+    so a Hilbert-sorted layout gives tighter row-group rectangles for
+    2-D box pruning. Per-level codegen arithmetic via the DataFrame
+    fold (layout.with_hilbert); the oracle replays the same fold as a
+    recursive CTE."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.layout import with_hilbert
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("__x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01")
+        ).alias("__y"),
+    )
+    return with_hilbert(pts, "__x", "__y", bits=8).select("order_id", "hval")

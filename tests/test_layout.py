@@ -124,3 +124,62 @@ def test_write_zordered_round_trips(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
     assert sorted(back.columns) == sorted(orders.columns)
+
+
+def test_hilbert_matches_reference_and_unit_steps(spark):
+    """Exhaustive 16x16 check against the classic xy2d fold, plus THE
+    Hilbert property Morton lacks: consecutive ranks are always
+    adjacent cells (unit L1 step) — the locality claim behind using it
+    as a clustering key."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.layout import (
+        hilbert_key,
+        with_hilbert,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    got_col = {
+        (r.x, r.y): r.hval
+        for r in grid.select("x", "y", hilbert_key("x", "y", bits=4)).collect()
+    }
+    got_df = {
+        (r.x, r.y): r.hval for r in with_hilbert(grid, "x", "y", bits=4).collect()
+    }
+    want = {(x, y): xy2d(16, x, y) for x in range(16) for y in range(16)}
+    assert got_col == want and got_df == want
+
+    inv = {d: xy for xy, d in want.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )
+
+
+def test_with_hilbert_8bit_plans_and_is_bijective_on_diagonal(spark):
+    """The DataFrame fold survives 8 levels (the Column form cannot),
+    stays shuffle-free, and distinct inputs map to distinct ranks."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.layout import with_hilbert
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("int").alias("y")
+    )
+    out = with_hilbert(df, "x", "y", bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+    vals = [r.hval for r in out.collect()]
+    assert len(set(vals)) == 4096
+    assert all(0 <= v < 65536 for v in vals)
