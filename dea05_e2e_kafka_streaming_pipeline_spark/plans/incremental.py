@@ -141,3 +141,87 @@ def incremental_update(
     if state is None:
         return part
     return merge_partials(state, part, keys, spec)
+
+
+def signed_cdc_facts(
+    cdc: DataFrame,
+    cols: list[str],
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    after_prefix: str = "after_",
+) -> DataFrame:
+    """Lower a CDC batch (Debezium-style op c/u/d with before/after
+    images) to SIGNED fact rows — the retraction algebra of
+    incremental view maintenance: an insert contributes its after
+    image at +1, a delete its before image at -1, and an update is
+    delete(before) + insert(after), which makes GROUP-CHANGING updates
+    (the case naive "adjust the group in place" maintenance gets
+    wrong) correct by construction: each image lands in its own group
+    with its own sign.
+
+    Output: ``cols`` (un-prefixed) + ``sign`` (+1/-1). Map-only — one
+    pass over the batch, the union is a narrow transformation.
+    """
+    def image(prefix: str, sign: int) -> list:
+        return [F.col(f"{prefix}{c}").alias(c) for c in cols] + [
+            F.lit(sign).alias("sign")
+        ]
+
+    op = F.col(op_col)
+    inserts = cdc.filter(op == "c").select(*image(after_prefix, 1))
+    deletes = cdc.filter(op == "d").select(*image(before_prefix, -1))
+    upd_out = cdc.filter(op == "u").select(*image(before_prefix, -1))
+    upd_in = cdc.filter(op == "u").select(*image(after_prefix, 1))
+    return inserts.unionByName(deletes).unionByName(upd_out).unionByName(upd_in)
+
+
+def retractable_update(
+    state: DataFrame | None,
+    signed: DataFrame,
+    keys: list[str],
+    measures: list[tuple[str, str]],
+    money: str = _MONEY,
+) -> DataFrame:
+    """Fold a signed-fact batch (:func:`signed_cdc_facts`) into
+    retractable aggregate state: per group, ``sum_<m>`` accumulates
+    ``sign·value`` as exact decimal and ``cnt`` accumulates ``sign`` —
+    an abelian-GROUP algebra (unlike the monoid-only
+    :func:`incremental_update`, deletes and updates are first-class;
+    the price is that only sum/count/avg-style measures qualify —
+    min/max are not invertible and stay with the monoid path).
+    Groups whose live row count returns to zero are REMOVED from the
+    state, so a fully-deleted group disappears exactly as it would
+    from a from-scratch GROUP BY.
+
+    ``measures`` is ``[(out_name, source_col), ...]``. Cost per step:
+    one shuffle of the BATCH at group grain + a state-sized merge —
+    history is never rescanned.
+    """
+    aggs = [
+        F.sum(F.col(src).cast(money) * F.col("sign")).alias(f"__{name}_sum")
+        for name, src in measures
+    ] + [F.sum("sign").cast("long").alias("__cnt")]
+    part = signed.groupBy(*keys).agg(*aggs)
+    if state is not None:
+        merged_aggs = [
+            F.sum(f"__{name}_sum").alias(f"__{name}_sum")
+            for name, _ in measures
+        ] + [F.sum("__cnt").cast("long").alias("__cnt")]
+        part = state.unionByName(part).groupBy(*keys).agg(*merged_aggs)
+    return part.filter(F.col("__cnt") != 0)
+
+
+def finalize_retractable(
+    state: DataFrame,
+    keys: list[str],
+    measures: list[tuple[str, str]],
+) -> DataFrame:
+    """Read-time projection of retractable state: decimal sums surface
+    as double, the live row count as ``n_rows`` — bit-identical to a
+    from-scratch GROUP BY over the post-change fact table (the oracle
+    contract the registry query pins)."""
+    cols = [F.col(k) for k in keys]
+    for name, _src in measures:
+        cols.append(F.col(f"__{name}_sum").cast("double").alias(name))
+    cols.append(F.col("__cnt").alias("n_rows"))
+    return state.select(*cols)

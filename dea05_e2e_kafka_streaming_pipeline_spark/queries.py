@@ -10691,3 +10691,84 @@ def q_hilbert_orders_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__y"),
     )
     return with_hilbert(pts, "__x", "__y", bits=8).select("order_id", "hval")
+
+
+@register(
+    "retractable_daily_sales",
+    oracle="""
+    WITH eff AS (
+      SELECT CASE WHEN o_orderkey % 20 = 0
+                  THEN strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY,
+                                '%Y-%m-%d')
+                  ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             END AS day,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS amount
+      FROM orders
+      WHERE o_orderkey % 10 <> 1
+    )
+    SELECT day,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM eff GROUP BY 1
+    """,
+)
+def q_retractable_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental view maintenance: daily revenue is
+    maintained as abelian-group state (sign-weighted decimal sums)
+    through a base load plus a CDC change batch containing deletes
+    (orderkey%10==1), in-place price updates (%10==0: +100), and
+    GROUP-CHANGING updates (%20==0 additionally moves to the next
+    day) — then finalized and hash-matched against a from-scratch
+    GROUP BY over the post-change fact table. Never rescans history;
+    updates lower to delete(before)+insert(after) signed facts."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_retractable,
+        retractable_update,
+        signed_cdc_facts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    day_shift = F.date_format(
+        F.date_add(F.col("o_orderdate").cast("date"), 1), "yyyy-MM-dd"
+    )
+    amount = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+
+    base = orders.select(
+        F.lit("c").alias("op"),
+        F.lit(None).cast("string").alias("before_day"),
+        F.lit(None).cast("double").alias("before_amount"),
+        day.alias("after_day"),
+        amount.alias("after_amount"),
+    )
+    updates = orders.filter(k % 10 == 0).select(
+        F.lit("u").alias("op"),
+        day.alias("before_day"),
+        amount.alias("before_amount"),
+        F.when(k % 20 == 0, day_shift).otherwise(day).alias("after_day"),
+        (amount + F.lit(100.0)).alias("after_amount"),
+    )
+    deletes = orders.filter(k % 10 == 1).select(
+        F.lit("d").alias("op"),
+        day.alias("before_day"),
+        amount.alias("before_amount"),
+        F.lit(None).cast("string").alias("after_day"),
+        F.lit(None).cast("double").alias("after_amount"),
+    )
+
+    measures = [("revenue", "amount")]
+    state = retractable_update(
+        None, signed_cdc_facts(base, ["day", "amount"]), ["day"], measures
+    )
+    state = retractable_update(
+        state,
+        signed_cdc_facts(updates.unionByName(deletes), ["day", "amount"]),
+        ["day"],
+        measures,
+    )
+    return finalize_retractable(state, ["day"], measures)

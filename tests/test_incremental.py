@@ -129,3 +129,82 @@ def test_incremental_gold_sink_streaming_matches_batch(spark, tmp_path):
         for r in read_incremental_gold(spark, state, keys, spec).collect()
     }
     assert again == want
+
+
+def test_retractable_full_delete_removes_group(spark):
+    """Deleting every row of a group removes the group from the state
+    (exactly as a from-scratch GROUP BY would), and a group-changing
+    update moves mass between groups without inventing or losing any."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_retractable,
+        retractable_update,
+        signed_cdc_facts,
+    )
+
+    base = spark.createDataFrame(
+        [("c", None, None, "g1", 10.0), ("c", None, None, "g1", 20.0),
+         ("c", None, None, "g2", 5.0)],
+        "op string, before_grp string, before_v double, after_grp string, after_v double",
+    )
+    changes = spark.createDataFrame(
+        [("d", "g2", 5.0, None, None),          # g2 fully deleted
+         ("u", "g1", 10.0, "g3", 11.0)],        # group-changing update
+        "op string, before_grp string, before_v double, after_grp string, after_v double",
+    )
+    ms = [("total", "v")]
+    st = retractable_update(
+        None, signed_cdc_facts(base, ["grp", "v"]), ["grp"], ms
+    )
+    st = retractable_update(
+        st, signed_cdc_facts(changes, ["grp", "v"]), ["grp"], ms
+    )
+    got = {
+        r.grp: (r.total, r.n_rows)
+        for r in finalize_retractable(st, ["grp"], ms).collect()
+    }
+    assert got == {"g1": (20.0, 1), "g3": (11.0, 1)}
+
+
+def test_retractable_equals_monoid_on_append_only(spark):
+    """On an insert-only feed the abelian path and the monoid path
+    agree: retractable sum/count == incremental_update sum/count."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_aggregate,
+        finalize_retractable,
+        incremental_update,
+        retractable_update,
+        signed_cdc_facts,
+    )
+
+    rows = [(i % 5, float(i) + 0.25) for i in range(200)]
+    facts = spark.createDataFrame(rows, "grp int, v double")
+    cdc = facts.select(
+        F.lit("c").alias("op"),
+        F.lit(None).cast("int").alias("before_grp"),
+        F.lit(None).cast("double").alias("before_v"),
+        F.col("grp").alias("after_grp"),
+        F.col("v").alias("after_v"),
+    )
+    ms = [("total", "v")]
+    ret = {
+        r.grp: (r.total, r.n_rows)
+        for r in finalize_retractable(
+            retractable_update(
+                None, signed_cdc_facts(cdc, ["grp", "v"]), ["grp"], ms
+            ),
+            ["grp"],
+            ms,
+        ).collect()
+    }
+    spec = [("total", "v", "sum"), ("n_rows", "v", "count")]
+    mono = {
+        r.grp: (r.total, r.n_rows)
+        for r in finalize_aggregate(
+            incremental_update(None, facts, ["grp"], spec), ["grp"], spec
+        ).collect()
+    }
+    assert ret == mono
