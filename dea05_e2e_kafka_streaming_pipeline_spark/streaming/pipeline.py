@@ -790,3 +790,69 @@ def hll_register_store_sink(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def retractable_gold_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    cols: list[str],
+    keys: list[str],
+    measures: list[tuple[str, str]],
+    available_now: bool = False,
+):
+    """Streaming materialized view over a CDC CHANGE stream — the
+    retraction-aware sibling of :func:`incremental_gold_sink`: batches
+    carry Debezium-style c/u/d rows with before/after images, so the
+    view must subtract deleted rows and move group-changing updates
+    between groups, not just fold inserts. Each micro-batch lowers to
+    sign-weighted facts (plans/incremental.py ``signed_cdc_facts``)
+    and writes its signed PARTIAL state to its own ``epoch=<id>``
+    directory — the same idempotent-by-layout recovery as the monoid
+    sink: an at-least-once replay OVERWRITES its own epoch partials,
+    never double-applies them. Read with
+    :func:`read_retractable_gold`, which folds all epochs, drops
+    groups whose live count returned to zero, and finalizes —
+    bit-identical to a from-scratch GROUP BY over the post-change
+    fact table (the batch twin `retractable_daily_sales` pins this
+    against DuckDB).
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        retractable_update,
+        signed_cdc_facts,
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        signed = signed_cdc_facts(batch_df, cols)
+        part = retractable_update(None, signed, keys, measures)
+        part.write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_retractable_gold(
+    spark,
+    state_path: str,
+    keys: list[str],
+    measures: list[tuple[str, str]],
+) -> DataFrame:
+    """Read-side of :func:`retractable_gold_sink`: fold every epoch's
+    signed partials (one aggregate over the small state table), drop
+    dead groups, finalize."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_retractable,
+    )
+
+    state = spark.read.parquet(state_path).drop("epoch")
+    aggs = [
+        F.sum(f"__{name}_sum").alias(f"__{name}_sum") for name, _ in measures
+    ] + [F.sum("__cnt").cast("long").alias("__cnt")]
+    merged = state.groupBy(*keys).agg(*aggs).filter(F.col("__cnt") != 0)
+    return finalize_retractable(merged, keys, measures)

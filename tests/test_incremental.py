@@ -208,3 +208,83 @@ def test_retractable_equals_monoid_on_append_only(spark):
         ).collect()
     }
     assert ret == mono
+
+
+def test_retractable_gold_sink_kill_resume_and_replay_idempotent(spark, tmp_path):
+    """The CDC materialized view across a kill: run 1 processes only
+    the base-insert file, a 'crash' stops it, run 2 resumes from the
+    checkpoint and applies the update/delete file. The final read
+    equals the post-change GROUP BY, a fully-deleted group is gone,
+    and re-writing an epoch's partials (the at-least-once replay case)
+    changes nothing because the epoch dir is overwritten, not
+    appended."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        read_retractable_gold,
+        retractable_gold_sink,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import (
+        file_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("op", StringType()),
+            StructField("before_grp", StringType()),
+            StructField("before_v", DoubleType()),
+            StructField("after_grp", StringType()),
+            StructField("after_v", DoubleType()),
+        ]
+    )
+    landing = tmp_path / "cdc"
+    base = [("c", None, None, "g1", 10.0), ("c", None, None, "g1", 30.0),
+            ("c", None, None, "g2", 5.0)]
+    spark.createDataFrame(base, schema).write.mode("append").json(
+        str(landing / "b0")
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cols, keys, ms = ["grp", "v"], ["grp"], [("total", "v")]
+
+    def run_once():
+        q = retractable_gold_sink(
+            file_stream(
+                spark, str(landing / "*"), schema, max_files_per_trigger=1
+            ),
+            state, ckpt, cols, keys, ms, available_now=True,
+        )
+        assert q.awaitTermination(600)
+
+    run_once()  # run 1: base only, then "crash"
+    mid = {
+        r.grp: (r.total, r.n_rows)
+        for r in read_retractable_gold(spark, state, keys, ms).collect()
+    }
+    assert mid == {"g1": (40.0, 2), "g2": (5.0, 1)}
+
+    changes = [("d", "g2", 5.0, None, None),       # g2 fully deleted
+               ("u", "g1", 10.0, "g3", 12.0)]      # moves g1 -> g3
+    spark.createDataFrame(changes, schema).write.mode("append").json(
+        str(landing / "b1")
+    )
+    run_once()  # run 2: resumes from checkpoint, applies only b1
+    final = {
+        r.grp: (r.total, r.n_rows)
+        for r in read_retractable_gold(spark, state, keys, ms).collect()
+    }
+    assert final == {"g1": (30.0, 1), "g3": (12.0, 1)}
+
+    # simulate the at-least-once replay: re-running with the same
+    # landing files and a FRESH checkpoint rewrites epoch dirs with
+    # identical content -> the read is unchanged
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_once()
+    again = {
+        r.grp: (r.total, r.n_rows)
+        for r in read_retractable_gold(spark, state, keys, ms).collect()
+    }
+    assert again == final
