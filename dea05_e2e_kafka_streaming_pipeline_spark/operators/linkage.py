@@ -114,3 +114,83 @@ def _conj(conds: list[Column]) -> Column:
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def jaro_winkler(s1: Column | str, s2: Column | str) -> Column:
+    """Jaro-Winkler similarity as an Arrow-vectorized pandas UDF — the
+    name-matching comparator classical record linkage runs where exact/
+    prefix agreement is too brittle (typos, transpositions) and
+    Levenshtein (Spark's built-in) over-penalizes transposed characters
+    in short strings. Matches DuckDB's native
+    ``jaro_winkler_similarity`` bit-for-bit (empty string → 0.0, boost
+    threshold 0.7, prefix bonus ≤ 4 chars at p = 0.1) — property-tested
+    against it on thousands of random pairs, which is what lets
+    registry queries using it keep a hash-matching oracle.
+
+    UDF-policy note: this is the documented custom-function tier
+    (per-row string algorithm with data-dependent inner loops — not
+    expressible in codegen Column algebra without a quadratic explode).
+    Arrow batches amortize the transfer; the O(len²) core runs once
+    per pair, exactly like the reference implementations. Use AFTER
+    blocking (``blocked_linkage`` candidates), never on a raw pair
+    space.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw(a, b):
+        def jaro(x: str, y: str) -> float:
+            l1, l2 = len(x), len(y)
+            if not l1 or not l2:
+                return 0.0
+            if x == y:
+                return 1.0
+            md = max(l1, l2) // 2 - 1
+            m1 = [False] * l1
+            m2 = [False] * l2
+            m = 0
+            for i in range(l1):
+                lo, hi = max(0, i - md), min(l2, i + md + 1)
+                for j in range(lo, hi):
+                    if not m2[j] and x[i] == y[j]:
+                        m1[i] = m2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            k = 0
+            for i in range(l1):
+                if m1[i]:
+                    while not m2[k]:
+                        k += 1
+                    if x[i] != y[k]:
+                        t += 1
+                    k += 1
+            t //= 2
+            return (m / l1 + m / l2 + (m - t) / m) / 3
+
+        def jw(x: str | None, y: str | None) -> float | None:
+            if x is None or y is None:
+                return None
+            j = jaro(x, y)
+            if j <= 0.7:
+                return j
+            p = 0
+            for cx, cy in zip(x, y):
+                if cx == cy and p < 4:
+                    p += 1
+                else:
+                    break
+            return j + p * 0.1 * (1 - j)
+
+        return pd.Series([jw(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    # postponed-annotations module: set the signature explicitly so
+    # pandas_udf recognizes the SCALAR (Series, Series) -> Series shape
+    _jw.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    _jw_udf = pandas_udf(_jw, "double")
+
+    c1 = F.col(s1) if isinstance(s1, str) else s1
+    c2 = F.col(s2) if isinstance(s2, str) else s2
+    return _jw_udf(c1, c2)

@@ -10772,3 +10772,48 @@ def q_retractable_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures,
     )
     return finalize_retractable(state, ["day"], measures)
+
+
+@register(
+    "jaro_winkler_customer_names",
+    oracle="""
+    SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+           round(jaro_winkler_similarity(a.c_name, b.c_name), 9)
+             AS name_sim,
+           round(jaro_winkler_similarity(a.c_mktsegment, b.c_mktsegment), 9)
+             AS seg_sim
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    """,
+)
+def q_jaro_winkler_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler name/address comparators over a blocked candidate
+    set (consecutive customer keys as the stand-in block): the engine's
+    Arrow-vectorized UDF hash-matches DuckDB's NATIVE
+    jaro_winkler_similarity on every pair — near-identical names
+    (shared 'Customer#...' prefixes) exercise the Winkler prefix boost,
+    cross-segment pairs exercise the low-similarity path."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        jaro_winkler,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"),
+        F.col("c_mktsegment").alias("a1"),
+    )
+    b = c.select(
+        (F.col("c_custkey") - 1).alias("k1"),
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+        F.col("c_mktsegment").alias("a2"),
+    )
+    return a.join(b, "k1").select(
+        "k1",
+        "k2",
+        F.round(jaro_winkler("n1", "n2"), 9).alias("name_sim"),
+        F.round(jaro_winkler("a1", "a2"), 9).alias("seg_sim"),
+    )

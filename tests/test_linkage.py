@@ -154,3 +154,54 @@ def test_incremental_linkage_against_committed_master(spark, tmp_path):
     assert absorbed + founded == batch.count()
     # time travel: the pre-merge master is intact at v0
     assert read_snapshot(spark, table, version=0).count() == n_master
+
+
+def test_jaro_winkler_classic_values_and_duckdb_parity(spark, duck):
+    """Textbook pairs pin the algorithm (MARTHA/MARHTA 0.961,
+    DWAYNE/DUANE 0.84, empty -> 0, identical -> 1); then 300 random
+    string pairs must match DuckDB's native jaro_winkler_similarity
+    bit-for-bit — the property that lets registry queries keep a
+    hash-matching oracle."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        jaro_winkler,
+    )
+
+    classic = [
+        ("MARTHA", "MARHTA"),
+        ("DWAYNE", "DUANE"),
+        ("DIXON", "DICKSONX"),
+        ("", "abc"),
+        ("", ""),
+        ("same", "same"),
+    ]
+    rng = random.Random(42)
+    rand_pairs = [
+        (
+            "".join(rng.choices(_string.ascii_lowercase[:6] + "# ", k=rng.randint(0, 12))),
+            "".join(rng.choices(_string.ascii_lowercase[:6] + "# ", k=rng.randint(0, 12))),
+        )
+        for _ in range(300)
+    ]
+    pairs = classic + rand_pairs
+    df = spark.createDataFrame(pairs, "s1 string, s2 string")
+    got = {
+        (r.s1, r.s2): r.sim
+        for r in df.select(
+            "s1", "s2", F.round(jaro_winkler("s1", "s2"), 9).alias("sim")
+        ).collect()
+    }
+    assert got[("MARTHA", "MARHTA")] == pytest.approx(0.961111111, abs=1e-9)
+    assert got[("DWAYNE", "DUANE")] == pytest.approx(0.84, abs=1e-9)
+    assert got[("", "abc")] == 0.0 and got[("", "")] == 0.0
+    assert got[("same", "same")] == 1.0
+
+    for s1, s2 in pairs:
+        want = duck.execute(
+            "SELECT round(jaro_winkler_similarity(?, ?), 9)", [s1, s2]
+        ).fetchone()[0]
+        assert got[(s1, s2)] == want, (s1, s2, got[(s1, s2)], want)
