@@ -10817,3 +10817,113 @@ def q_jaro_winkler_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(jaro_winkler("n1", "n2"), 9).alias("name_sim"),
         F.round(jaro_winkler("a1", "a2"), 9).alias("seg_sim"),
     )
+
+
+@register(
+    "ranking_auc_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id != 0
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), deq AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(v) = list_min(v) THEN v
+             ELSE list_transform(v, x ->
+               list_min(v) + round((x - list_min(v))
+                 / ((list_max(v) - list_min(v)) / 255.0), 0)
+                 * ((list_max(v) - list_min(v)) / 255.0))
+             END AS dv
+      FROM e
+    ), scored AS (
+      SELECT d.vec_id,
+             round(list_cosine_similarity(d.v, q.qv), 6) AS s_exact,
+             round(list_cosine_similarity(d.dv, q.qv), 6) AS s_int8
+      FROM deq d, q
+    ), top20 AS (
+      SELECT vec_id FROM scored ORDER BY s_exact DESC, vec_id LIMIT 20
+    ), lab AS (
+      SELECT s.s_int8 AS v,
+             CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS a
+      FROM scored s LEFT JOIN top20 t USING (vec_id)
+    ), c AS (
+      SELECT v, SUM(a) AS n_a, SUM(1 - a) AS n_b, COUNT(*) AS n_v
+      FROM lab GROUP BY v
+    ), cum AS (
+      SELECT v, n_a, n_b, n_v, SUM(n_v) OVER (ORDER BY v) AS cnv FROM c
+    ), agg AS (
+      SELECT SUM(n_a) AS na, SUM(n_b) AS nb,
+             SUM(n_a * (2 * (cnv - n_v) + n_v + 1)) AS two_ra
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_pos,
+           CAST(nb AS BIGINT) AS n_neg,
+           CAST(two_ra - na * (na + 1) AS BIGINT) AS u2_pos,
+           round(CAST(two_ra - na * (na + 1) AS DOUBLE)
+                 / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             AS auc_r6
+    FROM agg
+    """,
+)
+def q_ranking_auc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the int8-dequantized cosine score as a
+    predictor of exact-top-20 membership — the threshold-free summary
+    beside NDCG@20's graded view, computed via the Mann-Whitney
+    identity AUC = U/(n_pos*n_neg) with the same doubled-integer
+    midrank algebra (ties handled exactly), so it hash-matches the
+    oracle bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        mann_whitney_u,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _query_vec(sf_dir)])
+    lo, hi = F.array_min("v"), F.array_max("v")
+    scale = (hi - lo) / F.lit(255.0)
+    deq = F.when(hi == lo, F.col("v")).otherwise(
+        F.transform("v", lambda x: lo + F.round((x - lo) / scale, 0) * scale)
+    )
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("v"), qv), 6).alias("s_exact"),
+        F.round(cosine_similarity(deq, qv), 6).alias("s_int8"),
+    )
+    top20 = scored.orderBy(F.desc("s_exact"), "vec_id").limit(20).select("vec_id")
+    labeled = scored.join(
+        top20.withColumn("__pos", F.lit(1)), "vec_id", "left"
+    ).select("s_int8", F.coalesce("__pos", F.lit(0)).alias("__pos"))
+    mw = mann_whitney_u(
+        labeled.filter(F.col("__pos") == 1).select("s_int8"),
+        labeled.filter(F.col("__pos") == 0).select("s_int8"),
+        "s_int8",
+    )
+    return mw.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.col("u2_a").alias("u2_pos"),
+        F.round(
+            F.col("u2_a").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            ),
+            6,
+        ).alias("auc_r6"),
+    )
