@@ -386,3 +386,99 @@ def kmv_pair_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
         F.round(est_union, 4).alias("est_union_r4"),
         F.round(est_inter, 4).alias("est_inter_r4"),
     )
+
+
+def _bloom_pos(key: Column, i: Column | int, m_bits: int) -> Column:
+    """Bit position of hash ``i`` for ``key``: md5-prefix bucket —
+    deterministic and engine-portable like every sketch here."""
+    ic = F.lit(i) if isinstance(i, int) else i
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", key.cast("string"), ic.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a ``m_bits/32``-row
+    WORD TABLE: each key sets ``k`` md5-derived bits; words fold with
+    ``bit_or`` (map-side combinable, commutative — partials from any
+    partitioning merge to the same filter, the same algebra as the HLL
+    register store). The result is broadcast-sized state for semijoin
+    pre-filtering: ship the words to the fact-scan side and drop rows
+    whose keys cannot be members BEFORE the shuffle — the manual form
+    of the runtime bloom pushdown Spark injects, but persistable and
+    shareable across queries/days like the other sketch tables.
+
+    One-sided error by construction: a member key always finds all its
+    bits set (no false negatives — audited as an output column of the
+    registry query); non-members collide with probability
+    ≈ (1 − e^{−kn/m})^k.
+    """
+    pos = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        F.col(key_col).alias("__key"),
+    ).select(_bloom_pos(F.col("__key"), F.col("i"), m_bits).alias("p"))
+    # 32-bit words in a BIGINT: shifts stay < 32, so the word value is
+    # always positive — portable to engines that reject 1<<63 overflow
+    return (
+        pos.groupBy((F.col("p") / 32).cast("long").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom_words: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Probe keys against a :func:`bloom_build` word table: a key is a
+    possible member iff ALL ``k`` of its bits are set. The probe
+    explodes each key into its k positions, broadcast-joins the tiny
+    word table, and counts set bits per key — adds ``bloom_maybe``
+    (boolean) to the probe rows. At 100 TB this runs INSIDE the scan
+    stage of the big side (explode + broadcast join + filter), which is
+    the whole point: non-member rows never reach a shuffle.
+    """
+    pos = probes.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    ).select(
+        key_col,
+        _bloom_pos(F.col(key_col), F.col("i"), m_bits).alias("p"),
+    )
+    checked = (
+        pos.withColumn("word_idx", (F.col("p") / 32).cast("long"))
+        .join(F.broadcast(bloom_words), "word_idx", "left")
+        .select(
+            key_col,
+            F.when(
+                F.expr("(bits >> cast(p % 32 as int)) & 1").cast("long") == 1,
+                1,
+            )
+            .otherwise(0)
+            .alias("__hit"),
+        )
+    )
+    flags = checked.groupBy(key_col).agg(
+        (F.sum("__hit") == k).alias("bloom_maybe")
+    )
+    return probes.join(flags, key_col)

@@ -10927,3 +10927,99 @@ def q_ranking_auc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc_r6"),
     )
+
+
+@register(
+    "bloom_customer_membership",
+    oracle="""
+    WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    pos AS (
+      SELECT CAST('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                  || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8192 AS p
+      FROM mem, (VALUES (0), (1), (2)) t(i)
+    ), words AS (
+      SELECT p // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ), probes AS (
+      SELECT c_custkey AS key FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000 AS key FROM customer
+    ), cpos AS (
+      SELECT key,
+             CAST('0x' || substr(md5(CAST(key AS VARCHAR) || ':'
+                                  || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8192 AS p
+      FROM probes, (VALUES (0), (1), (2)) t(i)
+    ), hits AS (
+      SELECT cp.key,
+             SUM(CASE WHEN ((w.bits >> CAST(cp.p % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS nbits
+      FROM cpos cp LEFT JOIN words w ON w.word_idx = cp.p // 32
+      GROUP BY cp.key
+    ), lab AS (
+      SELECT h.key, (h.nbits = 3) AS maybe, (m.key IS NOT NULL) AS actual
+      FROM hits h LEFT JOIN mem m ON h.key = m.key
+    )
+    SELECT count(*) AS n_probes,
+           CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe,
+           CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN actual AND NOT maybe THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg,
+           round(CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END)
+                        AS DOUBLE), 6) AS fpr_r6
+    FROM lab
+    """,
+)
+def q_bloom_customer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semijoin audit: build an 8192-bit / 3-hash filter
+    over the distinct ordering customers, probe EVERY customer, and
+    report the confusion counts — n_false_neg is structurally 0 (the
+    one-sided-error contract, hash-checked) and fpr_r6 measures the
+    collision rate against the (1-e^{-kn/m})^k economics. Every
+    customer orders in this corpus, so shifted keys (+10^7) supply the
+    guaranteed non-member probes. The filter itself is a 128-row
+    broadcastable word table (32-bit words in BIGINTs keep every
+    shift portable)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    words = bloom_build(members, "key", m_bits=8192, k=3)
+    probes = customer.select(F.col("c_custkey").alias("key")).unionByName(
+        customer.select((F.col("c_custkey") + 10000000).alias("key"))
+    )
+    probed = bloom_probe(probes, words, "key", m_bits=8192, k=3)
+    labeled = probed.join(
+        members.withColumn("__m", F.lit(1)), "key", "left"
+    ).select(
+        "bloom_maybe", F.coalesce("__m", F.lit(0)).cast("boolean").alias("actual")
+    )
+    maybe = F.col("bloom_maybe")
+    actual = F.col("actual")
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(actual.cast("int")).cast("long").alias("n_members"),
+        F.sum(maybe.cast("int")).cast("long").alias("n_maybe"),
+        F.sum((maybe & ~actual).cast("int")).cast("long").alias("n_false_pos"),
+        F.sum((actual & ~maybe).cast("int")).cast("long").alias("n_false_neg"),
+        F.round(
+            F.sum((maybe & ~actual).cast("int")).cast("double")
+            / F.sum((~actual).cast("int")).cast("double"),
+            6,
+        ).alias("fpr_r6"),
+    )

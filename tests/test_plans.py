@@ -181,6 +181,13 @@ _EAGER_BUILD_OK = {
     # MMR's greedy argmax chain collects the bounded candidate tables
     # at build (the BPE-merge-chain precedent)
     "mmr_rerank_embeddings",
+    # global_cumsum shares global_row_number's per-partition count
+    # pass (broadcast prefix offsets are a driver action by design)
+    "ks_price_drift",
+    "mannwhitney_price_shift",
+    "ranking_auc_int8",
+    # epoch_shuffle stamps positions with global_row_number, as above
+    "epoch_shuffle_docs",
 }
 
 

@@ -155,3 +155,54 @@ def test_kmv_sketch_bounded(spark):
     assert len(sk) == 32
     hvs = [r.hv for r in sorted(sk, key=lambda r: r.rk)]
     assert hvs == sorted(hvs)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """One-sided error: every inserted key probes positive; the
+    false-positive rate over disjoint probes stays within 3x the
+    analytic (1-e^{-kn/m})^k bound (slack for md5-bucket variance)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    n, m, k = 500, 8192, 3
+    members = spark.range(0, n).select(F.col("id").alias("key"))
+    outsiders = spark.range(1_000_000, 1_000_000 + 2000).select(
+        F.col("id").alias("key")
+    )
+    words = bloom_build(members, "key", m_bits=m, k=k)
+    assert words.count() <= m // 32
+
+    in_probe = bloom_probe(members, words, "key", m_bits=m, k=k)
+    assert in_probe.filter(~F.col("bloom_maybe")).count() == 0
+
+    out_probe = bloom_probe(outsiders, words, "key", m_bits=m, k=k)
+    fp = out_probe.filter(F.col("bloom_maybe")).count()
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 2000 <= 3 * bound, (fp, bound)
+
+
+def test_bloom_build_is_partitioning_invariant(spark):
+    """The word table is a bit_or fold — any partitioning of the same
+    keys produces the identical filter (mergeable-sketch discipline)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    keys = spark.range(0, 300).select(F.col("id").alias("key"))
+    a = {
+        (r.word_idx, r.bits)
+        for r in bloom_build(keys.repartition(1), "key").collect()
+    }
+    b = {
+        (r.word_idx, r.bits)
+        for r in bloom_build(keys.repartition(17), "key").collect()
+    }
+    assert a == b
