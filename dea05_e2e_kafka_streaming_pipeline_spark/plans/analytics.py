@@ -1697,3 +1697,80 @@ def mann_whitney_u(
             (u2.cast("double") - mu2) / (2.0 * F.sqrt(var)), 6
         ).alias("z"),
     )
+
+
+def theil_sen(
+    series: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil-Sen robust trend: slope = median of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i), intercept = median of (y_i − slope·x_i) — the
+    estimator that shrugs off the outlier days OLS would chase (29%
+    breakdown point), the robust companion to the OLS
+    `forecast_revenue` fit.
+
+    Exactness discipline: slopes and intercepts are quantized to
+    1e-9 fixed point and the MEDIAN IS RANK-DEFINED — the value at
+    row_number (n+1)//2 in slope order, found with the range-shuffle
+    :func:`global_row_number`, NOT an interpolating percentile whose
+    arithmetic differs between engines. Ties are harmless: ranks
+    within a tie block are arbitrary but the VALUE at the target rank
+    is unique, so the result is deterministic and hash-matches the
+    oracle bit-for-bit.
+
+    Scale shape: runs on a POST-AGGREGATE bounded series (daily grain
+    — the documented STL/Kaplan-Meier exception); the pair space is
+    |series|², generated by a range self-join at day grain, never over
+    raw facts. For multi-year daily series that is ~10⁶–10⁷ slope
+    rows — a small shuffle, and the two median passes are
+    global_row_number folds over it.
+
+    Output: ONE row — n_points, n_pairs, the exact fixed-point medians
+    (slope_q, intercept_q, 1e-9 units) and their double views.
+    """
+    s = series.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    a = s.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = s.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .select(
+            F.round(
+                (F.col("yj") - F.col("yi"))
+                / (F.col("xj") - F.col("xi"))
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("slope_q")
+        )
+    )
+
+    def rank_median(df: DataFrame, col: str) -> float:
+        n = df.count()
+        ranked = global_row_number(df, [col], out_col="__rn")
+        target = (n + 1) // 2
+        return (
+            ranked.filter(F.col("__rn") == target).head()[col],
+            n,
+        )
+
+    slope_q, n_pairs = rank_median(slopes, "slope_q")
+    slope = slope_q / 1e9
+    resid = s.select(
+        F.round((F.col("y") - F.lit(slope) * F.col("x")) * F.lit(1e9))
+        .cast("long")
+        .alias("icept_q")
+    )
+    icept_q, n_points = rank_median(resid, "icept_q")
+    spark = series.sparkSession
+    # surface the exact fixed-point medians plus their double views —
+    # no re-rounding (a 6-dp round of a 9-dp quantity can tie-break
+    # differently across engines; q/1e9 is one exact double division)
+    return spark.createDataFrame(
+        [(n_points, n_pairs, slope_q, icept_q, slope_q / 1e9, icept_q / 1e9)],
+        "n_points long, n_pairs long, slope_q long, intercept_q long,"
+        " slope double, intercept double",
+    )

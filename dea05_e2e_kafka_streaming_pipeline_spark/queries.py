@@ -11023,3 +11023,69 @@ def q_bloom_customer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fpr_r6"),
     )
+
+
+@register(
+    "theil_sen_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ), slopes AS (
+      SELECT CAST(round((b.y - a.y) / (b.x - a.x) * 1e9, 0) AS BIGINT)
+               AS slope_q
+      FROM daily a JOIN daily b ON a.x < b.x
+    ), sm AS (
+      SELECT slope_q FROM (
+        SELECT slope_q,
+               row_number() OVER (ORDER BY slope_q) AS rn,
+               count(*) OVER () AS n
+        FROM slopes
+      ) WHERE rn = (n + 1) // 2
+    ), resid AS (
+      SELECT CAST(round((d.y - (CAST(sm.slope_q AS DOUBLE) / 1e9) * d.x)
+                        * 1e9, 0) AS BIGINT) AS icept_q
+      FROM daily d, sm
+    ), im AS (
+      SELECT icept_q FROM (
+        SELECT icept_q,
+               row_number() OVER (ORDER BY icept_q) AS rn,
+               count(*) OVER () AS n
+        FROM resid
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT (SELECT count(*) FROM daily) AS n_points,
+           (SELECT count(*) FROM slopes) AS n_pairs,
+           sm.slope_q AS slope_q,
+           im.icept_q AS intercept_q,
+           CAST(sm.slope_q AS DOUBLE) / 1e9 AS slope,
+           CAST(im.icept_q AS DOUBLE) / 1e9 AS intercept
+    FROM sm, im
+    """,
+)
+def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (integer cents): median
+    pairwise slope over the bounded daily series, rank-defined medians
+    (value at row (n+1)//2 via global_row_number, never an
+    interpolating percentile) — the outlier-immune companion to the
+    OLS forecast_revenue fit."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import theil_sen
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("double")
+        .alias("x")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .cast("double")
+        .alias("y")
+    )
+    return theil_sen(daily, "x", "y")

@@ -718,3 +718,19 @@ def test_mann_whitney_detects_shift_direction(spark):
     b = spark.createDataFrame([(float(i + 200),) for i in range(100)], "v double")
     r = mann_whitney_u(a, b, "v").collect()[0]
     assert r.u2_a == 0 and r.z < -10
+
+
+def test_theil_sen_ignores_outliers_on_known_line(spark):
+    """y = 3x + 7 with two wild outliers: the median slope/intercept
+    recover the clean line exactly (1e-9 fixed point), where an OLS fit
+    would be dragged."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import theil_sen
+
+    pts = [(float(x), 3.0 * x + 7.0) for x in range(30)]
+    pts[5] = (5.0, 500.0)
+    pts[20] = (20.0, -400.0)
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = theil_sen(df, "x", "y").collect()[0]
+    assert r.n_points == 30 and r.n_pairs == 30 * 29 // 2
+    assert r.slope_q == 3_000_000_000  # exactly 3 in 1e-9 units
+    assert r.intercept_q == 7_000_000_000

@@ -188,6 +188,10 @@ _EAGER_BUILD_OK = {
     "ranking_auc_int8",
     # epoch_shuffle stamps positions with global_row_number, as above
     "epoch_shuffle_docs",
+    # Theil-Sen's two rank-median passes are driver actions by design
+    # (count + value-at-rank fetch, the MMR/BPE collected-scalar
+    # precedent)
+    "theil_sen_revenue_trend",
 }
 
 
