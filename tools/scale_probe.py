@@ -139,7 +139,86 @@ def probes(spark, d: str):
         "duplicate_spans": lambda: _duplicate_spans(docs).count(),
         "label_centroids": lambda: _label_centroids(emb).count(),
         "rrf_hybrid": lambda: _rrf_hybrid(spark, docs, emb, q).count(),
+        "content_chunks": lambda: _content_chunks(docs).count(),
+        "dsir_importance": lambda: _dsir(docs).count(),
+        "epoch_shuffle": lambda: _epoch_shuffle(docs).count(),
+        "ks_two_sample": lambda: _ks_orders(spark, d).count(),
+        "bloom_build_probe": lambda: _bloom(spark, d).count(),
     }
+
+
+def _content_chunks(docs):
+    """Mirror of `content_chunks_docs`: the boundary transform is a
+    projection and the window is per-document, so wall should track the
+    exploded token volume (k-linear) like duplicate_spans."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        content_defined_chunks,
+    )
+
+    chunks = content_defined_chunks(docs, window=3, divisor=8)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("fp"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _dsir(docs):
+    """Mirror of `dsir_importance_docs`: the trained model stays 1024
+    buckets at every factor; per-doc scoring tracks token volume."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        dsir_importance,
+    )
+
+    return dsir_importance(docs, F.col("lang") == "en")
+
+
+def _epoch_shuffle(docs):
+    """Mirror of `epoch_shuffle_docs` (2 epochs): one range shuffle of
+    2k-replica md5 keys — k-linear with constant factors from the
+    per-partition count pass."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.curation import (
+        epoch_shuffle,
+    )
+
+    return epoch_shuffle(docs, key_col="doc_id", epochs=2)
+
+
+def _ks_orders(spark, d):
+    """Mirror of `ks_price_drift`: the tagged union collapses to
+    distinct-value grain before the cumsum, so the heavy stage is one
+    hash aggregate over the k-replica facts."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        ks_two_sample,
+    )
+
+    orders = spark.read.parquet(f"{d}/orders.parquet")
+
+    def year(y):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        )
+
+    return ks_two_sample(year(1996), year(1997), "o_totalprice")
+
+
+def _bloom(spark, d):
+    """Mirror of `bloom_customer_membership` build+probe over the
+    replicated orders' customer keys: the word table stays 256 rows at
+    every factor; build cost tracks the k-replica key volume. Returns
+    the false-negative set, which must be EMPTY at every factor."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = spark.read.parquet(f"{d}/orders.parquet")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    words = bloom_build(members, "key", m_bits=8192, k=3)
+    return bloom_probe(members, words, "key", m_bits=8192, k=3).filter(
+        ~F.col("bloom_maybe")
+    )
 
 
 def _duplicate_spans(docs):
