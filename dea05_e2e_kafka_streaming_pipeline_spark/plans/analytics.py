@@ -1774,3 +1774,73 @@ def theil_sen(
         "n_points long, n_pairs long, slope_q long, intercept_q long,"
         " slope double, intercept double",
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation (midrank tie handling) — the
+    monotonic-association companion to the exact-moment Pearson
+    (`price_quantity_correlation`): immune to monotone transforms and
+    heavy tails, the correlation a skew-ridden measure pair actually
+    supports.
+
+    rho = Pearson over DOUBLED midranks, which are exact integers
+    (the midrank of a tie block is ``cum_before + (cnt+1)/2``, so its
+    double is ``2·cum − cnt + 1``): every moment accumulates in
+    decimal(38,0), order-insensitive under any partial-agg schedule,
+    and only the final divide/sqrt is floating point — Pearson is
+    scale-invariant, so doubling changes nothing.
+
+    Scale shape: each column collapses to value-grain counts (map-side
+    combinable), :func:`global_cumsum` stamps cumulative counts with a
+    range shuffle (never a single-partition RANK window — the oracle
+    uses one, same rows, opposite scaling), and the rank tables join
+    back to the fact rows on the value key. Three shuffles total at
+    value/fact grain; no payload wider than (value, long) ever moves.
+
+    Output: ONE row — n_rows, rho (9 dp).
+    """
+    def rank_table(col: str, out: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cum = global_cumsum(counts, ["__v"], ["__c"])
+        return cum.select(
+            F.col("__v").alias(col),
+            (2 * F.col("cum___c") - F.col("__c") + 1).alias(out),
+        )
+
+    ranked = (
+        df.select(x_col, y_col)
+        .join(rank_table(x_col, "__rx"), x_col)
+        .join(rank_table(y_col, "__ry"), y_col)
+    )
+    dec = "decimal(38,0)"
+    rx = F.col("__rx").cast(dec)
+    ry = F.col("__ry").cast(dec)
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(rx).cast(dec).alias("sx"),
+        F.sum(ry).cast(dec).alias("sy"),
+        F.sum(rx * rx).cast(dec).alias("sxx"),
+        F.sum(ry * ry).cast(dec).alias("syy"),
+        F.sum(rx * ry).cast(dec).alias("sxy"),
+    )
+    # n*S_xy - S_x*S_y etc. stay EXACT in decimal(38,0) (~1e24 here,
+    # far under 1e38); the single cast to double is the only rounding
+    # before the divide/sqrt
+    nd = F.col("n_rows").cast(dec)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec)
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast(dec)
+    return m.select(
+        "n_rows",
+        F.round(
+            num.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            9,
+        ).alias("rho"),
+    )

@@ -11089,3 +11089,47 @@ def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return theil_sen(daily, "x", "y")
+
+
+@register(
+    "spearman_price_quantity",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(2 * RANK() OVER (ORDER BY l_extendedprice)
+                  + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1
+                  AS BIGINT) AS rx,
+             CAST(2 * RANK() OVER (ORDER BY l_quantity)
+                  + COUNT(*) OVER (PARTITION BY l_quantity) - 1
+                  AS BIGINT) AS ry
+      FROM lineitem
+    ), mo AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             SUM(CAST(rx AS HUGEINT)) AS sx,
+             SUM(CAST(ry AS HUGEINT)) AS sy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS rho
+    FROM mo
+    """,
+)
+def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between lineitem extended price
+    and quantity — midrank ties as doubled integers from the
+    value-grain + global_cumsum scaffold (the oracle uses a
+    single-partition RANK window instead: same rows, opposite
+    scaling), moments exact in decimal(38,0), one divide+sqrt at the
+    end. Complements the exact-moment Pearson
+    `price_quantity_correlation`."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        spearman_corr,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_extendedprice", "l_quantity")

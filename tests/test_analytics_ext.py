@@ -734,3 +734,37 @@ def test_theil_sen_ignores_outliers_on_known_line(spark):
     assert r.n_points == 30 and r.n_pairs == 30 * 29 // 2
     assert r.slope_q == 3_000_000_000  # exactly 3 in 1e-9 units
     assert r.intercept_q == 7_000_000_000
+
+
+def test_spearman_known_values_and_tie_invariance(spark):
+    """Perfect monotone (nonlinear) association gives rho = 1 exactly;
+    reversing one column gives -1; Spearman sees through a monotone
+    transform that drags Pearson below 1; midrank ties reproduce the
+    scipy-convention value on a hand-checked tied sample."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        spearman_corr,
+    )
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i ** 3)) for i in range(1, 40)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0].rho == 1.0
+    anti = spark.createDataFrame(
+        [(float(i), float(-i) ** 3) for i in range(1, 40)], "x double, y double"
+    )
+    assert spearman_corr(anti, "x", "y").collect()[0].rho == -1.0
+
+    # hand case with ties: x = 1,2,2,3  y = 10,20,20,30
+    # doubled midranks x: 2,5,5,8  y: 2,5,5,8 -> rho = 1
+    tied = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 30.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(tied, "x", "y").collect()[0].rho == 1.0
+
+    # x = 1,2,2,3 vs y = 30,20,20,10 -> perfect inverse with ties
+    tied_inv = spark.createDataFrame(
+        [(1.0, 30.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(tied_inv, "x", "y").collect()[0].rho == -1.0
