@@ -192,6 +192,8 @@ _EAGER_BUILD_OK = {
     # (count + value-at-rank fetch, the MMR/BPE collected-scalar
     # precedent)
     "theil_sen_revenue_trend",
+    # Spearman's two midrank tables ride global_cumsum, as above
+    "spearman_price_quantity",
 }
 
 
