@@ -398,3 +398,31 @@ def test_dbscan_shuffles_ids_not_vectors(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "embedding" not in line, line
+
+
+def test_dsir_model_join_broadcasts_no_sortmerge(spark):
+    """The 1024-bucket DSIR model table must reach the exploded tokens
+    as a broadcast, never a sort-merge shuffle of the token stream on
+    the bucket key; the only nested-loop is the one-row totals scalar."""
+    plan = _plan(spark, "dsir_importance_docs")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row totals
+
+
+def test_content_chunks_single_reassembly_shuffle(spark):
+    """Content-defined chunking: boundary flags are a projection, so
+    the plan carries exactly the per-document window shuffle and the
+    fingerprint aggregate — no joins, no extra exchanges."""
+    plan = _plan(spark, "content_chunks_docs")
+    assert plan.count("Exchange") <= 3
+    assert "Join" not in plan
+
+
+def test_bloom_word_table_broadcasts(spark):
+    """Probing must broadcast the 256-row Bloom word table — a
+    sort-merge join on word_idx would shuffle every probe row for a
+    KB-sized build side."""
+    plan = _plan(spark, "bloom_customer_membership")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
