@@ -1844,3 +1844,78 @@ def spearman_corr(
             9,
         ).alias("rho"),
     )
+
+
+def ks_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group exact KS — the MONITORING-TABLE form of
+    :func:`ks_two_sample`: one D statistic per group (per month, per
+    segment, per feature), the table a drift dashboard reads to ask
+    "WHERE did the distribution move", with the same exact-integer
+    numerator discipline.
+
+    Scale shape: same tagged-union value-grain pre-aggregation; the
+    cumulative counts run in a window PARTITIONED BY the group — groups
+    sort independently in parallel (this is the legitimate use of a
+    window here: partition = group, not the whole table; the global
+    two-sample form uses :func:`global_cumsum` precisely because it
+    has no group to partition by). Output grain is |groups| rows.
+    """
+    tagged = df_a.select(
+        *[F.col(g) for g in group_cols],
+        F.col(value_col).alias("v"),
+        F.lit(1).alias("__a"),
+    ).unionByName(
+        df_b.select(
+            *[F.col(g) for g in group_cols],
+            F.col(value_col).alias("v"),
+            F.lit(0).alias("__a"),
+        )
+    )
+    counts = tagged.groupBy(*group_cols, "v").agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        *group_cols,
+        F.sum("n_a").over(w).alias("ca"),
+        F.sum("n_b").over(w).alias("cb"),
+    )
+    dec = "decimal(38,0)"
+    tot = cum.groupBy(*group_cols).agg(
+        F.max("ca").cast("long").alias("tot_a"),
+        F.max("cb").cast("long").alias("tot_b"),
+    )
+    joined = cum.join(tot, group_cols)
+    diff = F.abs(
+        F.col("ca").cast(dec) * F.col("tot_b").cast(dec)
+        - F.col("cb").cast(dec) * F.col("tot_a").cast(dec)
+    )
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.max("tot_a").alias("n_a"),
+            F.max("tot_b").alias("n_b"),
+            F.max(diff).cast("long").alias("d_num"),
+        )
+        .select(
+            *group_cols,
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                9,
+            ).alias("d_stat"),
+        )
+    )

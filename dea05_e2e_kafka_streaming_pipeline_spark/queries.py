@@ -11133,3 +11133,97 @@ def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return spearman_corr(li, "l_extendedprice", "l_quantity")
+
+
+@register(
+    "ks_monthly_price_drift",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+             o_totalprice AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS a
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ), c AS (
+      SELECT m, v, SUM(a) AS n_a, SUM(1 - a) AS n_b FROM t GROUP BY 1, 2
+    ), cum AS (
+      SELECT m,
+             SUM(n_a) OVER (PARTITION BY m ORDER BY v) AS ca,
+             SUM(n_b) OVER (PARTITION BY m ORDER BY v) AS cb
+      FROM c
+    ), tot AS (
+      SELECT m, CAST(MAX(ca) AS BIGINT) AS ta, CAST(MAX(cb) AS BIGINT) AS tb
+      FROM cum GROUP BY 1
+    )
+    SELECT cum.m AS month, ta AS n_a, tb AS n_b,
+           CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS d_num,
+           round(CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 9) AS d_stat
+    FROM cum JOIN tot ON cum.m = tot.m
+    GROUP BY cum.m, ta, tb
+    """,
+)
+def q_ks_monthly_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month KS drift monitor: the 1996-vs-1997 order-value KS
+    statistic at month-of-year grain — the monitoring table that says
+    WHERE the distribution moved (the global `ks_price_drift` says
+    whether). Group-partitioned cumulative windows run in parallel per
+    month; exact integer numerators throughout."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import ks_by_group
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(
+            F.month(F.col("o_orderdate").cast("date")).cast("long").alias("month"),
+            "o_totalprice",
+        )
+
+    return ks_by_group(year(1996), year(1997), "o_totalprice", ["month"])
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(trim(lower(
+             regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
+           round(1.0 - CAST(count(DISTINCT md5(trim(lower(
+                   regexp_replace(text, '\\s+', ' ', 'g'))))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate scorecard over the SAME normalized
+    fingerprint as `dedup_exact_docs` (single shared definition,
+    operators/text.py:content_fingerprint) — the corpus-provenance
+    health metric a curation pipeline tracks per crawl source."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        content_fingerprint,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = content_fingerprint("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct"),
+        F.round(
+            1.0
+            - F.countDistinct(fp).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

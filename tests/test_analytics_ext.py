@@ -768,3 +768,32 @@ def test_spearman_known_values_and_tie_invariance(spark):
         "x double, y double",
     )
     assert spearman_corr(tied_inv, "x", "y").collect()[0].rho == -1.0
+
+
+def test_ks_by_group_matches_global_per_group(spark):
+    """Each group's D from ks_by_group equals ks_two_sample run on that
+    group alone — the monitoring table is exactly the global statistic
+    at group grain."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        ks_by_group,
+        ks_two_sample,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 3, float(i * 7 % 23)) for i in range(150)], "g int, v double"
+    )
+    b = spark.createDataFrame(
+        [(i % 3, float(i * 11 % 29) + (i % 3)) for i in range(120)],
+        "g int, v double",
+    )
+    grouped = {
+        r.g: (r.n_a, r.n_b, r.d_num, r.d_stat)
+        for r in ks_by_group(a, b, "v", ["g"]).collect()
+    }
+    for g in (0, 1, 2):
+        solo = ks_two_sample(
+            a.filter(F.col("g") == g), b.filter(F.col("g") == g), "v"
+        ).collect()[0]
+        assert grouped[g] == (solo.n_a, solo.n_b, solo.d_num, solo.d_stat)
