@@ -130,10 +130,17 @@ def cms_estimates(
             )
         ).alias("rb"),
     ).select("tok", "rb.row", "rb.bucket")
+    # LEFT join + coalesce(cnt, 0): a candidate token whose bucket was
+    # never incremented (true count 0 — normal when callers pass
+    # external query tokens not drawn from the corpus) must contribute
+    # a 0 counter to the min, not lose the row (which would inflate the
+    # estimate) or vanish from the output entirely.
     return (
-        fan.join(F.broadcast(sketch), ["row", "bucket"])
+        fan.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("tok")
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+        )
     )
 
 
@@ -481,4 +488,9 @@ def bloom_probe(
     flags = checked.groupBy(key_col).agg(
         (F.sum("__hit") == k).alias("bloom_maybe")
     )
-    return probes.join(flags, key_col)
+    # LEFT join + coalesce(false): a NULL probe key never equi-joins,
+    # so an inner join would make such rows disappear instead of
+    # surfacing bloom_maybe = false (a NULL key was never inserted).
+    return probes.join(flags, key_col, "left").withColumn(
+        "bloom_maybe", F.coalesce(F.col("bloom_maybe"), F.lit(False))
+    )

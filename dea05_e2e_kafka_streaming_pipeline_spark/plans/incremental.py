@@ -159,6 +159,13 @@ def signed_cdc_facts(
     wrong) correct by construction: each image lands in its own group
     with its own sign.
 
+    Debezium's snapshot-read op ``r`` is an insert (the initial table
+    image arrives as ``r`` rows before the first ``c``), so it signs
+    +1 like ``c``. Any OTHER op value raises at execution time rather
+    than silently vanishing — a feed with an unrecognized op is a
+    contract violation, and dropping its rows would corrupt the view
+    with no error.
+
     Output: ``cols`` (un-prefixed) + ``sign`` (+1/-1). Map-only — one
     pass over the batch, the union is a narrow transformation.
     """
@@ -168,11 +175,31 @@ def signed_cdc_facts(
         ]
 
     op = F.col(op_col)
-    inserts = cdc.filter(op == "c").select(*image(after_prefix, 1))
+    inserts = cdc.filter(op.isin("c", "r")).select(*image(after_prefix, 1))
     deletes = cdc.filter(op == "d").select(*image(before_prefix, -1))
     upd_out = cdc.filter(op == "u").select(*image(before_prefix, -1))
     upd_in = cdc.filter(op == "u").select(*image(after_prefix, 1))
-    return inserts.unionByName(deletes).unionByName(upd_out).unionByName(upd_in)
+    # Executor-side guard: rows whose op is none of c/r/u/d become a
+    # raise_error branch of the union — zero such rows costs nothing,
+    # one such row fails the job with the offending value in the
+    # message instead of silently dropping the change.
+    types = dict(cdc.select(*image(after_prefix, 1)).dtypes)
+    err = F.raise_error(
+        F.concat(
+            F.lit("signed_cdc_facts: unrecognized op value: "),
+            F.coalesce(op.cast("string"), F.lit("NULL")),
+        )
+    )
+    bad = cdc.filter(~op.isin("c", "r", "u", "d") | op.isNull()).select(
+        *[err.cast(types[c]).alias(c) for c in cols],
+        err.cast("int").alias("sign"),
+    )
+    return (
+        inserts.unionByName(deletes)
+        .unionByName(upd_out)
+        .unionByName(upd_in)
+        .unionByName(bad)
+    )
 
 
 def retractable_update(
@@ -202,13 +229,21 @@ def retractable_update(
         for name, src in measures
     ] + [F.sum("sign").cast("long").alias("__cnt")]
     part = signed.groupBy(*keys).agg(*aggs)
-    if state is not None:
-        merged_aggs = [
-            F.sum(f"__{name}_sum").alias(f"__{name}_sum")
-            for name, _ in measures
-        ] + [F.sum("__cnt").cast("long").alias("__cnt")]
-        part = state.unionByName(part).groupBy(*keys).agg(*merged_aggs)
-    return part.filter(F.col("__cnt") != 0)
+    if state is None:
+        # A stateless per-batch partial MUST keep __cnt == 0 groups: a
+        # batch of same-group value updates has count delta 0 but a
+        # non-zero sum delta, and that delta still has to reach the
+        # merge (read paths re-filter dead groups at finalize time).
+        return part
+    merged_aggs = [
+        F.sum(f"__{name}_sum").alias(f"__{name}_sum")
+        for name, _ in measures
+    ] + [F.sum("__cnt").cast("long").alias("__cnt")]
+    merged = state.unionByName(part).groupBy(*keys).agg(*merged_aggs)
+    # Post-merge, a zero live count means the group's inserts were all
+    # retracted (sums are zero too under consistent CDC) — drop it so a
+    # fully-deleted group disappears as it would from a fresh GROUP BY.
+    return merged.filter(F.col("__cnt") != 0)
 
 
 def finalize_retractable(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -773,7 +774,15 @@ def hll_register_store_sink(
         fresh = hll_partials(batch_df, keys, value_col, p=p)
         try:
             current = spark.read.parquet(target_dir)
-        except Exception:  # first batch: empty store
+        except AnalysisException as exc:
+            # Only a MISSING store means "first batch". Any other read
+            # failure (IO, permissions, corrupt footer) must fail the
+            # batch so the checkpoint retries it — swallowing it would
+            # overwrite the store with this batch's registers alone and
+            # silently discard all accumulated distinct-count state.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             current = spark.createDataFrame([], fresh.schema)
         merged = hll_merge(
             current.unionByName(fresh), keys

@@ -288,3 +288,87 @@ def test_retractable_gold_sink_kill_resume_and_replay_idempotent(spark, tmp_path
         for r in read_retractable_gold(spark, state, keys, ms).collect()
     }
     assert again == final
+
+
+def test_retractable_value_only_update_batch_not_dropped(spark):
+    """ADVICE r4 (high): a batch containing ONLY same-group value
+    updates has count delta 0 but a non-zero sum delta. The stateless
+    per-batch partial (state=None — exactly what retractable_gold_sink
+    writes per epoch) must KEEP that group so the delta reaches the
+    merge; dropping it silently loses the measure change."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_retractable,
+        retractable_update,
+        signed_cdc_facts,
+    )
+
+    schema = (
+        "op string, before_grp string, before_v double, "
+        "after_grp string, after_v double"
+    )
+    base = spark.createDataFrame(
+        [("c", None, None, "g1", 10.0), ("c", None, None, "g1", 20.0)],
+        schema,
+    )
+    # same-group value update only: count delta 0, sum delta +5
+    upd = spark.createDataFrame(
+        [("u", "g1", 10.0, "g1", 15.0)], schema
+    )
+    ms = [("total", "v")]
+
+    part = retractable_update(
+        None, signed_cdc_facts(upd, ["grp", "v"]), ["grp"], ms
+    )
+    # the stateless partial must carry the zero-count group
+    rows = part.collect()
+    assert len(rows) == 1 and rows[0]["__cnt"] == 0
+    assert float(rows[0]["__total_sum"]) == 5.0
+
+    st = retractable_update(
+        None, signed_cdc_facts(base, ["grp", "v"]), ["grp"], ms
+    )
+    st = retractable_update(st, signed_cdc_facts(upd, ["grp", "v"]), ["grp"], ms)
+    got = {
+        r.grp: (r.total, r.n_rows)
+        for r in finalize_retractable(st, ["grp"], ms).collect()
+    }
+    assert got == {"g1": (35.0, 2)}
+
+
+def test_signed_cdc_snapshot_read_op_is_insert(spark):
+    """ADVICE r4 (low): Debezium's initial-snapshot rows arrive with
+    op='r' — they must sign +1 like inserts, not silently vanish."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        signed_cdc_facts,
+    )
+
+    cdc = spark.createDataFrame(
+        [("r", None, None, "g1", 7.0), ("c", None, None, "g1", 3.0)],
+        "op string, before_grp string, before_v double, "
+        "after_grp string, after_v double",
+    )
+    got = sorted(
+        (r.grp, r.v, r.sign)
+        for r in signed_cdc_facts(cdc, ["grp", "v"]).collect()
+    )
+    assert got == [("g1", 3.0, 1), ("g1", 7.0, 1)]
+
+
+def test_signed_cdc_unknown_op_raises(spark):
+    """ADVICE r4 (low): an unrecognized op value is a contract
+    violation — the job fails with the value in the message instead of
+    silently dropping the change."""
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        signed_cdc_facts,
+    )
+
+    cdc = spark.createDataFrame(
+        [("c", None, None, "g1", 1.0), ("t", "g1", 1.0, None, None)],
+        "op string, before_grp string, before_v double, "
+        "after_grp string, after_v double",
+    )
+    signed = signed_cdc_facts(cdc, ["grp", "v"])
+    with pytest.raises(Exception, match="unrecognized op"):
+        signed.groupBy("grp").agg(F.sum("sign")).collect()

@@ -206,3 +206,37 @@ def test_bloom_build_is_partitioning_invariant(spark):
         for r in bloom_build(keys.repartition(17), "key").collect()
     }
     assert a == b
+
+
+def test_cms_external_candidate_token_estimates_zero(spark):
+    """ADVICE r4 (medium): a candidate token never seen by the corpus
+    (the at-scale path — external query tokens) must estimate 0 (or a
+    small collision overcount), never lose counter rows to an inner
+    join or vanish from the output."""
+    df = _docs(spark, ["a a b"])
+    cand = spark.createDataFrame([("zz_unseen",), ("a",)], "tok string")
+    est = {
+        r.tok: r.est_count
+        for r in cms_estimates(df, width=4096, depth=4, candidates=cand).collect()
+    }
+    assert set(est) == {"zz_unseen", "a"}
+    assert est["a"] == 2
+    assert est["zz_unseen"] == 0  # wide sketch: no collisions
+
+
+def test_bloom_probe_null_key_surfaces_false(spark):
+    """ADVICE r4 (low): a NULL probe key never equi-joins — it must
+    surface bloom_maybe=false, not disappear from the output."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([("k1",), ("k2",)], "key string")
+    words = bloom_build(members, "key", m_bits=1024, k=3)
+    probes = spark.createDataFrame([("k1",), (None,)], "key string")
+    got = {
+        r.key: r.bloom_maybe
+        for r in bloom_probe(probes, words, "key", m_bits=1024, k=3).collect()
+    }
+    assert got == {"k1": True, None: False}

@@ -1469,3 +1469,44 @@ def test_hll_register_store_matches_batch_and_survives_restart(spark, tmp_path):
         for r in hll_partials(both, ["grp"], "uid", p=5).collect()
     }
     assert got2 == want2
+
+
+def test_hll_register_store_corrupt_read_fails_batch_not_resets(spark, tmp_path):
+    """ADVICE r4 (medium): only a MISSING store means 'first batch'. A
+    store that exists but cannot be read (corrupt footer / transient
+    IO) must FAIL the batch so the checkpoint retries it — treating it
+    as empty would overwrite the store with the current batch's
+    registers and silently discard all accumulated state."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        hll_register_store_sink,
+    )
+
+    landing = tmp_path / "landing"
+    store = tmp_path / "store"
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("uid", LongType())]
+    )
+    spark.createDataFrame(
+        [("g0", 1), ("g1", 2)], schema
+    ).write.mode("append").json(str(landing / "b1"))
+
+    # the store EXISTS but holds a corrupt parquet file
+    store.mkdir()
+    (store / "part-00000.parquet").write_bytes(b"PAR1 not really parquet")
+
+    stream = file_stream(
+        spark, str(landing / "*"), schema, max_files_per_trigger=1
+    )
+    q = hll_register_store_sink(
+        stream, str(store), str(tmp_path / "ckpt"), ["grp"], "uid",
+        p=5, available_now=True,
+    )
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(600)
+    # the corrupt store was NOT overwritten by the failed batch
+    assert (store / "part-00000.parquet").read_bytes() == b"PAR1 not really parquet"
