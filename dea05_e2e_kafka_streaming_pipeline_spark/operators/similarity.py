@@ -1242,6 +1242,13 @@ def dbscan(
     )
 
 
+#: Hard ceiling on the MMR candidate pool: the greedy stage collects
+#: ``n`` relevance rows plus ``n·(n-1)`` pairwise sims to the driver,
+#: so the driver-side footprint is O(n²) — 1024 caps it at ~1M small
+#: rows (tens of MB), the same order as ``_cc_driver``'s 1M-edge gate.
+MMR_MAX_POOL = 1024
+
+
 def mmr_rerank(
     df: DataFrame,
     query_vec: list[float],
@@ -1266,6 +1273,14 @@ def mmr_rerank(
     chain; the corpus never leaves the executors, only the candidate
     scores do).
 
+    HARD CONTRACT: the driver-side memory bound is n_candidates², so
+    ``n_candidates`` must not exceed :data:`MMR_MAX_POOL` (1024 —
+    ~1M pair rows collected, the same order as ``_cc_driver``'s
+    1M-edge gate); oversized pools raise instead of silently
+    collecting an unbounded pool². Diversifying more than ~1k
+    candidates is an algorithm-choice smell anyway — run a coarser
+    pre-filter (IVF cells, clustering) first.
+
     Exactness: similarities quantize to integer micro-units at scoring,
     λ to ppm, so every MMR score is the exact integer
     ``λ_ppm·rel_micro − (10⁶−λ_ppm)·pen_micro`` — no float enters the
@@ -1274,6 +1289,13 @@ def mmr_rerank(
 
     Returns ``(step, id, rel_micro, mmr_score)`` — selection order.
     """
+    if n_candidates > MMR_MAX_POOL:
+        raise ValueError(
+            f"mmr_rerank: n_candidates={n_candidates} exceeds "
+            f"MMR_MAX_POOL={MMR_MAX_POOL}; the greedy stage collects "
+            "pool^2 pairwise sims to the driver — pre-filter the "
+            "candidate set instead of raising the cap"
+        )
     spark = df.sparkSession
     lam_ppm = int(round(lam * 1_000_000))
     q = F.array(*[F.lit(float(v)) for v in query_vec])

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "partial_aggregate",
@@ -260,3 +261,183 @@ def finalize_retractable(
         cols.append(F.col(f"__{name}_sum").cast("double").alias(name))
     cols.append(F.col("__cnt").alias("n_rows"))
     return state.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Retractable MIN/MAX — bounded value buffers with a recompute escape hatch
+# ---------------------------------------------------------------------------
+#
+# sum/count are invertible (abelian), so :func:`retractable_update`
+# maintains them under deletes for free. min/max are NOT: deleting the
+# current minimum needs the runner-up, which plain aggregate state has
+# already forgotten. The classical fix (per-group value MULTISET) is
+# unbounded; the bounded fix kept here is the one real IVM engines ship
+# (e.g. Materialize's top-k-backed MIN/MAX, F1 Lightning's reservoirs):
+#
+#   per (group, side) keep the K SMALLEST distinct live values with
+#   multiplicities (max side stores values NEGATED so both sides share
+#   the "k smallest" algebra), plus a `complete` flag: whether the
+#   buffer holds ALL the group's distinct values.
+#
+# Invariant: every live value ≤ max(buffer) is IN the buffer. So while
+# the buffer is non-empty, min = min(buffer) exactly: anything
+# untracked is strictly above every tracked value. Changes below the
+# horizon fold into the buffer; inserts above it are discarded
+# (irrelevant to min), deletes above it can only hit untracked values
+# (also irrelevant). When deletes EMPTY an incomplete buffer, the true
+# min may be an untracked value — the underflow path rebuilds just
+# those groups from the base table (the maintained table IVM systems
+# keep next to the view anyway): cost O(underflowing groups), only on
+# adversarial delete storms that burn through K runner-ups.
+
+def minmax_state_from_base(
+    base: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Build min/max buffer state from a base fact table: per (group,
+    side), the k smallest distinct (sign-adjusted) values with their
+    multiplicities; ``complete`` marks groups with ≤ k distinct values
+    (their buffer IS the whole multiset). One shuffle at (group, value)
+    grain + one bounded per-group rank."""
+    long = base.select(
+        *keys, F.col(value_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    signed_vals = long.select(
+        *keys, F.lit("min").alias("__side"), F.col("__v").alias("__val")
+    ).unionByName(
+        long.select(
+            *keys, F.lit("max").alias("__side"), (-F.col("__v")).alias("__val")
+        )
+    )
+    per_val = signed_vals.groupBy(*keys, "__side", "__val").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(*keys, "__side").orderBy("__val")
+    ranked = per_val.withColumn("__rk", F.row_number().over(w))
+    n_distinct = per_val.groupBy(*keys, "__side").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    return (
+        ranked.filter(F.col("__rk") <= k)
+        .join(n_distinct, [*keys, "__side"])
+        .select(
+            *keys, "__side", "__val", "__cnt",
+            (F.col("__nd") <= k).alias("__complete"),
+        )
+    )
+
+
+def retractable_minmax_update(
+    state: DataFrame,
+    signed: DataFrame,
+    base_after: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """One min/max maintenance step over a signed CDC batch
+    (:func:`signed_cdc_facts`): fold batch changes at or below each
+    buffer's horizon into the buffer, re-trim to k distinct values,
+    and REBUILD from ``base_after`` (the post-batch base table) only
+    the groups whose buffer underflowed — emptied by deletes while
+    incomplete — or that the state has never seen. Cost: one shuffle
+    of the batch at (group, value) grain, a state-sized merge, and a
+    semi-joined rebuild of the (normally tiny) underflow set.
+    """
+    batch_long = signed.select(
+        *keys, F.col(value_col).alias("__v"), F.col("sign")
+    ).filter(F.col("__v").isNotNull())
+    batch_sides = batch_long.select(
+        *keys, F.lit("min").alias("__side"),
+        F.col("__v").alias("__val"), F.col("sign"),
+    ).unionByName(
+        batch_long.select(
+            *keys, F.lit("max").alias("__side"),
+            (-F.col("__v")).alias("__val"), F.col("sign"),
+        )
+    )
+    batch_delta = batch_sides.groupBy(*keys, "__side", "__val").agg(
+        F.sum("sign").cast("long").alias("__cnt")
+    )
+
+    # per-buffer horizon: the largest tracked value; a COMPLETE buffer
+    # has no horizon (every change folds in)
+    horizon = state.groupBy(*keys, "__side").agg(
+        F.max("__val").alias("__hz"),
+        F.min("__complete").alias("__complete"),
+    )
+    delta_known = batch_delta.join(horizon, [*keys, "__side"], "inner").filter(
+        F.col("__complete") | (F.col("__val") <= F.col("__hz"))
+    )
+    merged = (
+        state.select(*keys, "__side", "__val", "__cnt")
+        .unionByName(delta_known.select(*keys, "__side", "__val", "__cnt"))
+        .groupBy(*keys, "__side", "__val")
+        .agg(F.sum("__cnt").alias("__cnt"))
+        .filter(F.col("__cnt") > 0)
+        .join(horizon.select(*keys, "__side", "__complete"), [*keys, "__side"])
+    )
+    # re-trim to k smallest distinct; trimming discards real values, so
+    # a trimmed buffer is no longer complete
+    w = Window.partitionBy(*keys, "__side").orderBy("__val")
+    trimmed = (
+        merged.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "__complete",
+            F.col("__complete")
+            & (F.max("__rk").over(Window.partitionBy(*keys, "__side")) <= k),
+        )
+        .filter(F.col("__rk") <= k)
+        .select(*keys, "__side", "__val", "__cnt", "__complete")
+    )
+
+    # groups needing a rebuild: a BUFFER (group, side) existed but is
+    # now empty while incomplete (underflow — per SIDE: a delete storm
+    # of the smallest values can empty the min buffer while the max
+    # buffer loses nothing), or the batch touched a group the state has
+    # never tracked (new group). Rebuild replaces BOTH sides of the
+    # affected group, so its surviving-side rows leave `trimmed`.
+    survivor_sides = trimmed.select(*keys, "__side").distinct()
+    had = horizon.select(*keys, "__side", "__complete")
+    underflow = (
+        had.filter(~F.col("__complete"))
+        .join(survivor_sides, [*keys, "__side"], "left_anti")
+        .select(*keys)
+        .distinct()
+    )
+    new_groups = (
+        batch_delta.select(*keys)
+        .distinct()
+        .join(had.select(*keys).distinct(), keys, "left_anti")
+    )
+    rebuild_keys = underflow.unionByName(new_groups).distinct()
+    rebuilt = minmax_state_from_base(
+        base_after.join(rebuild_keys, keys, "left_semi"),
+        keys, value_col, k=k,
+    )
+    return trimmed.join(rebuild_keys, keys, "left_anti").unionByName(rebuilt)
+
+
+def finalize_retractable_minmax(
+    state: DataFrame,
+    keys: list[str],
+    min_name: str = "min_val",
+    max_name: str = "max_val",
+) -> DataFrame:
+    """Read-time projection: per group, min = smallest tracked min-side
+    value, max = -(smallest tracked max-side value) — exact while the
+    buffers are live (the update path's invariant), bit-identical to a
+    from-scratch GROUP BY min/max over the post-change fact table."""
+    return (
+        state.groupBy(*keys)
+        .agg(
+            F.min(F.when(F.col("__side") == "min", F.col("__val"))).alias(
+                min_name
+            ),
+            (-F.min(
+                F.when(F.col("__side") == "max", F.col("__val"))
+            )).alias(max_name),
+        )
+    )

@@ -11227,3 +11227,77 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "retractable_minmax_sales",
+    oracle="""
+    WITH eff AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice - 50.0
+                  ELSE o_totalprice END AS amount
+      FROM orders
+      WHERE o_orderkey % 3 <> 0
+    )
+    SELECT day,
+           MIN(amount) AS min_amount,
+           MAX(amount) AS max_amount
+    FROM eff GROUP BY 1
+    """,
+)
+def q_retractable_minmax_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX under retraction (r4 verdict item 5): per-day price
+    extrema maintained through a DELETE-HEAVY CDC batch (every third
+    order deleted — enough to burn through k=4 runner-ups on many days
+    and exercise the underflow rebuild) plus in-place price updates
+    (%10==7: -50). min/max are not invertible, so the state is the
+    bounded per-(group, side) value-buffer of
+    plans/incremental.py:retractable_minmax_update — k smallest
+    distinct live values with multiplicities (max side negated), exact
+    while non-empty, rebuilt from the post-change base table only for
+    underflowing groups — finalized and hash-matched against a
+    from-scratch GROUP BY min/max."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.incremental import (
+        finalize_retractable_minmax,
+        minmax_state_from_base,
+        retractable_minmax_update,
+        signed_cdc_facts,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    amount = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+
+    base_facts = orders.select(day.alias("day"), amount.alias("amount"))
+    state = minmax_state_from_base(base_facts, ["day"], "amount", k=4)
+
+    deletes = orders.filter(k % 3 == 0).select(
+        F.lit("d").alias("op"),
+        day.alias("before_day"),
+        amount.alias("before_amount"),
+        F.lit(None).cast("string").alias("after_day"),
+        F.lit(None).cast("double").alias("after_amount"),
+    )
+    updates = orders.filter((k % 10 == 7) & (k % 3 != 0)).select(
+        F.lit("u").alias("op"),
+        day.alias("before_day"),
+        amount.alias("before_amount"),
+        day.alias("after_day"),
+        (amount - F.lit(50.0)).alias("after_amount"),
+    )
+    signed = signed_cdc_facts(
+        deletes.unionByName(updates), ["day", "amount"]
+    )
+    base_after = orders.filter(k % 3 != 0).select(
+        day.alias("day"),
+        F.when(k % 10 == 7, amount - F.lit(50.0)).otherwise(amount)
+        .alias("amount"),
+    )
+    state = retractable_minmax_update(
+        state, signed, base_after, ["day"], "amount", k=4
+    )
+    return finalize_retractable_minmax(state, ["day"], "min_amount", "max_amount")

@@ -1152,3 +1152,21 @@ def test_mmr_rerank_diversifies(spark):
     clone = out[2]
     assert clone.vec_id in (2, 3)
     assert clone.mmr_score < 500_000 * clone.rel_micro
+
+
+def test_mmr_pool_cap_is_a_hard_contract(spark):
+    """r4 verdict item 4: the greedy stage collects pool^2 pairwise
+    sims to the driver, so n_candidates above MMR_MAX_POOL must raise
+    instead of silently collecting an unbounded pool."""
+    import pytest
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        MMR_MAX_POOL,
+        mmr_rerank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="MMR_MAX_POOL"):
+        mmr_rerank(df, [1.0, 0.0], k=3, n_candidates=MMR_MAX_POOL + 1)
