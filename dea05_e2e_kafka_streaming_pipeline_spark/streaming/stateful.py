@@ -347,3 +347,182 @@ def drift_monitor_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Kolmogorov–Smirnov drift — exact-integer ECDF state
+# ---------------------------------------------------------------------------
+
+KS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_ref", T.LongType()),
+        T.StructField("d_num", T.LongType()),
+        T.StructField("d_stat", T.DoubleType()),
+        T.StructField("alert", T.BooleanType()),
+    ]
+)
+
+KS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals_micro", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+#: Bounded-state contract: the per-key KS state is the stream side's
+#: per-distinct-value histogram (two parallel long arrays). Real-valued
+#: features quantized to micros rarely exceed this within one
+#: monitoring window; a feed that does needs a coarser quantization,
+#: not a bigger buffer — the update raises rather than growing state
+#: without bound.
+KS_MAX_DISTINCT = 100_000
+
+
+def ks_drift_stream(
+    events: DataFrame,
+    reference_micro: dict[str, tuple[list[int], list[int]]],
+    threshold_d: float = 0.1,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming two-sample Kolmogorov–Smirnov drift monitor — the
+    distribution-shape sibling of :func:`drift_monitor_stream` (which
+    alerts on MEAN deviation only, blind to variance/shape changes
+    that keep the mean: r4 verdict item 6). Per event type, the state
+    is the stream's per-distinct-value histogram in exact integer
+    micro-units, and each update emits the exact KS statistic against
+    a FIXED offline reference ECDF (``reference_micro``: per type,
+    sorted distinct micro values + their counts — broadcast with the
+    closure like the mean monitor's baseline).
+
+    Exactness contract: the statistic is the same integer arithmetic
+    as the batch :func:`~..plans.analytics.ks_two_sample` — at every
+    distinct value, |cum_s·tot_r − cum_r·tot_s| over the common
+    denominator tot_s·tot_r — so the per-window output EQUALS the
+    batch query run on the same (micro-quantized) data, and the
+    histogram state is order-insensitive: any micro-batch boundary
+    placement, restart, or replay yields the identical state
+    (restart-tested). Alert when D > ``threshold_d``, decided on
+    integers: d_num·10⁶ > thr_ppm·n_s·n_r — no float enters the
+    decision.
+
+    State per key is O(distinct stream values) capped at
+    :data:`KS_MAX_DISTINCT`; the reference rides the closure, read-only.
+    """
+    if not 0 < threshold_d < 1:
+        raise ValueError(f"threshold_d must be in (0,1): {threshold_d}")
+    import math
+
+    import numpy as np
+
+    thr_ppm = int(round(threshold_d * 1_000_000))
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        if state.exists:
+            vals, counts = state.get
+            hist = dict(zip(vals, counts))
+        else:
+            hist = {}
+        for pdf in pdfs:
+            for v in pdf[value_col].dropna():
+                mv = int(math.floor(float(v) * 1_000_000))
+                hist[mv] = hist.get(mv, 0) + 1
+        if len(hist) > KS_MAX_DISTINCT:
+            raise ValueError(
+                f"ks_drift_stream[{et}]: {len(hist)} distinct values "
+                f"exceeds KS_MAX_DISTINCT={KS_MAX_DISTINCT}; quantize "
+                "coarser instead of growing unbounded state"
+            )
+        vs = sorted(hist)
+        cs = [hist[v] for v in vs]
+        state.update((vs, cs))
+
+        ref_v, ref_c = reference_micro.get(et, ([], []))
+        sv = np.array(vs, dtype=np.int64)
+        sc = np.cumsum(np.array(cs, dtype=np.int64))
+        rv = np.array(ref_v, dtype=np.int64)
+        rc = np.cumsum(np.array(ref_c, dtype=np.int64))
+        tot_s = int(sc[-1]) if len(sc) else 0
+        tot_r = int(rc[-1]) if len(rc) else 0
+        if tot_s and tot_r:
+            # evaluate both ECDF numerators at every distinct value of
+            # the pooled support; python ints keep the products exact
+            pooled = np.union1d(sv, rv)
+            cum_s = sc[np.searchsorted(sv, pooled, side="right") - 1]
+            cum_s = np.where(
+                np.searchsorted(sv, pooled, side="right") > 0, cum_s, 0
+            )
+            cum_r = rc[np.searchsorted(rv, pooled, side="right") - 1]
+            cum_r = np.where(
+                np.searchsorted(rv, pooled, side="right") > 0, cum_r, 0
+            )
+            d_num = max(
+                abs(int(a) * tot_r - int(b) * tot_s)
+                for a, b in zip(cum_s, cum_r)
+            )
+        else:
+            d_num = 0
+        d_stat = (
+            round(d_num / (tot_s * tot_r), 9) if tot_s and tot_r else 0.0
+        )
+        alert = bool(
+            tot_s and tot_r and d_num * 1_000_000 > thr_ppm * tot_s * tot_r
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_seen": [tot_s],
+                "n_ref": [tot_r],
+                "d_num": [d_num],
+                "d_stat": [d_stat],
+                "alert": [alert],
+            }
+        )
+
+    return events.groupBy(type_col).applyInPandasWithState(
+        update,
+        outputStructType=KS_OUTPUT_SCHEMA,
+        stateStructType=KS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ks_reference_from_df(
+    df: "DataFrame", value_col: str = "value", type_col: str | None = None
+) -> dict[str, tuple[list[int], list[int]]]:
+    """Train the fixed reference for :func:`ks_drift_stream` offline:
+    per type, sorted distinct micro-quantized values with counts (the
+    exact ECDF, compressed to distinct-value grain). One aggregate at
+    (type, value) grain; the result is sketch-sized and rides the
+    monitor's closure."""
+    cols = [type_col] if type_col else []
+    grouped = (
+        df.select(
+            *cols,
+            F.floor(F.col(value_col).cast("double") * 1_000_000)
+            .cast("long")
+            .alias("__mv"),
+        )
+        .filter(F.col("__mv").isNotNull())
+        .groupBy(*cols, "__mv")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    out: dict[str, tuple[list[int], list[int]]] = {}
+    for r in grouped:
+        et = r[type_col] if type_col else ""
+        vs, cs = out.setdefault(et, ([], []))
+        vs.append(r["__mv"])
+        cs.append(r["__c"])
+    for et, (vs, cs) in out.items():
+        order = sorted(range(len(vs)), key=vs.__getitem__)
+        out[et] = ([vs[i] for i in order], [cs[i] for i in order])
+    return out
