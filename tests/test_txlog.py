@@ -188,3 +188,50 @@ def test_snapshot_changes_between_versions(spark, tmp_path):
     vacuum_snapshots(table, keep_last=1)
     with pytest.raises(ValueError):
         snapshot_changes(spark, table, 0, 1, key_cols=("id",))
+
+
+def test_txlog_datasource_read_and_time_travel(spark, tmp_path):
+    """r4 verdict item 8: format('txlog') reads the same manifests as
+    read_snapshot — latest by default, any version via versionAsOf —
+    with identical rows and schema."""
+    t = str(tmp_path / "ds_tbl")
+    commit_snapshot(spark.range(0, 100).withColumnRenamed("id", "k"), t)
+    commit_snapshot(
+        spark.range(100, 150).withColumnRenamed("id", "k"), t, mode="append"
+    )
+
+    latest = spark.read.format("txlog").load(t)
+    assert latest.schema == read_snapshot(spark, t).schema
+    assert sorted(r.k for r in latest.collect()) == list(range(150))
+
+    v0 = spark.read.format("txlog").option("versionAsOf", 0).load(t)
+    assert sorted(r.k for r in v0.collect()) == list(range(100))
+
+    import pytest
+
+    with pytest.raises(Exception, match="not in"):
+        spark.read.format("txlog").option("versionAsOf", 9).load(t).collect()
+
+
+def test_txlog_datasource_write_append_overwrite(spark, tmp_path):
+    """format('txlog') writes publish manifest versions with two-phase
+    commit: append extends the file list, overwrite starts fresh while
+    old versions stay readable; both interoperate with the helper
+    read path."""
+    t = str(tmp_path / "ds_w")
+    spark.range(0, 10).write.format("txlog").mode("append").save(t)
+    spark.range(10, 15).write.format("txlog").mode("append").save(t)
+    assert snapshot_versions(t) == [0, 1]
+    assert read_snapshot(spark, t).count() == 15
+    assert spark.read.format("txlog").load(t).count() == 15
+
+    spark.range(0, 3).write.format("txlog").mode("overwrite").save(t)
+    assert spark.read.format("txlog").load(t).count() == 3
+    # logical overwrite: version 1 still readable (time travel)
+    assert (
+        spark.read.format("txlog").option("versionAsOf", 1).load(t).count()
+        == 15
+    )
+    # round-trip interop: helper commit then data-source read
+    commit_snapshot(spark.range(3, 5), t, mode="append")
+    assert spark.read.format("txlog").load(t).count() == 5
