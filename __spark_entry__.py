@@ -6,7 +6,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 The real catalog lives in
-``dea05_e2e_kafka_streaming_pipeline_spark/queries.py``; this module is a
+``dea05_e2e_kafka_streaming_pipeline_spark/queries/``; this module is a
 thin adapter.
 """
 

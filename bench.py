@@ -147,19 +147,25 @@ def main() -> int:
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # ---- per-query regression budget (BENCH_BUDGET.json) ----------------
+    # ---- per-query regression budget (BENCH_BUDGET*.json) ---------------
+    # One budget file per scale tier (BENCH_BUDGET.json = sf0.1,
+    # BENCH_BUDGET_x10.json = the persisted sf1.0 tier); the run picks
+    # whichever file's source sf matches — ceilings are sf-specific
+    # wall-clock numbers, meaningless against a different scale.
     here = os.path.dirname(os.path.abspath(__file__))
-    budget_path = os.path.join(here, "BENCH_BUDGET.json")
     over_budget: dict[str, dict[str, float]] = {}
     budgeted = 0
-    if os.path.exists(budget_path):
+    budget: dict[str, float] = {}
+    for fname in ("BENCH_BUDGET.json", "BENCH_BUDGET_x10.json"):
+        budget_path = os.path.join(here, fname)
+        if not os.path.exists(budget_path):
+            continue
         with open(budget_path) as f:
             bj = json.load(f)
-        budget = bj.get("ceilings_sec", {})
-        # ceilings are sf-specific wall-clock numbers — only meaningful
-        # against runs at the same scale factor they were recorded at
-        if bj.get("source_run", {}).get("sf") != sf_val:
-            budget = {}
+        if bj.get("source_run", {}).get("sf") == sf_val:
+            budget = bj.get("ceilings_sec", {})
+            break
+    if budget:
         for name, ceiling in budget.items():
             if name not in timings:
                 continue
@@ -203,8 +209,18 @@ def main() -> int:
         try:
             from selfcheck import run_sweep
 
+            # the per-query sweep detail is committed as the round's
+            # full-coverage correctness artifact (driver samples ~50;
+            # this file proves all of them)
+            detail_out = os.path.join(
+                here,
+                os.environ.get(
+                    "SPARK_GRAFT_SWEEP_DETAIL", "CORRECTNESS_full_r05.json"
+                ),
+            )
             res = run_sweep(
-                spark, "/root/testdata/sf0.01", quiet=True
+                spark, "/root/testdata/sf0.01", quiet=True,
+                detail_out=detail_out,
             )
             side["sweep"] = res
             sweep_line = {

@@ -1,0 +1,1831 @@
+"""Registry queries: dedup_ann family. Split from queries.py
+(r4 verdict item 2); registration order within the family preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dea05_e2e_kafka_streaming_pipeline_spark.queries._registry import (  # noqa: F401
+    register,
+)
+from dea05_e2e_kafka_streaming_pipeline_spark.queries._shared import *  # noqa: F401,F403
+
+
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS group_size
+    FROM documents
+    GROUP BY md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content md5; keeps the
+    lowest doc_id per content group. Shuffle key is the 128-bit digest,
+    never the document body."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import dedup_exact
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+
+
+@register("ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram set-Jaccard near-dup pairs via inverted index
+    (explode shingle → equi-join → count common) — no O(n²) cross join."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+
+
+@register("pagerank_dedup_graph", oracle=_pagerank_oracle())
+def q_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 power iterations, d=0.85) over the
+    near-dup pair graph — iterative rank propagation as one join + one
+    aggregate per round (operators/graph.py:pagerank_fixed_point),
+    bit-exact across engines by the scaled-integer discipline. Isolated
+    documents settle at the base rank; members of dup clusters rank
+    higher in proportion to their connectivity."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank_fixed_point(
+        docs.select("doc_id"), edges, id_col="doc_id", iterations=3
+    )
+
+
+
+
+@register("pagerank_weighted_dedup", oracle=_pagerank_oracle(weighted=True))
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-WEIGHTED PageRank over the near-dup graph: rank
+    propagates proportionally to the quantized Jaccard weight
+    (round(j·10⁶) — explicit round-then-cast, since Spark truncates
+    double→long where DuckDB rounds), so documents central to DENSE
+    near-dup neighborhoods rank above members of loose ones — the
+    centrality signal a curation pass uses to pick representatives.
+    Same all-integer discipline as `pagerank_dedup_graph`; bit-exact."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1_000_000, 0).cast("long").alias("w"),
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "w")
+    )
+    return pagerank_fixed_point(
+        docs.select("doc_id"), edges, id_col="doc_id", iterations=3,
+        weight_col="w",
+    )
+
+
+
+
+@register("ngram_jaccard_prefix", oracle=_NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact Jaccard pairs through the PPJoin-style
+    prefix-filtered plan (operators/dedup.py:ngram_jaccard_pairs_prefix):
+    only each document's hash-order shingle PREFIX enters the inverted
+    index, shrinking candidate volume quadratically while keeping the
+    result exact — hash-matched against the identical DuckDB oracle as
+    `ngram_jaccard_pairs`, which is the completeness proof (a dropped
+    true pair would break the hash)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-20 to vec_id=0's embedding: one
+    projection + TakeOrderedAndProject — partial top-k per partition,
+    no shuffle of the embedding column."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, list(_query_vec(sf_dir)), k=20)
+
+
+
+
+@register(
+    "ivf_topk_fullprobe",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN machinery under a recall-1 configuration: k-means coarse
+    quantizer (deterministic seeded sample) + cell assignment + probe,
+    with nprobe = n_centroids so EVERY cell is probed — by construction
+    identical to exact brute-force top-k, which makes the whole IVF
+    path (train → assign → probe → scan) hash-checkable against the
+    same oracle as `embedding_cosine_topk`. Production use sets
+    nprobe < n_centroids for the scan-reduction tradeoff."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import ivf_topk
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        list(_query_vec(sf_dir)),
+        k=20,
+        centroids=[list(c) for c in _ivf_centroids(sf_dir, 8)],
+        nprobe=8,
+    )
+
+
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT vec_id, v,
+             list_min(v) AS qmin, list_max(v) AS qmax,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           round(qmin, 6) AS qmin,
+           round(qmax, 6) AS qmax,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE list_sum(list_transform(v,
+                       x -> CAST(round((x - qmin) / scale, 0) AS BIGINT)))
+                END AS BIGINT) AS code_sum,
+           round(CASE WHEN scale = 0 THEN 0.0
+                 ELSE list_max(list_transform(v,
+                        x -> abs(x - (qmin + round((x - qmin) / scale, 0)
+                                             * scale))))
+                 END, 6) AS recon_err
+    FROM q
+    """,
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of every embedding (the 4x storage/IO
+    compression tier for 100 TB similarity scans) — codec arithmetic is
+    pure double column expressions, so code sums and worst-case
+    reconstruction error hash-match DuckDB exactly."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), bits=8)
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.round("qmin", 6).alias("qmin"),
+        F.round("qmax", 6).alias("qmax"),
+        F.expr("aggregate(codes, 0L, (a, x) -> a + x)").alias("code_sum"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+
+
+@register("pq_topk_embeddings")
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: PQ codes (4 subspaces × 16 centroids —
+    4 bytes per 64-dim vector, 64× compression) scored against the
+    query's ADC distance tables as pure codegen lookups, top-10 by
+    approximate distance (operators/similarity.py:pq_topk). Codebooks
+    train on the deterministic pyarrow sample (plan build job-free) but
+    are engine-trained state, so this is rows-only — its arithmetic is
+    pinned by the zero-row `pq_adc_violations` companion, its retrieval
+    quality by the zero-row `pq_recall_violations` distance-regret
+    audit, and the clustered-recall test in tests/test_extensions.py."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, _pq_codebooks(sf_dir), list(_query_vec(sf_dir)), k=10
+    )
+
+
+
+
+@register("ivfpq_topk_embeddings")
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (FAISS IVFPQ shape): IVF coarse
+    cells prune to nprobe=2 of 8, PQ codes score the survivors in the
+    compressed domain (operators/similarity.py:ivfpq_topk) — both
+    trained off the same deterministic pyarrow sample as their
+    standalone queries, so plan build stays job-free. Rows-only (two
+    layers of engine-trained state); pinned by `ivf_topk_fullprobe`
+    (recall-1 IVF oracle), `pq_adc_violations` (zero-row ADC audit),
+    `ivfpq_recall_violations` (zero-row distance-regret audit), and
+    the clustered-recall test."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        [list(c) for c in _ivf_centroids(sf_dir)],
+        _pq_codebooks(sf_dir),
+        list(_query_vec(sf_dir)),
+        k=10,
+        nprobe=2,
+    )
+
+
+
+
+@register(
+    "pq_adc_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS adc_dist,
+           CAST(NULL AS DOUBLE) AS recon_dist
+    WHERE 1 = 0
+    """,
+)
+def q_pq_adc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the PQ path (oracle expects ZERO rows):
+    for EVERY vector, the table-lookup ADC distance must equal the
+    squared distance between the query and the RECONSTRUCTED
+    (decoded) vector — two independent arithmetic paths that agree only
+    if the PQ algebra (subspace partition, code assignment, table
+    build, decode) is implemented consistently. Tolerance 1e-6 covers
+    float summation-order differences between the numpy-built tables
+    and the codegen reconstruction arithmetic."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        pq_adc_tables,
+        pq_encode,
+        pq_reconstruct,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    codebooks = _pq_codebooks(sf_dir)
+    q = list(_query_vec(sf_dir))
+    tables = pq_adc_tables(codebooks, q)
+    encoded = pq_encode(load_table(spark, sf_dir, "embeddings"), codebooks).filter(
+        F.col("pq_code").isNotNull()
+    )
+    adc = None
+    for s, t in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in t]),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    recon = pq_reconstruct(F.col("pq_code"), codebooks)
+    q_lit = F.array(*[F.lit(float(v)) for v in q])
+    recon_dist = F.aggregate(
+        F.zip_with(q_lit, recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(
+            "vec_id",
+            adc.alias("adc_dist"),
+            recon_dist.alias("recon_dist"),
+        )
+        .filter(
+            F.abs(F.col("adc_dist") - F.col("recon_dist")) > F.lit(1e-6)
+        )
+    )
+
+
+
+
+@register(
+    "pq_recall_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS true_dist,
+           CAST(NULL AS DOUBLE) AS exact_kth_dist,
+           CAST(NULL AS DOUBLE) AS regret
+    WHERE 1 = 0
+    """,
+)
+def q_pq_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality pin for `pq_topk_embeddings` (oracle expects
+    ZERO rows): every id PQ returns must have true squared-L2 distance
+    ≤ 2.0 × the exact 10th-nearest distance. The distance-regret bound
+    is the meaningful quality contract on this fixture — the embeddings
+    are i.i.d. random vectors, so recall@10 of ANY 4-byte quantizer
+    sits at noise level (measured 0.10–0.30 across sf0.001/0.01/0.1)
+    while max regret is stable at ≤1.31; the 2.0 ceiling has ~50%
+    headroom. With `pq_adc_violations` (arithmetic consistency) this
+    closes the rows-only gap: wrong codes, wrong tables, wrong top-k
+    order, or a degenerate codebook all push returned distances past
+    the ceiling."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_regret_violations,
+        pq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(_query_vec(sf_dir))
+    approx = pq_topk(emb, _pq_codebooks(sf_dir), q, k=10)
+    return ann_regret_violations(emb, approx, q, k=10, max_regret=2.0)
+
+
+
+
+@register(
+    "ivfpq_recall_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS true_dist,
+           CAST(NULL AS DOUBLE) AS exact_kth_dist,
+           CAST(NULL AS DOUBLE) AS regret
+    WHERE 1 = 0
+    """,
+)
+def q_ivfpq_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality pin for `ivfpq_topk_embeddings` (oracle
+    expects ZERO rows): same distance-regret contract as
+    `pq_recall_violations`, with the same 2.0 ceiling over a measured
+    worst case of 1.57 (nprobe=2 of 8 prunes 3/4 of the table, so the
+    coarse layer adds regret on top of PQ's quantization error). A
+    mis-assigned cell, wrong probe selection, or broken residual
+    arithmetic surfaces here as a returned id far outside the true
+    neighborhood."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_regret_violations,
+        ivfpq_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(_query_vec(sf_dir))
+    approx = ivfpq_topk(
+        emb,
+        [list(c) for c in _ivf_centroids(sf_dir)],
+        _pq_codebooks(sf_dir),
+        q,
+        k=10,
+        nprobe=2,
+    )
+    return ann_regret_violations(emb, approx, q, k=10, max_regret=2.0)
+
+
+
+
+@register("ivf_topk_pruned")
+def q_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF under its 100 TB layout: the embeddings table is materialized
+    ONCE per process as parquet partitioned by ivf_cell
+    (operators/similarity.py:ivf_write_index), then the nprobe=2-of-8
+    probe runs as partition pruning — the scan's PartitionFilters keep
+    unprobed cells' files unread (plan-asserted in tests/test_plans.py).
+    Approximate by design (recall < 1), so rows-only for the driver; the
+    machinery itself is hash-matched via `ivf_topk_fullprobe` (probe-all
+    ≡ exact) and the layout equivalence is pytest-asserted (pruned ≡
+    unpartitioned pipeline at the same nprobe)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivf_topk_pruned,
+        ivf_write_index,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    path = _ivf_index_path(sf_dir)
+    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    if path not in _IVF_INDEX_BUILT:
+        ivf_write_index(load_table(spark, sf_dir, "embeddings"), cents, path)
+        _IVF_INDEX_BUILT.add(path)
+    return ivf_topk_pruned(
+        spark, path, list(_query_vec(sf_dir)), cents, k=20, nprobe=2
+    )
+
+
+
+
+@register(
+    "source_scorecard_docs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, source, len(toks) AS n_tok,
+             round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6) * 0.4
+                   + CASE WHEN round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                 / greatest(len(toks), 1), 6)
+                               BETWEEN 3.0 AND 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS q
+      FROM s
+    ), dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM ({_NGRAM_JACCARD_ORACLE})
+    )
+    SELECT sc.source,
+           count(*) AS n_docs,
+           CAST(sum(sc.n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(round(sc.q * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / count(*), 6) AS mean_quality,
+           round(CAST(count(*) FILTER (WHERE d.doc_id IS NOT NULL) AS DOUBLE)
+                 / count(*), 6) AS near_dup_fraction
+    FROM scored sc LEFT JOIN dropped d USING (doc_id)
+    GROUP BY sc.source
+    """,
+)
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard — the dashboard row a curation run
+    produces per data provider: document count, token volume, mean
+    quality (per-doc scores quantized to 1e-6 fixed point before the
+    sum, so the mean is order-insensitive), and the fraction of
+    documents a near-dedup pass would drop (higher-id member of any
+    Jaccard≥0.2 pair). Composes the quality, token, and dedup operators
+    at source grain in one plan."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.col("quality_score") * 1_000_000, 0)
+        .cast("long")
+        .alias("q_fp"),
+    )
+    dropped = (
+        ngram_jaccard_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        scored.join(dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("q_fp").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mean_quality"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("near_dup_fraction"),
+        )
+    )
+
+
+
+
+@register(
+    "clean_corpus_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_token_len
+      FROM t
+    ), scored AS (
+      SELECT doc_id,
+             round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + alpha_ratio * 0.4
+                   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM s
+    ), kept_quality AS (
+      SELECT doc_id FROM scored WHERE quality_score >= 0.6
+    ), pairs AS (
+      SELECT id_b FROM (
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len({_DUCK_TOKS}) - 2, 1) + 1),
+                   i -> array_to_string(({_DUCK_TOKS})[i:i+2], ' '))) AS sh
+          FROM documents
+        ), sx AS (
+          SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+          FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT DISTINCT id_b FROM p
+        WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.2
+      )
+    )
+    SELECT doc_id FROM kept_quality
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline a training-data run executes:
+    quality-score filter (≥0.6) + near-dedup (drop higher id of every
+    Jaccard≥0.2 pair) → surviving doc ids."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import with_text_stats
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    kept = with_text_stats(docs).filter(F.col("quality_score") >= 0.6)
+    return apply_dedup(kept, pairs).select("doc_id")
+
+
+
+
+# rows-only checks (no SQL oracle: xxhash64-seeded signatures are not
+# reproducible in DuckDB; the driver records a weaker rows-only check and
+# tests/test_dedup.py asserts the semantics against planted duplicates)
+
+@register("minhash_lsh_pairs")
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidate pairs, exact-Jaccard verified
+    at τ=0.2 — same verified-pair semantics as ngram_jaccard_pairs but
+    with band-collision candidate generation (the 100 TB path)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+
+
+@register("simhash_pairs")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 3 via quarter banding."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import simhash_pairs
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+
+
+@register(
+    "dedup_cc_components",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    )
+    SELECT id AS doc_id, min(label) AS component_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: connected components of the exact
+    Jaccard≥0.2 pair graph via iterative min-label propagation (each
+    round one edge join + aggregate, labels localCheckpoint-ed) — the
+    exact-closure upgrade over single-pass pair dropping. Oracle:
+    DuckDB recursive CTE computing min reachable id per doc."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    # auto: edge-count gate routes this sparse graph to the driver
+    # union-find; the distributed loop engages above 1M edges
+    return connected_components(docs, pairs, algorithm="auto")
+
+
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(label) AS component_id
+      FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution — the curation health report
+    that tells you whether duplication is long-tail (many pairs) or
+    pathological (boilerplate mega-clusters), and exactly how many
+    documents dedup will remove (Σ (size−1)·n_clusters). Two cheap
+    aggregates over the component table; the histogram has ≤ max
+    cluster size rows at any corpus scale."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        docs, ngram_jaccard_pairs(docs, threshold=0.2), algorithm="auto"
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+
+
+@register("simhash_pairs_md5", bench=False, oracle=_simhash_md5_oracle(3))
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_pairs with md5-derived token bits (quarter-packed) — the
+    same banding plan as the xxhash64 production path but every value is
+    DuckDB-reproducible, so the full SimHash pipeline earns a
+    hash-matched correctness row."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        simhash_pairs_md5,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return simhash_pairs_md5(load_table(spark, sf_dir, "documents"))
+
+
+
+
+@register("minhash_lsh_pairs_md5", bench=False, oracle=_minhash_md5_oracle(32, 8, 0.2))
+def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs with the md5 hash family (32 hashes, 8 bands)
+    — the SAME pipeline as `minhash_lsh_pairs` (signature minima as
+    codegen'd aggregates, band-bucket candidates, exact-Jaccard verify)
+    but with a DuckDB-reproducible hash, so the driver can hash-match
+    the full LSH machinery end-to-end, not just rows-only."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=32,
+        bands=8,
+        threshold=0.2,
+        hash_family="md5",
+    )
+
+
+
+
+@register(
+    "minhash_precision_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    WHERE 1 = 0
+    """,
+)
+def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the xxhash64 production path: verified
+    MinHash-LSH pairs are by construction a SUBSET of the exact n-gram
+    Jaccard pairs at the same threshold (precision 1) — emit any
+    violating pairs; the oracle expects zero rows. Checks ids AND the
+    verified jaccard values."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(docs, threshold=0.2)
+    exact = ngram_jaccard_pairs(docs, threshold=0.2)
+    return mh.join(exact, ["id_a", "id_b", "jaccard"], "left_anti")
+
+
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS score
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within label blocks (at
+    scale the block is an LSH bucket column; see
+    operators/similarity.py:cosine_near_dup_pairs)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+
+
+@register("knn_join_embeddings")
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-vectors KNN self-join via LSH buckets (top-5
+    neighbors each; exact within bucket)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import knn_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return knn_join(
+        load_table(spark, sf_dir, "embeddings"),
+        k=5,
+        dim=len(_query_vec(sf_dir)),
+    )
+
+
+
+
+@register(
+    "knn_blocked_exact",
+    bench=False,
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS score
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+    )
+    SELECT id, rank, neighbor_id, score FROM (
+      SELECT id, neighbor_id, score,
+             row_number() OVER (
+               PARTITION BY id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM p
+    ) WHERE rank <= 5
+    """,
+)
+def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The knn_join machinery (pair scoring + per-id ranking window)
+    under deterministic blocking (bucket_col='label' instead of seeded
+    hyperplane buckets) — fully DuckDB-oracle-checkable, so the shared
+    scoring/window tail of the approximate KNN path earns a hash-matched
+    correctness row."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import knn_join
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return knn_join(
+        load_table(spark, sf_dir, "embeddings"), k=5, bucket_col="label"
+    )
+
+
+
+
+@register(
+    "knn_score_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS score, CAST(NULL AS DOUBLE) AS expected
+    WHERE 1 = 0
+    """,
+)
+def q_knn_score_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable companion for the hyperplane-bucketed knn_join: every
+    reported (id, neighbor_id, score) must carry the TRUE cosine of that
+    pair — recompute it independently from the embeddings table and emit
+    disagreements; the oracle expects zero rows. (Bucketing only decides
+    WHICH pairs are compared, never their scores.)"""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        knn_join,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_join(emb, k=5, dim=len(_query_vec(sf_dir)))
+    a = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb_a"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")
+    )
+    expected = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        knn.join(a, "id")
+        .join(b, "neighbor_id")
+        .withColumn("expected", expected)
+        .filter(
+            F.col("expected").isNull() | (F.col("score") != F.col("expected"))
+        )
+        .select("id", "neighbor_id", "score", "expected")
+    )
+
+
+
+
+@register(
+    "dedup_apply_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), drop AS (
+      SELECT DISTINCT id_b FROM p
+      WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.2
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM drop)
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup flow: exact n-gram Jaccard pairs → drop the
+    higher id of every pair → surviving corpus."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return apply_dedup(docs, pairs).select("doc_id")
+
+
+
+
+@register(
+    "edit_distance_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             text FROM documents
+    ), d AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, text, unnest(sh) AS s FROM d
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.text AS ta, b.text AS tb
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, levenshtein(ta, tb) AS edit_distance
+    FROM cand WHERE levenshtein(ta, tb) <= 30
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs (character Levenshtein ≤ 30 over
+    shingle-blocked candidates) — the edit-distance dedup family with
+    banded thresholded DP verification."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), max_dist=30
+    )
+
+
+
+
+@register(
+    "dedup_best_quality_docs",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(label) AS component_id FROM reach GROUP BY id
+    ),
+    tq AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks, text FROM documents
+    ), sq AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS alpha_ratio,
+             round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS mean_token_len
+      FROM tq
+    ), quality AS (
+      SELECT doc_id,
+             round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + alpha_ratio * 0.4
+                   + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                          THEN 0.2 ELSE 0.0 END, 6) AS qs
+      FROM sq
+    ),
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY q.qs DESC, c.doc_id) AS rn
+      FROM comp c JOIN quality q USING (doc_id)
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN ranked r USING (doc_id) WHERE r.rn = 1
+    """,
+)
+def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup keeping the HIGHEST-quality member of each
+    near-dup cluster (quality_score desc, id tiebreak) instead of the
+    arbitrary minimum id — the curation-grade representative policy."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        apply_dedup_cc,
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        with_text_stats,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    scored = with_text_stats(docs)
+    return apply_dedup_cc(
+        scored, pairs, quality_col="quality_score", algorithm="auto"
+    ).select("doc_id", "source")
+
+
+
+
+@register(
+    "semantic_dedup_label",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_SEMDEDUP_COS} >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ),
+    comp AS (
+      SELECT id AS vec_id, min(label) AS component_id
+      FROM reach GROUP BY id
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e JOIN comp c ON e.vec_id = c.vec_id
+    WHERE c.vec_id = c.component_id
+    """,
+)
+def q_semantic_dedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup) under deterministic label blocking:
+    within-block cosine>=0.3 pairs -> transitive closure -> keep the
+    min-id representative per near-dup group. The label-blocked run is
+    plan-identical to the k-means-cell production path
+    (`semantic_dedup_kmeans`) but SQL-expressible, so the full pipeline
+    (blocked pair scoring + CC + retention semi-join) earns a
+    hash-matched row. Oracle: DuckDB recursive-CTE reachability."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # auto closure: this graph is ~1.4k edges at sf0.1 — the driver
+    # union-find replaces the iterative rounds entirely (distributed
+    # star contraction engages above the 1M-edge gate)
+    return semantic_dedup(
+        emb, threshold=0.3, block_col="label", algorithm="auto"
+    ).select("vec_id", "label")
+
+
+
+
+@register("semantic_dedup_kmeans")
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production semantic dedup: coarse k-means cells (8 centroids,
+    deterministic seeded sample) bound the pair space; cosine>=0.3
+    within a cell; min-id representative per connected group. Cell
+    assignment depends on the trained quantizer, so this row is
+    rows-only — the machinery is pinned by the hash-matched
+    `semantic_dedup_label` (same pipeline, SQL-expressible blocking)
+    and the zero-row `semantic_dedup_violations` invariants."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    return semantic_dedup(
+        emb, threshold=0.3, centroids=cents, algorithm="auto"
+    ).select("vec_id", "label")
+
+
+
+
+@register(
+    "semantic_dedup_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS violation
+    WHERE 1 = 0
+    """,
+)
+def q_semantic_dedup_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable invariants of the k-means semantic-dedup path, asserted
+    inside the engine where the quantizer actually runs (oracle expects
+    ZERO rows):
+
+    - `kept_near_dup`: two KEPT vectors in the same cell scoring >=
+      threshold — impossible if the transitive closure is correct (they
+      would share a component and only one could be kept).
+    - `dropped_without_neighbor`: a DROPPED vector that appears in no
+      >=threshold pair — dropping it would be unjustified."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    pairs = semantic_dedup_pairs(emb, threshold=0.3, centroids=cents)
+    kept = semantic_dedup(emb, threshold=0.3, centroids=cents).select("vec_id")
+    paired = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    kept_pairs = (
+        pairs.join(kept.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi")
+        .join(kept.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi")
+        .select(F.col("id_a").alias("vec_id"))
+        .withColumn("violation", F.lit("kept_near_dup"))
+    )
+    dropped_unjustified = (
+        emb.select("vec_id")
+        .join(kept, "vec_id", "left_anti")
+        .join(paired, "vec_id", "left_anti")
+        .withColumn("violation", F.lit("dropped_without_neighbor"))
+    )
+    return kept_pairs.unionByName(dropped_unjustified)
+
+
+
+
+@register(
+    "entity_resolution_customers",
+    oracle="""
+    WITH RECURSIVE lp AS (
+      SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+        CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+             WHEN a.c_mktsegment = b.c_mktsegment THEN 16 ELSE -4
+        END
+        + CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+               WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0 THEN 24 ELSE -8
+          END
+        + CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+               WHEN right(a.c_name, 2) = right(b.c_name, 2) THEN 8 ELSE -2
+          END AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+    ), pairs AS (
+      SELECT left_id, right_id FROM lp WHERE score >= 30
+    ), edges AS (
+      SELECT left_id AS u, right_id AS v FROM pairs
+      UNION ALL SELECT right_id, left_id FROM pairs
+    ), reach(id, label) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+      SELECT id, min(label) AS entity_id FROM reach GROUP BY id
+    ), ranked AS (
+      SELECT comp.entity_id, c.c_custkey, c.c_name, c.c_acctbal,
+             count(*) OVER (PARTITION BY comp.entity_id) AS n_members,
+             row_number() OVER (
+               PARTITION BY comp.entity_id
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+             ) AS rk
+      FROM customer c JOIN comp ON comp.id = c.c_custkey
+    )
+    SELECT entity_id, CAST(n_members AS BIGINT) AS n_members,
+           c_custkey AS golden_custkey, c_name AS golden_name,
+           c_acctbal AS golden_acctbal
+    FROM ranked WHERE rk = 1 AND n_members > 1
+    """,
+)
+def q_entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution flow: blocked Fellegi–Sunter match
+    scoring (operators/linkage.py) → transitive closure over the
+    match-pair graph (operators/dedup.py:connected_components, same
+    engine as document dedup) → survivorship: each multi-member entity
+    keeps its highest-acctbal member as the golden record (id
+    tiebreak) — match → cluster → survive, the canonical MDM pipeline.
+    Scale: pair volume bounded by nation blocks; CC runs over EDGES
+    with the auto union-find gate; survivorship is one ranking window
+    partitioned by entity. Oracle: the same scoring CASE arithmetic, a
+    recursive-CTE closure, and an identical ranked survivorship."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        FieldComparison,
+        blocked_linkage,
+        exact,
+        within,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    suffix2 = lambda l, r: F.substring(l, -2, 2) == F.substring(r, -2, 2)  # noqa: E731,E741
+    pairs = blocked_linkage(
+        cust,
+        cust,
+        block_on=["c_nationkey"],
+        comparisons=[
+            FieldComparison("segment", "c_mktsegment", "c_mktsegment", exact, 16, -4),
+            FieldComparison("balance", "c_acctbal", "c_acctbal", within(100.0), 24, -8),
+            FieldComparison("name_suffix", "c_name", "c_name", suffix2, 8, -2),
+        ],
+        left_id="c_custkey",
+        right_id="c_custkey",
+        min_score=30,
+        dedup_self_pairs=True,
+    ).select(F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b"))
+    comp = connected_components(
+        cust.select("c_custkey"), pairs, id_col="c_custkey", algorithm="auto"
+    )
+    members = cust.join(comp, "c_custkey").withColumnsRenamed(
+        {"component_id": "entity_id"}
+    )
+    w = Window.partitionBy("entity_id")
+    ranked = members.withColumn("n_members", F.count(F.lit(1)).over(w)).withColumn(
+        "rk",
+        F.row_number().over(
+            w.orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+        ),
+    )
+    return ranked.filter((F.col("rk") == 1) & (F.col("n_members") > 1)).select(
+        "entity_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("c_custkey").alias("golden_custkey"),
+        F.col("c_name").alias("golden_name"),
+        F.col("c_acctbal").alias("golden_acctbal"),
+    )
+
+
+
+
+@register(
+    "int8_rerank_topk_embeddings",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6) AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN, search-then-refine (operators/similarity.py:
+    int8_rerank_topk): stage 1 scores the int8-reconstructed vectors
+    (the 4x-smaller stored codes of `embedding_quantization`) and
+    shortlists 50 ids; stage 2 fetches ONLY those full-precision
+    vectors and exact-cosine re-ranks to the final top-10. The int8
+    codec's per-dim resolution makes a 15-row shortlist already cover
+    the exact top-10 on this corpus (50 leaves 3x margin), so the
+    composed pipeline is bit-identical to brute force and hash-checks
+    against the SAME oracle as `embedding_cosine_topk` — the
+    end-to-end oracle raw compressed-domain rankings (pq/ivfpq_topk)
+    structurally can't have. The sibling `pq_rerank_topk` operator
+    trades 16x more compression for shortlists an order larger at
+    equal recall."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        int8_rerank_topk,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_rerank_topk(emb, list(_query_vec(sf_dir)), k=10, shortlist=50)
+
+
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), s AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS common
+      FROM s a JOIN s b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / least(n_a, n_b), 6) AS containment
+    FROM p
+    WHERE round(CAST(common AS DOUBLE) / least(n_a, n_b), 6) >= 0.4
+    """,
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment |A∩B|/min(|A|,|B|) ≥
+    0.4 (operators/dedup.py:ngram_containment_pairs) — catches a short
+    document quoted inside a long one, which symmetric Jaccard misses
+    by construction (same inverted-index plan; only the scoring
+    projection differs)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.4
+    )
+
+
+
+
+@register(
+    "rrf_hybrid_topk_docs",
+    oracle=f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS r
+      FROM ( {_bm25_oracle(_BM25_TERMS, k=100)} )
+    ), vec AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS r
+      FROM (
+        WITH q AS (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(q.qv,        x -> CAST(x AS DOUBLE))), 6)
+                 AS score
+        FROM embeddings e, q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT 100
+      )
+    )
+    SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+           CAST(coalesce(l.r, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(v.r, 0) AS BIGINT) AS vec_rank,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.r), 0.0), 6)
+             AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON v.vec_id = l.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
+    top-100 and the dense cosine top-100 (vec_id aligns with doc_id in
+    the fixtures) fused as Σ 1/(60+rank) — the standard
+    score-scale-free combiner behind hybrid search. Each arm is a
+    bounded candidate list produced by its scalable retriever
+    (TakeOrderedAndProject partial top-k), so the fusion window ranks
+    ≤100 rows per arm; ranks are exact integers and each contribution
+    is one IEEE division, making the fused score engine-exact. Rank 0
+    marks "absent from this arm's top-100"."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import bm25_topk
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    lex = bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=100)
+    vec = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), list(_query_vec(sf_dir)), k=100
+    )
+    fused = rrf_fuse(
+        [(lex, "doc_id", "bm25_score"), (vec, "vec_id", "score")], k=20, c=60
+    )
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("vec_rank"),
+        "rrf_score",
+    )
+
+
+
+
+@register(
+    "source_contamination_matrix",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})
+    )
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def q_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate WHICH: the near-dup pair graph
+    (`ngram_jaccard_pairs`, τ=0.2) rolled up to an unordered
+    source×source matrix — the provenance view that turns a dedup run
+    into a licensing/contamination finding ("crawl-B is 60% copies of
+    wiki-A"). Pair ids join back to the two source dims (broadcast of
+    the id→source projection at dim scale, AQE's call above it); the
+    matrix grain is |sources|², tiny at any corpus size."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    a = src.withColumnsRenamed({"doc_id": "id_a", "source": "source_a"})
+    b = src.withColumnsRenamed({"doc_id": "id_b", "source": "source_b"})
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    return joined.groupBy(
+        F.least("source_a", "source_b").alias("source_x"),
+        F.greatest("source_a", "source_b").alias("source_y"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+
+
+@register(
+    "dbscan_embeddings",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (
+      SELECT e2.vec_id AS id, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_neighbors
+      FROM e e2 LEFT JOIN (
+        SELECT u, count(*) AS n FROM edges GROUP BY 1
+      ) d ON e2.vec_id = d.u
+    ),
+    core AS (SELECT id FROM deg WHERE n_neighbors + 1 >= 4),
+    core_edges AS (
+      SELECT u, v FROM edges
+      WHERE u IN (SELECT id FROM core) AND v IN (SELECT id FROM core)
+    ),
+    reach(id, lbl) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT ce.u, r.lbl FROM core_edges ce JOIN reach r ON ce.v = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    border AS (
+      SELECT ed.u AS id, min(c.cluster_id) AS cluster_id
+      FROM edges ed JOIN comp c ON ed.v = c.id
+      WHERE ed.u NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT d.id AS vec_id, d.n_neighbors,
+           CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+                WHEN b.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(c.cluster_id, b.cluster_id) AS cluster_id
+    FROM deg d
+    LEFT JOIN comp c ON d.id = c.id
+    LEFT JOIN border b ON d.id = b.id
+    """,
+)
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-space DBSCAN (sim>=0.2 neighborhoods, min_pts=4) over the
+    embeddings table, blocked by label — per-point density role
+    (core/border/noise) and deterministic min-core-id cluster labels.
+    The density complement to `semantic_dedup_*`: mega-dense cores are
+    boilerplate candidates, noise is rare-or-corrupt, and per-cluster
+    quotas drive curation sampling. Oracle: the same neighbor graph in
+    DuckDB with a recursive-CTE closure over the core-core subgraph
+    (operators/similarity.py:dbscan; sf0.01 yields 272 core / 153
+    border / 75 noise across 15 clusters)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        dbscan,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dbscan(
+        load_table(spark, sf_dir, "embeddings"), sim_eps=0.2, min_pts=4
+    )
+
+
+
+
+@register("mmr_rerank_embeddings", oracle=_mmr_oracle())
+def q_mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (λ=0.5 over a 32-candidate cosine
+    shortlist for vec_id=0's query) — the RAG diversification pass:
+    relevance alone floods a top-list with near-duplicates; MMR's
+    greedy penalizes each candidate by its max similarity to what's
+    already picked. All-integer scoring; the oracle unrolls the greedy
+    into 10 chained CTEs (operators/similarity.py:mmr_rerank)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), list(_query_vec(sf_dir))
+    )
+
+
+
+
+@register(
+    "ndcg_int8_ranking",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id != 0
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), deq AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(v) = list_min(v) THEN v
+             ELSE list_transform(v, x ->
+               list_min(v) + round((x - list_min(v))
+                 / ((list_max(v) - list_min(v)) / 255.0), 0)
+                 * ((list_max(v) - list_min(v)) / 255.0))
+             END AS dv
+      FROM e
+    ), exact AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(d.v, q.qv), 6) DESC,
+                        vec_id) AS rk
+      FROM deq d, q LIMIT 20
+    ), cand AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(d.dv, q.qv), 6) DESC,
+                        vec_id) AS rk
+      FROM deq d, q LIMIT 20
+    ), wt AS (
+      SELECT t.vec_id, 21 - t.rk AS gain,
+             CAST(round(1000000.0 / log2(t.rk + 1), 0) AS BIGINT) AS w_t
+      FROM exact t
+    ), dcg AS (
+      SELECT CAST(SUM(COALESCE(wt.gain, 0)
+             * CAST(round(1000000.0 / log2(c.rk + 1), 0) AS BIGINT))
+             AS BIGINT) AS dcg_micro
+      FROM cand c LEFT JOIN wt ON c.vec_id = wt.vec_id
+    ), idcg AS (
+      SELECT CAST(SUM(gain * w_t) AS BIGINT) AS idcg_micro FROM wt
+    )
+    SELECT 'int8_asym' AS method, dcg_micro, idcg_micro,
+           round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg_r6
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def q_ndcg_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 of the int8-dequantized cosine ranking against the exact
+    float ranking (query = vec 0, self excluded) — the graded answer to
+    "what does 4x compression cost in ranking quality", complementing
+    the binary recall audits (operators/similarity.py:ndcg_eval)."""
+    from pyspark.sql import Window
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        ndcg_eval,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _query_vec(sf_dir)])
+    lo, hi = F.array_min("v"), F.array_max("v")
+    scale = (hi - lo) / F.lit(255.0)
+    deq = F.when(hi == lo, F.col("v")).otherwise(
+        F.transform(
+            "v", lambda x: lo + F.round((x - lo) / scale, 0) * scale
+        )
+    )
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("v"), qv), 6).alias("s_exact"),
+        F.round(cosine_similarity(deq, qv), 6).alias("s_int8"),
+    )
+
+    def toplist(col: str) -> DataFrame:
+        top = scored.orderBy(F.desc(col), "vec_id").limit(20)
+        return top.select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc(col), "vec_id"))
+            .alias("rk"),
+        )
+
+    return ndcg_eval(
+        toplist("s_int8"), toplist("s_exact"), k=20, method="int8_asym"
+    )
+
+
+
+
+@register(
+    "ranking_auc_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id != 0
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), deq AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(v) = list_min(v) THEN v
+             ELSE list_transform(v, x ->
+               list_min(v) + round((x - list_min(v))
+                 / ((list_max(v) - list_min(v)) / 255.0), 0)
+                 * ((list_max(v) - list_min(v)) / 255.0))
+             END AS dv
+      FROM e
+    ), scored AS (
+      SELECT d.vec_id,
+             round(list_cosine_similarity(d.v, q.qv), 6) AS s_exact,
+             round(list_cosine_similarity(d.dv, q.qv), 6) AS s_int8
+      FROM deq d, q
+    ), top20 AS (
+      SELECT vec_id FROM scored ORDER BY s_exact DESC, vec_id LIMIT 20
+    ), lab AS (
+      SELECT s.s_int8 AS v,
+             CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS a
+      FROM scored s LEFT JOIN top20 t USING (vec_id)
+    ), c AS (
+      SELECT v, SUM(a) AS n_a, SUM(1 - a) AS n_b, COUNT(*) AS n_v
+      FROM lab GROUP BY v
+    ), cum AS (
+      SELECT v, n_a, n_b, n_v, SUM(n_v) OVER (ORDER BY v) AS cnv FROM c
+    ), agg AS (
+      SELECT SUM(n_a) AS na, SUM(n_b) AS nb,
+             SUM(n_a * (2 * (cnv - n_v) + n_v + 1)) AS two_ra
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_pos,
+           CAST(nb AS BIGINT) AS n_neg,
+           CAST(two_ra - na * (na + 1) AS BIGINT) AS u2_pos,
+           round(CAST(two_ra - na * (na + 1) AS DOUBLE)
+                 / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             AS auc_r6
+    FROM agg
+    """,
+)
+def q_ranking_auc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the int8-dequantized cosine score as a
+    predictor of exact-top-20 membership — the threshold-free summary
+    beside NDCG@20's graded view, computed via the Mann-Whitney
+    identity AUC = U/(n_pos*n_neg) with the same doubled-integer
+    midrank algebra (ties handled exactly), so it hash-matches the
+    oracle bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        mann_whitney_u,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _query_vec(sf_dir)])
+    lo, hi = F.array_min("v"), F.array_max("v")
+    scale = (hi - lo) / F.lit(255.0)
+    deq = F.when(hi == lo, F.col("v")).otherwise(
+        F.transform("v", lambda x: lo + F.round((x - lo) / scale, 0) * scale)
+    )
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("v"), qv), 6).alias("s_exact"),
+        F.round(cosine_similarity(deq, qv), 6).alias("s_int8"),
+    )
+    top20 = scored.orderBy(F.desc("s_exact"), "vec_id").limit(20).select("vec_id")
+    labeled = scored.join(
+        top20.withColumn("__pos", F.lit(1)), "vec_id", "left"
+    ).select("s_int8", F.coalesce("__pos", F.lit(0)).alias("__pos"))
+    mw = mann_whitney_u(
+        labeled.filter(F.col("__pos") == 1).select("s_int8"),
+        labeled.filter(F.col("__pos") == 0).select("s_int8"),
+        "s_int8",
+    )
+    return mw.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.col("u2_a").alias("u2_pos"),
+        F.round(
+            F.col("u2_a").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            ),
+            6,
+        ).alias("auc_r6"),
+    )

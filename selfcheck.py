@@ -53,13 +53,23 @@ def _value_hash(df: pd.DataFrame) -> str:
 
 
 def run_sweep(
-    spark, sf_dir: str, only: set[str] | None = None, quiet: bool = False
+    spark,
+    sf_dir: str,
+    only: set[str] | None = None,
+    quiet: bool = False,
+    detail_out: str | None = None,
 ) -> dict:
     """Run the driver-mirror sweep with an EXISTING SparkSession.
 
     Returns ``{"oracle_checked": N, "rows_only": M, "failures": [...]}``
     — the compact summary bench.py inlines in its stdout line so every
     round's artifacts prove ALL queries, not just the driver's sample.
+
+    ``detail_out``: also write per-query records (rows/schema/hash
+    match, row counts — the driver's CORRECTNESS file format) to this
+    JSON path, the committed full-coverage artifact (r4 verdict item
+    7: the round ledger should not depend on the driver's ~50-query
+    sample for full-registry evidence).
     """
     con = duckdb.connect()
     for t in TABLES:
@@ -70,6 +80,7 @@ def run_sweep(
     oracles = entry.oracle_sql()
     bad: list[str] = []
     checked = rows_only = 0
+    detail: dict[str, dict] = {}
 
     def say(msg: str) -> None:
         if not quiet:
@@ -83,21 +94,41 @@ def run_sweep(
         except Exception as e:  # noqa: BLE001
             say(f"ERR  {name}: spark: {e}")
             bad.append(name)
+            detail[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}",
+            }
             continue
         sql = oracles.get(name)
         if sql is None:
             say(f"ROWS {name}: {len(got)} rows (no oracle)")
             rows_only += 1
+            detail[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(got),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             want = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             say(f"ERR  {name}: duckdb: {e}")
             bad.append(name)
+            detail[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(got),
+                "oracle_rows": None, "err": f"duckdb: {e}",
+            }
             continue
         cols_ok = sorted(got.columns) == sorted(want.columns)
         rows_ok = len(got) == len(want)
         hash_ok = cols_ok and rows_ok and _value_hash(got) == _value_hash(want)
+        detail[name] = {
+            "rows_match": rows_ok, "schema_match": cols_ok,
+            "hash_match": hash_ok, "spark_rows": len(got),
+            "oracle_rows": len(want), "err": None,
+        }
         if cols_ok and rows_ok and hash_ok:
             checked += 1
             say(f"OK   {name}: {len(got)} rows")
@@ -107,6 +138,11 @@ def run_sweep(
                 f"FAIL {name}: cols={cols_ok}"
                 f" rows={rows_ok}({len(got)}/{len(want)}) hash={hash_ok}"
             )
+    if detail_out:
+        import json as _json
+
+        with open(detail_out, "w") as f:
+            _json.dump(detail, f, indent=1)
     return {"oracle_checked": checked, "rows_only": rows_only, "failures": bad}
 
 

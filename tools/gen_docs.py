@@ -162,7 +162,7 @@ def gen_queries_md() -> str:
     lines = [
         "# Query catalog",
         "",
-        "Auto-generated from the registry (`queries.py`) by `tools/gen_docs.py`.",
+        "Auto-generated from the registry (`queries/` package) by `tools/gen_docs.py`.",
         "Every row is a driver-checkable `queries()` entry; **oracle** =",
         "hash-matched against DuckDB at sf0.01, **rows-only** = engine-specific",
         "(seeded hashes / approximate / trained state), each pinned by",
