@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Persist the sf1-class scale tier: a structure-preserving 10x
+replication of /root/testdata/sf0.1 written ONCE to
+/root/repo/testdata_x10/sf1.0 (gitignored — ~170 MB of parquet; this
+generator plus the committed BENCH_x10/BENCH_BUDGET_x10 ledgers are the
+reproducible artifacts).
+
+Why a persisted tier and not the in-memory probe (tools/scale_probe.py):
+the probe replicates into /tmp per run and times a hand-picked operator
+subset; a persisted directory with the standard table layout lets the
+FULL bench suite run unmodified (`SPARK_GRAFT_SF_DIR=testdata_x10/sf1.0
+python bench.py`), so shuffle/spill behavior and per-query growth
+ratios are measured for every registered query, and a second budget
+tier (BENCH_BUDGET_x10.json) pins them against regression.
+
+Replication follows TPC-H scaling semantics — fixed dims, growing
+facts — and is structure-preserving, not degenerate (replicating
+verbatim would mass-duplicate every doc/vector 10x and measure the
+engine's degenerate-duplicate caps, not scaling):
+
+- region, nation: verbatim (TPC-H keeps them constant across SF, which
+  is exactly why nation-blocked pair spaces grow quadratically at
+  scale — the tier is designed to SURFACE that, see SCALE.md).
+- customer/supplier/part: keys offset by r*N per replica r in 0..9;
+  names regenerated from the new key with the original printf format so
+  per-replica name structure (and linkage blocking behavior) is
+  identical to the source tier.
+- orders -> customer, lineitem -> {orders,part,supplier}: foreign keys
+  offset to point at the SAME replica, so join selectivity, orders-per-
+  customer, and lines-per-order distributions are exactly preserved.
+- events: event_id/user_id offset per replica; timestamps untouched —
+  the stream's time range is constant and rows-per-window grow 10x,
+  which is how a real stream scales.
+- documents: every [A-Za-z0-9]+ token in replica r is rewritten in
+  place to token+"x<r>" (same trick as tools/scale_probe.py, same
+  token class as the engine's tokenizer): intra-replica near-dup
+  structure is IDENTICAL to the original corpus, inter-replica Jaccard
+  is 0, so shingle/MinHash/SimHash pair volume grows exactly 10x.
+  n_chars is recomputed (the source tier maintains n_chars ==
+  len(text)).
+- embeddings: vec_id offset; the vector is cyclically ROTATED by r
+  positions. A rotation is orthogonal — every intra-replica distance
+  and norm is bit-preserved — while cross-replica cosine behaves like
+  an unrelated random pair (for these i.i.d.-ish vectors), so ANN/
+  near-dup/DBSCAN pair structure grows 10x instead of every vector
+  gaining 9 artificial near-duplicates.
+
+Determinism: no rand() anywhere; byte-identical output across runs.
+
+Usage: python tools/make_x10.py [--k 10] [--out testdata_x10/sf1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dea05_e2e_kafka_streaming_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+# source-tier cardinalities (TESTDATA.md; asserted at runtime)
+N = {
+    "customer": 15_000,
+    "supplier": 1_000,
+    "part": 20_000,
+    "orders": 150_000,
+    "lineitem": 600_000,
+    "events": 100_000,
+    "documents": 5_000,
+    "embeddings": 2_000,
+}
+EMB_DIM = 64
+
+
+def _replicas(spark, k: int):
+    return F.broadcast(spark.range(k).withColumnRenamed("id", "r"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "testdata_x10",
+            "sf1.0",
+        ),
+    )
+    args = ap.parse_args()
+    k, out = args.k, args.out
+    t0 = time.time()
+
+    spark = get_spark(app_name="make_x10")
+    reps = _replicas(spark, k)
+
+    def src(name: str):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        if name in N:
+            n = df.count()
+            assert n == N[name], f"{name}: expected {N[name]} rows, got {n}"
+        return df
+
+    def write(df, name: str, files: int):
+        (
+            df.repartition(files)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{name}.parquet")
+        )
+        print(f"  {name}: written ({files} files)", flush=True)
+
+    # fixed dims — verbatim
+    for dim in ("region", "nation"):
+        write(src(dim), dim, 1)
+
+    cust = (
+        src("customer")
+        .crossJoin(reps)
+        .select(
+            (F.col("c_custkey") + F.col("r") * N["customer"]).alias("c_custkey"),
+            F.format_string(
+                "Customer#%09d", F.col("c_custkey") + F.col("r") * N["customer"]
+            ).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    write(cust, "customer", 4)
+
+    supp = (
+        src("supplier")
+        .crossJoin(reps)
+        .select(
+            (F.col("s_suppkey") + F.col("r") * N["supplier"]).alias("s_suppkey"),
+            F.format_string(
+                "Supplier#%09d", F.col("s_suppkey") + F.col("r") * N["supplier"]
+            ).alias("s_name"),
+            "s_nationkey",
+            "s_acctbal",
+        )
+    )
+    write(supp, "supplier", 1)
+
+    part = (
+        src("part")
+        .crossJoin(reps)
+        .select(
+            (F.col("p_partkey") + F.col("r") * N["part"]).alias("p_partkey"),
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            "p_retailprice",
+        )
+    )
+    write(part, "part", 4)
+
+    orders = (
+        src("orders")
+        .crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("r") * N["orders"]).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("r") * N["customer"]).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    write(orders, "orders", 8)
+
+    lineitem = (
+        src("lineitem")
+        .crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("r") * N["orders"]).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("r") * N["part"]).alias("l_partkey"),
+            (F.col("l_suppkey") + F.col("r") * N["supplier"]).alias("l_suppkey"),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+    )
+    write(lineitem, "lineitem", 32)
+
+    events = (
+        src("events")
+        .crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("r") * N["events"]).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("r") * 1_500).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    write(events, "events", 16)
+
+    docs = (
+        src("documents")
+        .crossJoin(reps)
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"),
+                F.lit("([A-Za-z0-9]+)"),
+                F.concat(F.lit("$1x"), F.col("r").cast("string")),
+            ),
+        )
+        .select(
+            (F.col("doc_id") + F.col("r") * N["documents"]).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    write(docs, "documents", 8)
+
+    # cyclic rotation by r: concat(slice(v, r+1, D-r), slice(v, 1, r))
+    emb = (
+        src("embeddings")
+        .crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("r") * N["embeddings"]).alias("vec_id"),
+            F.when(F.col("r") == 0, F.col("embedding"))
+            .otherwise(
+                F.concat(
+                    F.expr(f"slice(embedding, r + 1, {EMB_DIM} - r)"),
+                    F.expr("slice(embedding, 1, r)"),
+                )
+            )
+            .alias("embedding"),
+            "label",
+        )
+    )
+    write(emb, "embeddings", 4)
+
+    # verify cardinalities
+    for name, n in N.items():
+        got = spark.read.parquet(f"{out}/{name}.parquet").count()
+        assert got == n * k, f"{name}: expected {n * k}, got {got}"
+        print(f"  verify {name}: {got} rows", flush=True)
+
+    print(f"done in {time.time() - t0:.1f}s -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
