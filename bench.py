@@ -232,7 +232,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — sweep is evidence, not a gate
             print(f"# sweep skipped: {e}", file=sys.stderr)
 
-    side_path = os.path.join(here, "bench_metrics.json")
+    # per-tier side files: the x10 run writes bench_metrics_x10.json so
+    # the sf0.1 snapshot (budget provenance) isn't clobbered
+    side_path = os.path.join(
+        here, os.environ.get("SPARK_GRAFT_BENCH_METRICS", "bench_metrics.json")
+    )
     with open(side_path, "w") as f:
         json.dump(side, f, indent=1)
     print(f"# metrics -> {side_path}", file=sys.stderr)

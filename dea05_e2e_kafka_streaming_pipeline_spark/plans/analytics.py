@@ -1735,6 +1735,12 @@ def theil_sen(
     )
     a = s.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
     b = s.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    # Intermediate quantized values are decimal(38,0), NOT long: the
+    # EXTREME pairwise slopes of a cents-denominated series overflow
+    # int64 at the 1e-9 grain once daily totals pass ~9e9 cents (seen
+    # at the x10 tier — CAST_OVERFLOW on 9.47e18). The MEDIANS are
+    # small and surface as long; only the rank ordering ever sees the
+    # extremes, and decimal orders identically.
     slopes = (
         a.join(b, F.col("xi") < F.col("xj"))
         .select(
@@ -1743,17 +1749,17 @@ def theil_sen(
                 / (F.col("xj") - F.col("xi"))
                 * F.lit(1e9)
             )
-            .cast("long")
+            .cast("decimal(38,0)")
             .alias("slope_q")
         )
     )
 
-    def rank_median(df: DataFrame, col: str) -> float:
+    def rank_median(df: DataFrame, col: str) -> tuple[int, int]:
         n = df.count()
         ranked = global_row_number(df, [col], out_col="__rn")
         target = (n + 1) // 2
         return (
-            ranked.filter(F.col("__rn") == target).head()[col],
+            int(ranked.filter(F.col("__rn") == target).head()[col]),
             n,
         )
 
@@ -1761,18 +1767,32 @@ def theil_sen(
     slope = slope_q / 1e9
     resid = s.select(
         F.round((F.col("y") - F.lit(slope) * F.col("x")) * F.lit(1e9))
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("icept_q")
     )
     icept_q, n_points = rank_median(resid, "icept_q")
     spark = series.sparkSession
     # surface the exact fixed-point medians plus their double views —
     # no re-rounding (a 6-dp round of a 9-dp quantity can tie-break
-    # differently across engines; q/1e9 is one exact double division)
+    # differently across engines; q/1e9 is one exact double division).
+    # The medians stay decimal(38,0) in the OUTPUT too: a cents-scale
+    # series' median intercept at the 1e-9 grain passes int64 around
+    # 9e9 cents/day (observed 1.56e19 at the x10 tier).
+    from decimal import Decimal
+
     return spark.createDataFrame(
-        [(n_points, n_pairs, slope_q, icept_q, slope_q / 1e9, icept_q / 1e9)],
-        "n_points long, n_pairs long, slope_q long, intercept_q long,"
-        " slope double, intercept double",
+        [
+            (
+                n_points,
+                n_pairs,
+                Decimal(slope_q),
+                Decimal(icept_q),
+                slope_q / 1e9,
+                icept_q / 1e9,
+            )
+        ],
+        "n_points long, n_pairs long, slope_q decimal(38,0),"
+        " intercept_q decimal(38,0), slope double, intercept double",
     )
 
 

@@ -1490,7 +1490,10 @@ def q_mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS BIGINT) AS DOUBLE) AS y
       FROM orders GROUP BY 1
     ), slopes AS (
-      SELECT CAST(round((b.y - a.y) / (b.x - a.x) * 1e9, 0) AS BIGINT)
+      -- HUGEINT intermediates (mirrors the engine's decimal(38,0)):
+      -- extreme pairwise slopes of a cents series overflow int64 at
+      -- the 1e-9 grain; only the median surfaces, cast back to BIGINT
+      SELECT CAST(round((b.y - a.y) / (b.x - a.x) * 1e9, 0) AS HUGEINT)
                AS slope_q
       FROM daily a JOIN daily b ON a.x < b.x
     ), sm AS (
@@ -1502,7 +1505,7 @@ def q_mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = (n + 1) // 2
     ), resid AS (
       SELECT CAST(round((d.y - (CAST(sm.slope_q AS DOUBLE) / 1e9) * d.x)
-                        * 1e9, 0) AS BIGINT) AS icept_q
+                        * 1e9, 0) AS HUGEINT) AS icept_q
       FROM daily d, sm
     ), im AS (
       SELECT icept_q FROM (
@@ -1514,8 +1517,12 @@ def q_mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT count(*) FROM daily) AS n_points,
            (SELECT count(*) FROM slopes) AS n_pairs,
-           sm.slope_q AS slope_q,
-           im.icept_q AS intercept_q,
+           -- BIGINT here: duckdb->pandas degrades DECIMAL columns to
+           -- float64, breaking the exact string compare; the sf0.01
+           -- medians fit int64 (str(int64) == str(plain Decimal)),
+           -- while the ENGINE output stays decimal(38,0) for scale
+           CAST(sm.slope_q AS BIGINT) AS slope_q,
+           CAST(im.icept_q AS BIGINT) AS intercept_q,
            CAST(sm.slope_q AS DOUBLE) / 1e9 AS slope,
            CAST(im.icept_q AS DOUBLE) / 1e9 AS intercept
     FROM sm, im

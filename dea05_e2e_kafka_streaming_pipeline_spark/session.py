@@ -74,12 +74,20 @@ def get_spark(
     provider is right for tests and bounded-state queries.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Local mode runs driver and executors in ONE JVM whose heap
+    # defaults to 1g — fine at sf0.1 (17 MB of parquet), an instant
+    # OutOfMemoryError at the persisted 10x tier (185 MB parquet, GBs of
+    # shuffle intermediates across 32 threads). Size it like the
+    # single node it is; a cluster deployment sizes executors via
+    # spark-submit and this setting only affects its driver.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     confs = dict(_DEFAULT_CONFS)
+    confs["spark.driver.memory"] = driver_mem
     confs["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else int(cpus)
     )

@@ -1,16 +1,24 @@
 #!/usr/bin/env python
-"""Regenerate BENCH_BUDGET.json from the latest quiet-window
-bench_metrics.json (must be an sf0.1 run): per-query ceiling = 2x the
-recorded best-of-2, floored at 0.5 s so sub-100ms queries don't trip on
-scheduler jitter. Run after bench.py at sf0.1 whenever the registry
-gains queries, so every bench query stays budgeted.
+"""Regenerate a per-tier budget file from the latest quiet-window
+bench_metrics.json: per-query ceiling = 2x the recorded best-of-2,
+floored at 0.5 s so sub-100ms queries don't trip on scheduler jitter.
+Run after bench.py whenever the registry gains queries, so every bench
+query stays budgeted.
 
-    python bench.py            # sf0.1 default
-    python tools/gen_budget.py
+Two tiers, one file each (bench.py picks whichever file's source sf
+matches the run's sf — ceilings are sf-specific wall-clock numbers,
+meaningless against a different scale):
+
+    python bench.py                      # sf0.1 default
+    python tools/gen_budget.py           # -> BENCH_BUDGET.json
+
+    SPARK_GRAFT_SF_DIR=testdata_x10/sf1.0 python bench.py
+    python tools/gen_budget.py --sf 1.0 --out BENCH_BUDGET_x10.json
 """
 
 from __future__ import annotations
 
+import argparse
 import datetime as dt
 import json
 import os
@@ -19,22 +27,32 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    with open(os.path.join(HERE, "bench_metrics.json")) as f:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--out", default="BENCH_BUDGET.json")
+    ap.add_argument(
+        "--metrics", default="bench_metrics.json",
+        help="bench_metrics snapshot to derive ceilings from",
+    )
+    args = ap.parse_args()
+
+    with open(os.path.join(HERE, args.metrics)) as f:
         m = json.load(f)
-    if m.get("sf") != 0.1:
-        raise SystemExit(f"bench_metrics.json is sf={m.get('sf')}, need 0.1")
+    if m.get("sf") != args.sf:
+        raise SystemExit(f"{args.metrics} is sf={m.get('sf')}, need {args.sf}")
     budget = {
         "comment": (
-            "Per-query wall-clock ceilings at sf0.1, local[32]: 2x the "
-            "latest quiet-window best-of-2 (bench_metrics.json, total "
-            f"{m['total_sec']}s), floored at 0.5s so sub-100ms queries "
-            "don't trip on scheduler jitter. bench.py exits nonzero only "
-            "when >25% of budgeted queries exceed their ceiling - a "
-            "global host-noise window inflates everything a little, a "
-            "plan regression inflates a few queries 2x+."
+            f"Per-query wall-clock ceilings at sf{args.sf}, local[32]: 2x "
+            "the latest quiet-window best-of-2 "
+            f"({args.metrics}, total {m['total_sec']}s), floored at 0.5s "
+            "so sub-100ms queries don't trip on scheduler jitter. "
+            "bench.py exits nonzero only when >25% of budgeted queries "
+            "exceed their ceiling - a global host-noise window inflates "
+            "everything a little, a plan regression inflates a few "
+            "queries 2x+."
         ),
         "source_run": {
-            "sf": 0.1,
+            "sf": args.sf,
             "total_sec": m["total_sec"],
             "date": dt.date.today().isoformat(),
         },
@@ -42,7 +60,7 @@ def main() -> int:
             q: round(max(0.5, 2.0 * t), 3) for q, t in m["queries"].items()
         },
     }
-    out = os.path.join(HERE, "BENCH_BUDGET.json")
+    out = os.path.join(HERE, args.out)
     with open(out, "w") as f:
         json.dump(budget, f, indent=1)
     print(f"wrote {out}: {len(budget['ceilings_sec'])} ceilings")
