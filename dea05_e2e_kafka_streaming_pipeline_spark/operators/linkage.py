@@ -88,7 +88,19 @@ def blocked_linkage(
     if dedup_self_pairs:
         cond.append(F.col(f"l_{left_id}") < F.col(f"r_{right_id}"))
     pairs = l.join(r, _conj(cond))
+    return _score_pairs(pairs, comparisons, left_id, right_id, min_score)
 
+
+def _score_pairs(
+    pairs: DataFrame,
+    comparisons: list[FieldComparison],
+    left_id: str,
+    right_id: str,
+    min_score: int,
+) -> DataFrame:
+    """Fellegi–Sunter scoring tail shared by every candidate-generation
+    strategy: `pairs` carries ``l_``/``r_``-prefixed columns; output is
+    (left_id, right_id, one pts_* per field, score >= min_score)."""
     point_cols = []
     for c in comparisons:
         lc, rc = F.col(f"l_{c.left_col}"), F.col(f"r_{c.right_col}")
@@ -107,6 +119,68 @@ def blocked_linkage(
         sum((F.col(f"pts_{c.name}") for c in comparisons), F.lit(0)),
     )
     return scored.filter(F.col("score") >= min_score)
+
+
+def sorted_neighborhood_linkage(
+    df: DataFrame,
+    sort_on: list[str],
+    comparisons: list[FieldComparison],
+    id_col: str,
+    min_score: int,
+    window: int = 10,
+    partition_on: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): rank
+    every record in one global total order (``partition_on`` +
+    ``sort_on`` + id), and take as candidates ONLY pairs within
+    ``window`` positions of each other (and agreeing on
+    ``partition_on``, if given) — then score with the same
+    Fellegi–Sunter tail as :func:`blocked_linkage`.
+
+    This is the LINEAR-candidate answer to equality blocking's Σ|b|²
+    growth: a fixed-cardinality blocking key (e.g. 25 nations) makes
+    pair volume grow n² as blocks fatten — measured 22.7x wall at 10x
+    input for the nation-blocked `linkage_customer_pairs` (SCALE.md
+    x10 table) — while SNB emits at most n·window candidates at ANY
+    n, trading the guarantee of intra-block completeness for sort-
+    adjacency recall (the standard multi-pass lever: run again with a
+    second sort key and union).
+
+    Plan shape (no single-partition window anywhere): the global rank
+    comes from the range-shuffle ``global_row_number`` scaffold; the
+    ±window band join is TWO equi-joins in one — each left row
+    duplicates into its own rank bucket ``rn // window`` and the next,
+    so every (rank, rank+δ≤window) pair shares a bucket — candidates
+    O(n·window), shuffled on (bucket, partition keys), never all-pairs.
+    """
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_row_number,
+    )
+
+    part = list(partition_on or [])
+    cols = {id_col, *part, *sort_on, *(c.left_col for c in comparisons)}
+    ranked = global_row_number(
+        df.select(*sorted(cols)), part + sort_on + [id_col], out_col="__rn"
+    )
+    w = int(window)
+    if w < 1:
+        raise ValueError("sorted_neighborhood_linkage: window must be >= 1")
+    bkt = (F.col("__rn") / w).cast("long")
+    l = ranked.select(
+        *[F.col(c).alias(f"l_{c}") for c in sorted(cols)],
+        F.col("__rn").alias("l___rn"),
+        F.explode(F.array(bkt, bkt + 1)).alias("__bkt"),
+    )
+    r = ranked.select(
+        *[F.col(c).alias(f"r_{c}") for c in sorted(cols)],
+        F.col("__rn").alias("r___rn"),
+        bkt.alias("__bkt"),
+    )
+    cond = [F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}")) for c in part]
+    cond.append(F.col("r___rn") > F.col("l___rn"))
+    cond.append(F.col("r___rn") <= F.col("l___rn") + w)
+    pairs = l.join(r, ["__bkt"]).filter(_conj(cond))
+    return _score_pairs(pairs, comparisons, id_col, id_col, min_score)
 
 
 def _conj(conds: list[Column]) -> Column:

@@ -85,6 +85,34 @@ def _ivf_centroids(
 
 
 @lru_cache(maxsize=None)
+def _vec_count(sf_dir: str) -> int:
+    """Embeddings-table row count from parquet METADATA only (no data
+    pages, no Spark job) — the input the adaptive blocking formulas
+    key on."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
+
+
+def _adaptive_cells(
+    sf_dir: str, target: int = 250, lo: int = 8, hi: int = 512
+) -> int:
+    """Coarse-quantizer cell count that GROWS with the table: ~`target`
+    vectors per cell, clamped to [lo, hi].
+
+    This is the named scale fix for the fixed-blocking growth the x10
+    tier surfaced (SCALE.md): with a constant cell count, cells grow
+    linearly with n and within-cell pair volume grows n² (measured
+    26.1x wall at 10x input for `semantic_dedup_kmeans@8cells`);
+    holding EXPECTED CELL SIZE constant instead makes pair volume —
+    and measured wall — grow ~linearly. `hi` stays ≤ the 2048-row
+    training sample /4 so every centroid keeps enough sample mass; at
+    sf0.01/sf0.1 the formula lands on the historical 8, so hashes and
+    rows-only row counts are unchanged where the driver checks them."""
+    return min(hi, max(lo, _vec_count(sf_dir) // target))
+
+
+@lru_cache(maxsize=None)
 def _pq_codebooks(
     sf_dir: str, m: int = 4, n_codes: int = 16, sample_rows: int = 2048
 ):
@@ -829,6 +857,8 @@ __all__ = [
     "_ENTITY_CTES",
     "_query_vec",
     "_ivf_centroids",
+    "_vec_count",
+    "_adaptive_cells",
     "_pq_codebooks",
     "_SUM_AMOUNT",
     "_DUCK_TOKS",

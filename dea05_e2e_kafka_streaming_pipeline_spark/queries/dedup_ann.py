@@ -1169,7 +1169,10 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    # n-adaptive cell count (x10 scale fix, _shared._adaptive_cells):
+    # ~250 vectors/cell keeps within-cell pair volume linear in n;
+    # resolves to the historical 8 at sf0.01/sf0.1
+    cents = [list(c) for c in _ivf_centroids(sf_dir, _adaptive_cells(sf_dir))]
     return semantic_dedup(
         emb, threshold=0.3, centroids=cents, algorithm="auto"
     ).select("vec_id", "label")
@@ -1204,7 +1207,10 @@ def q_semantic_dedup_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = [list(c) for c in _ivf_centroids(sf_dir, 8)]
+    # n-adaptive cell count (x10 scale fix, _shared._adaptive_cells):
+    # ~250 vectors/cell keeps within-cell pair volume linear in n;
+    # resolves to the historical 8 at sf0.01/sf0.1
+    cents = [list(c) for c in _ivf_centroids(sf_dir, _adaptive_cells(sf_dir))]
     pairs = semantic_dedup_pairs(emb, threshold=0.3, centroids=cents)
     kept = semantic_dedup(emb, threshold=0.3, centroids=cents).select("vec_id")
     paired = (
@@ -1828,4 +1834,104 @@ def q_ranking_auc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("auc_r6"),
+    )
+
+
+
+
+def _cells_blocked_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the n-adaptive IVF cell attached — the shared
+    blocking front of the cell-blocked scale-path queries."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        with_ivf_cell,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _ivf_centroids(sf_dir, _adaptive_cells(sf_dir))]
+    return with_ivf_cell(emb, cents, "embedding")
+
+
+@register("embedding_near_dup_cells")
+def q_embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs blocked by the N-ADAPTIVE k-means cell — the
+    named scale fix for `embedding_near_dup_pairs`'s measured 17.8x
+    wall at 10x input (SCALE.md): that query's label block has FIXED
+    cardinality, so blocks fatten linearly and pair volume grows n²,
+    while ~250-vector cells keep pair volume (and measured wall)
+    ~linear. Scoring inside a cell is exact cosine, so precision is 1
+    by construction; recall vs unblocked all-pairs is pinned at >= 0.30
+    by `near_dup_cells_recall_violations` (measured 0.39/0.36 at
+    sf0.01/sf0.1 — 4x the label block's 0.09; multi-probe assignment is
+    the standard recall lever beyond that). Rows-only: the cell
+    boundary depends on the trained quantizer, which SQL cannot
+    replay; the machinery is hash-pinned by `embedding_near_dup_pairs`
+    (same pair scorer, SQL-expressible block)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    return cosine_near_dup_pairs(
+        _cells_blocked_embeddings(spark, sf_dir),
+        threshold=0.4,
+        block_col="ivf_cell",
+    )
+
+
+@register(
+    "near_dup_cells_recall_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS cell_pairs,
+           CAST(NULL AS BIGINT) AS exact_pairs
+    WHERE 1 = 0
+    """,
+)
+def q_near_dup_cells_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract of the cell-blocked near-dup path, asserted
+    where the quantizer actually runs (oracle expects ZERO rows): the
+    adaptive-cell pair count must be >= 0.30x the unblocked exact
+    all-pairs count at the same threshold (measured 0.39 at sf0.01,
+    0.36 at sf0.1). bench=False — the exact side is deliberately O(n²)
+    and exists only to audit the scalable side at oracle scale."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    cell = cosine_near_dup_pairs(
+        _cells_blocked_embeddings(spark, sf_dir),
+        threshold=0.4,
+        block_col="ivf_cell",
+    ).count()
+    exact = cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, block_col=None
+    ).count()
+    out = spark.createDataFrame(
+        [(cell, exact)], "cell_pairs long, exact_pairs long"
+    )
+    return out.filter(F.col("cell_pairs") < 0.30 * F.col("exact_pairs"))
+
+
+@register("dbscan_cells_embeddings")
+def q_dbscan_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine DBSCAN blocked by the n-adaptive k-means cell — the
+    scale path for `dbscan_embeddings`'s measured 23.2x wall at 10x
+    input (SCALE.md, same fixed-label-block cause as the near-dup
+    family). Identical machinery: blocked pair scoring -> edge-list
+    degrees -> CC on the core-core subgraph -> deterministic border
+    assignment; only the block column changes, so the hash-matched
+    label-blocked query pins every stage. Rows-only (quantizer-defined
+    blocks)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        dbscan,
+    )
+
+    return dbscan(
+        _cells_blocked_embeddings(spark, sf_dir),
+        sim_eps=0.2,
+        min_pts=4,
+        block_col="ivf_cell",
     )
