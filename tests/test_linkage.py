@@ -205,3 +205,128 @@ def test_jaro_winkler_classic_values_and_duckdb_parity(spark, duck):
             "SELECT round(jaro_winkler_similarity(?, ?), 9)", [s1, s2]
         ).fetchone()[0]
         assert got[(s1, s2)] == want, (s1, s2, got[(s1, s2)], want)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (sorted_neighborhood_linkage)
+# ---------------------------------------------------------------------------
+
+
+def test_snb_window_and_partition_semantics(spark):
+    """Candidates are EXACTLY the pairs within `window` rank positions
+    that agree on partition_on — including pairs straddling a bucket
+    boundary (the band join's whole reason for the explode), and
+    excluding rank-adjacent pairs from different partitions."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_linkage,
+    )
+
+    # oslo names sort a..f (ranks 1..6); bergen's "a zz" is rank-adjacent
+    # to oslo's block start but must never pair with it
+    rows = [
+        (1, "oslo", "aaa", 1.0),
+        (2, "oslo", "bbb", 1.0),
+        (3, "oslo", "ccc", 1.0),
+        (4, "oslo", "ddd", 1.0),
+        (5, "oslo", "eee", 1.0),
+        (6, "oslo", "fff", 1.0),
+        (7, "bergen", "azz", 1.0),
+    ]
+    got = sorted_neighborhood_linkage(
+        _people(spark, rows),
+        sort_on=["name"],
+        partition_on=["city"],
+        comparisons=[FieldComparison("age", "age", "age", within(2.0), 1, 0)],
+        id_col="id",
+        min_score=0,
+        window=2,
+    ).collect()
+    pairs = {(r.left_id, r.right_id) for r in got}
+    # every oslo pair with rank distance <= 2, nothing else
+    assert pairs == {
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5), (4, 6), (5, 6),
+    }
+    assert all(r.score == 1 for r in got)
+
+
+def test_snb_candidate_volume_is_linear(spark):
+    """At most n*window candidate pairs regardless of block sizes —
+    the contract that distinguishes SNB from equality blocking (one
+    fat block would give ~n²/2 pairs under blocked_linkage)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_linkage,
+    )
+
+    n, w = 300, 7
+    rows = [(i, "same", f"name{i:04d}", float(i % 10)) for i in range(n)]
+    got = sorted_neighborhood_linkage(
+        _people(spark, rows),
+        sort_on=["name"],
+        partition_on=["city"],
+        comparisons=[FieldComparison("age", "age", "age", within(100.0), 1, 0)],
+        id_col="id",
+        min_score=0,
+        window=w,
+    ).count()
+    # exact: every rank i pairs with min(w, n-1-i) successors
+    assert got == sum(min(w, n - 1 - i) for i in range(n))
+    assert got <= n * w
+
+
+def test_snb_scoring_matches_blocked_linkage_tail(spark):
+    """SNB reuses the same Fellegi-Sunter scoring: a pair that is both
+    rank-adjacent and block-co-resident must score identically under
+    both generators (points columns included)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        blocked_linkage,
+        sorted_neighborhood_linkage,
+    )
+
+    rows = [(1, "oslo", "anna lind", 30.0), (2, "oslo", "anna lund", 31.0)]
+    df = _people(spark, rows)
+    snb = sorted_neighborhood_linkage(
+        df, sort_on=["name"], partition_on=["city"], comparisons=CMP,
+        id_col="id", min_score=-100, window=3,
+    ).collect()
+    blocked = blocked_linkage(
+        df, df, ["city"], CMP, "id", "id", min_score=-100,
+        dedup_self_pairs=True,
+    ).collect()
+    key = lambda r: (r.left_id, r.right_id, r.score, r.pts_name, r.pts_age)  # noqa: E731
+    assert sorted(map(key, snb)) == sorted(map(key, blocked))
+
+
+def test_snb_plan_has_no_single_partition_window(spark):
+    """The global rank must come from the range-shuffle scaffold — a
+    Window operator (Exchange SinglePartition, one task sorts the
+    world) anywhere in the SNB plan is the 100 TB anti-pattern."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_linkage,
+    )
+
+    rows = [(i, "same", f"n{i}", 1.0) for i in range(10)]
+    df = sorted_neighborhood_linkage(
+        _people(spark, rows),
+        sort_on=["name"],
+        partition_on=["city"],
+        comparisons=CMP,
+        id_col="id",
+        min_score=0,
+        window=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_snb_window_must_be_positive(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_linkage,
+    )
+
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_linkage(
+            _people(spark, [(1, "oslo", "a", 1.0)]),
+            sort_on=["name"], partition_on=["city"], comparisons=CMP,
+            id_col="id", min_score=0, window=0,
+        )
