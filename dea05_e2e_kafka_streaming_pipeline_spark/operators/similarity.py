@@ -374,8 +374,16 @@ def kmeans_centroids(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Driver-side seeded k-means (k-means++ init + Lloyd iterations)
-    over a DETERMINISTIC sample — the ``sample_rows`` lowest ids, via
-    TakeOrdered, so the coarse quantizer is reproducible run-to-run.
+    over a DETERMINISTIC sample — every ``n // sample_rows``-th id in
+    id order (then the lowest ``sample_rows`` of those), so the sample
+    SPANS the table instead of reading its head. The x10 tier caught
+    the head-prefix version misrepresenting ordered/clustered layouts:
+    the lowest ids were ~all one replica, every other cluster's
+    vectors crammed into a few mega-cells, and within-cell pair volume
+    went quadratic. A stride is as reproducible as a prefix and is the
+    honest stand-in for the block-sampled scan you'd run at 100 TB.
+    When the table fits in ``sample_rows`` the stride is 1 — identical
+    to the historical prefix sample.
 
     The centroid table is the only state IVF needs and it is tiny
     (k × dim doubles); at 100 TB you train it once on a sample exactly
@@ -383,9 +391,12 @@ def kmeans_centroids(
     assignment UDF closure."""
     import numpy as np
 
+    base = df.filter(F.col(vec_col).isNotNull())
+    stride = max(1, base.count() // sample_rows)
+    if stride > 1:
+        base = base.filter((F.col(id_col) % stride) == 0)
     rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .orderBy(id_col)
+        base.orderBy(id_col)
         .limit(sample_rows)
         .select(vec_col)
         .collect()
@@ -408,18 +419,29 @@ def kmeans_fit(
 
     x = np.asarray(x, dtype="float64")
     rng = np.random.default_rng(seed)
+    # k-means++ with the min-distance table maintained INCREMENTALLY:
+    # only the newest center's distances are computed per step —
+    # O(k·n·dim), where the naive re-scan of every center per step is
+    # O(k²·n·dim) (measured 25.7 s for k=240 on a 2048×64 sample; this
+    # form is <1 s). Per-element math is identical to the naive form
+    # (same (x−c)² dim-ascending sums, min is exact for floats), so
+    # the seeded draws — and therefore the init — are unchanged.
     centers = [x[int(rng.integers(len(x)))]]
+    d2 = ((x - centers[0][None, :]) ** 2).sum(-1)
     for _ in range(min(n_centroids, len(x)) - 1):
-        d2 = np.min(
-            ((x[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1), axis=1
-        )
         total = d2.sum()
         if total == 0:  # all points already coincide with centers
             break
-        centers.append(x[int(rng.choice(len(x), p=d2 / total))])
+        nxt = x[int(rng.choice(len(x), p=d2 / total))]
+        centers.append(nxt)
+        d2 = np.minimum(d2, ((x - nxt[None, :]) ** 2).sum(-1))
     c = np.asarray(centers, dtype="float64")
+    # Lloyd via the ||x||²−2x·c+||c||² expansion: one (n,k) matmul per
+    # iteration instead of an (n,k,dim) broadcast temporary (251 MB at
+    # k=240) — ||x||² is row-constant, so it never affects the argmin.
     for _ in range(iterations):
-        assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
         for j in range(len(c)):
             members = x[assign == j]
             if len(members):
@@ -460,6 +482,86 @@ def with_ivf_cell(
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(assign, "int")
     return df.withColumn("ivf_cell", udf(F.col(vec_col)))
+
+
+def with_ivf_probes(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the ``n_probe`` NEAREST cell ids as an array column
+    (``ivf_probes``, nearest first) — multi-probe assignment, the
+    standard IVF recall lever: a vector near a cell boundary is indexed
+    into both sides of it, so near-duplicate pairs split by the
+    boundary still co-reside somewhere.
+
+    Single-probe recall on this corpus is 0.39/0.36 at sf0.01/sf0.1
+    (`near_dup_cells_recall_violations`); two probes lift it to ~0.6 at
+    ~2x candidate volume (measured in the multiprobe audit query).
+    Cost shape: exploded to one row per (vector, probe), within-cell
+    pair volume grows ~n_probe² at FIXED cell count — so the adaptive
+    cell formula (`_adaptive_cells`) is what keeps the product bounded:
+    scale cells ∝ n, spend n_probe on recall.
+
+    NULL embeddings get an EMPTY probe list (never explode, never
+    pair), mirroring ``with_ivf_cell``'s -1 sentinel."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype="float64")
+    p = max(1, min(int(n_probe), len(centroids)))
+
+    def assign(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        raw = vs.to_numpy()
+        ok = np.array([v is not None for v in raw])
+        out = np.empty(len(raw), dtype="object")
+        out[:] = [[] for _ in range(len(raw))]
+        if ok.any():
+            x = np.vstack(raw[ok]).astype("float64")
+            d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+            # argpartition bounds the sort to p cells, then order them
+            part = np.argpartition(d, p - 1, axis=1)[:, :p]
+            row = np.arange(part.shape[0])[:, None]
+            order = np.argsort(d[row, part], axis=1)
+            near = part[row, order].astype("int32")
+            vals = [list(map(int, r)) for r in near]
+            j = 0
+            for i in range(len(raw)):
+                if ok[i]:
+                    out[i] = vals[j]
+                    j += 1
+        return pd.Series(out)
+
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(assign, "array<int>")
+    return df.withColumn("ivf_probes", udf(F.col(vec_col)))
+
+
+def cosine_near_dup_pairs_multiprobe(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scorer: str = "numpy",
+) -> DataFrame:
+    """Near-dup pairs under multi-probe cell blocking: every vector is
+    indexed into its ``n_probe`` nearest cells, pairs score exactly
+    within each cell, and a pair co-resident in several shared cells
+    emits ONCE (same exact rounded score in every copy, so the dedup is
+    a plain distinct on the pair row). Same output contract as
+    :func:`cosine_near_dup_pairs`."""
+    probed = with_ivf_probes(df, centroids, n_probe, vec_col).withColumn(
+        "__probe_cell", F.explode("ivf_probes")
+    )
+    return cosine_near_dup_pairs(
+        probed, threshold=threshold, block_col="__probe_cell",
+        vec_col=vec_col, id_col=id_col, scorer=scorer,
+    ).distinct()
 
 
 def ivf_probes(

@@ -49,36 +49,53 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> tuple[float, ...]:
 
 
 @lru_cache(maxsize=None)
+def _quantizer_sample(sf_dir: str, sample_rows: int = 2048):
+    """Deterministic driver-side training sample shared by the IVF and
+    PQ quantizers: every ``n // sample_rows``-th vec_id (id-ordered)
+    with a non-null embedding, via pyarrow — no Spark job at plan
+    build. STRIDED, not the id-prefix it used to be: the x10 tier
+    caught the prefix sample misrepresenting ordered layouts (lowest
+    ids were ~all one replica, so every other replica's vectors
+    crammed into a few mega-cells and pair volume went quadratic). A
+    stride is equally reproducible and spans the table the way a
+    block-sampled scan would at 100 TB. When the table fits in
+    ``sample_rows`` the stride is 1 — identical to the historical
+    prefix (sf0.01/sf0.1 samples, and therefore every checked result,
+    unchanged). Mirrors operators.similarity.kmeans_centroids."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(f"{sf_dir}/embeddings.parquet")
+    ids = dataset.to_table(
+        columns=["vec_id"], filter=ds.field("embedding").is_valid()
+    ).column("vec_id")
+    stride = max(1, len(ids) // sample_rows)
+    if stride > 1:
+        import numpy as np
+        import pyarrow as pa
+
+        arr = ids.to_numpy(zero_copy_only=False)
+        ids = pa.array(arr[arr % stride == 0])
+    t = dataset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=ds.field("embedding").is_valid()
+        & ds.field("vec_id").isin(ids),
+    )
+    return t.sort_by("vec_id").slice(0, sample_rows)
+
+
+@lru_cache(maxsize=None)
 def _ivf_centroids(
     sf_dir: str, n_centroids: int = 8, sample_rows: int = 2048
 ) -> tuple[tuple[float, ...], ...]:
-    """IVF coarse-quantizer training on the deterministic sample (the
-    ``sample_rows`` lowest vec_ids with non-null embeddings), read
-    driver-side via pyarrow so plan build stays Spark-job-free. Same
-    sample discipline + seeded numpy k-means as
-    operators.similarity.kmeans_centroids — identical centroids."""
-    import pyarrow.dataset as ds
-
+    """IVF coarse-quantizer training on the deterministic strided
+    sample (``_quantizer_sample``), read driver-side via pyarrow so
+    plan build stays Spark-job-free. Same sample discipline + seeded
+    numpy k-means as operators.similarity.kmeans_centroids."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
         kmeans_fit,
     )
 
-    dataset = ds.dataset(f"{sf_dir}/embeddings.parquet")
-    # bounded fetch first: if ids 0..sample_rows-1 are all present with
-    # non-null embeddings (the common dense case), they ARE the lowest
-    # sample_rows valid ids — no need to pull the whole table onto the
-    # driver. Gaps/nulls → fall back to the full read.
-    t = dataset.to_table(
-        columns=["vec_id", "embedding"],
-        filter=ds.field("embedding").is_valid()
-        & (ds.field("vec_id") < sample_rows),
-    )
-    if t.num_rows < sample_rows:
-        t = dataset.to_table(
-            columns=["vec_id", "embedding"],
-            filter=ds.field("embedding").is_valid(),
-        )
-    t = t.sort_by("vec_id").slice(0, sample_rows)
+    t = _quantizer_sample(sf_dir, sample_rows)
     x = [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
     return tuple(tuple(c) for c in kmeans_fit(x, n_centroids=n_centroids))
 
@@ -116,28 +133,17 @@ def _adaptive_cells(
 def _pq_codebooks(
     sf_dir: str, m: int = 4, n_codes: int = 16, sample_rows: int = 2048
 ):
-    """PQ codebook training on the same deterministic pyarrow sample as
-    ``_ivf_centroids`` — plan build stays Spark-job-free; cached per
-    sf_dir so the topk query and its ADC audit share one training."""
+    """PQ codebook training on the same deterministic strided sample as
+    ``_ivf_centroids`` (``_quantizer_sample``) — plan build stays
+    Spark-job-free; cached per sf_dir so the topk query and its ADC
+    audit share one training."""
     import numpy as np
-    import pyarrow.dataset as ds
 
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
         pq_fit,
     )
 
-    dataset = ds.dataset(f"{sf_dir}/embeddings.parquet")
-    t = dataset.to_table(
-        columns=["vec_id", "embedding"],
-        filter=ds.field("embedding").is_valid()
-        & (ds.field("vec_id") < sample_rows),
-    )
-    if t.num_rows < sample_rows:
-        t = dataset.to_table(
-            columns=["vec_id", "embedding"],
-            filter=ds.field("embedding").is_valid(),
-        )
-    t = t.sort_by("vec_id").slice(0, sample_rows)
+    t = _quantizer_sample(sf_dir, sample_rows)
     x = np.array(
         [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
     )

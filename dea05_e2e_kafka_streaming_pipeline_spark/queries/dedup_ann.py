@@ -1935,3 +1935,73 @@ def q_dbscan_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_pts=4,
         block_col="ivf_cell",
     )
+
+
+
+
+@register("embedding_near_dup_multiprobe")
+def q_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe cell-blocked near-dup pairs (operators/similarity.py:
+    cosine_near_dup_pairs_multiprobe): every vector indexed into its 3
+    nearest adaptive cells, exact scoring within cells, one emission
+    per pair. The recall lever on top of `embedding_near_dup_cells`'s
+    single-probe 0.39/0.36: measured recall vs unblocked exact pairs is
+    0.966 at sf0.01 / 0.955 at sf0.1 (pinned >= 0.80 by
+    `near_dup_multiprobe_recall_violations`) at ~3x candidate volume —
+    with cell COUNT scaling via `_adaptive_cells`, the probe factor
+    buys recall while pair volume stays ~linear in n. Rows-only
+    (quantizer-defined blocks); the pair scorer is hash-pinned by
+    `embedding_near_dup_pairs`."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_multiprobe,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    # cells scale with n_probe*n (target ~83 primaries/cell -> ~250
+    # vectors/cell AFTER 3-way multi-assignment), keeping pair volume
+    # ~linear in n instead of p^2-inflated: 61.9s -> ~8s at x10
+    cents = [
+        list(c)
+        for c in _ivf_centroids(sf_dir, _adaptive_cells(sf_dir, target=83))
+    ]
+    return cosine_near_dup_pairs_multiprobe(
+        load_table(spark, sf_dir, "embeddings"), cents, threshold=0.4, n_probe=3
+    )
+
+
+@register(
+    "near_dup_multiprobe_recall_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS probe_pairs,
+           CAST(NULL AS BIGINT) AS exact_pairs
+    WHERE 1 = 0
+    """,
+)
+def q_near_dup_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract of the 3-probe near-dup path (oracle expects
+    ZERO rows): probe-blocked pair count must be >= 0.80x the unblocked
+    exact count at the same threshold (measured 0.966/0.955 at
+    sf0.01/sf0.1). bench=False — the exact side is deliberately O(n²)
+    audit apparatus."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_multiprobe,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        list(c)
+        for c in _ivf_centroids(sf_dir, _adaptive_cells(sf_dir, target=83))
+    ]
+    probe = cosine_near_dup_pairs_multiprobe(
+        emb, cents, threshold=0.4, n_probe=3
+    ).count()
+    exact = cosine_near_dup_pairs(emb, threshold=0.4, block_col=None).count()
+    out = spark.createDataFrame(
+        [(probe, exact)], "probe_pairs long, exact_pairs long"
+    )
+    return out.filter(F.col("probe_pairs") < 0.80 * F.col("exact_pairs"))

@@ -1170,3 +1170,83 @@ def test_mmr_pool_cap_is_a_hard_contract(spark):
     )
     with pytest.raises(ValueError, match="MMR_MAX_POOL"):
         mmr_rerank(df, [1.0, 0.0], k=3, n_candidates=MMR_MAX_POOL + 1)
+
+
+def test_multiprobe_assignment_semantics(spark):
+    """with_ivf_probes: first probe equals with_ivf_cell's argmin for
+    every vector, probe lists are the n_probe DISTINCT nearest cells in
+    order, NULL embeddings get an empty list, n_probe caps at the
+    centroid count."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        with_ivf_cell,
+        with_ivf_probes,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[float(i == j) for j in range(8)] for i in range(4)]
+    single = {r.vec_id: r.ivf_cell for r in with_ivf_cell(df, cents).collect()}
+    probed = {
+        r.vec_id: r.ivf_probes
+        for r in with_ivf_probes(df, cents, n_probe=2).collect()
+    }
+    assert probed[99] == []
+    for vid, probes in probed.items():
+        if vid == 99:
+            continue
+        assert len(probes) == 2 and len(set(probes)) == 2
+        assert probes[0] == single[vid]
+    # n_probe larger than the centroid table: every cell, once
+    allp = with_ivf_probes(df, cents, n_probe=10).collect()
+    assert all(
+        sorted(r.ivf_probes) == [0, 1, 2, 3] for r in allp if r.vec_id != 99
+    )
+
+
+def test_multiprobe_pairs_superset_and_distinct(spark):
+    """Multi-probe near-dup pairs contain every single-probe pair (a
+    shared primary cell is still shared at n_probe>=1), emit each pair
+    exactly once despite multi-cell co-residency, and approach the
+    unblocked exact pair set as n_probe grows."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_multiprobe,
+        kmeans_centroids,
+        with_ivf_cell,
+    )
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(12)] for _ in range(30)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        # a close perturbation — a guaranteed near-dup straddling cells
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.05) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(df, n_centroids=6, seed=2)
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.8, block_col=None
+        ).collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            with_ivf_cell(df, cents), threshold=0.8, block_col="ivf_cell"
+        ).collect()
+    }
+    mp_rows = cosine_near_dup_pairs_multiprobe(
+        df, cents, threshold=0.8, n_probe=3
+    ).collect()
+    mp = {(r.id_a, r.id_b) for r in mp_rows}
+    assert len(mp_rows) == len(mp)  # one emission per pair
+    assert single <= mp <= exact  # monotone recall, exact precision
+    assert len(mp) > len(single) or single == exact

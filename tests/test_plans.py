@@ -171,6 +171,9 @@ _EAGER_BUILD_OK = {
     # materializes the snapshot-log table (commit + merge) at build,
     # like the BPE/IVF trained state
     "orders_snapshot_timetravel",
+    # same materialization + the Python Data Source read path plans
+    # its partitions via driver jobs (DataSource.reader contract)
+    "orders_timetravel_datasource",
     # closes the linkage match graph with the same CC loop as
     # dedup_cc_components (auto union-find edge gate = a count action)
     "entity_resolution_customers",
@@ -194,6 +197,16 @@ _EAGER_BUILD_OK = {
     "theil_sen_revenue_trend",
     # Spearman's two midrank tables ride global_cumsum, as above
     "spearman_price_quantity",
+    # the SNB rank comes from global_row_number (per-partition count
+    # pass), and the ER variant adds the CC-closure loop
+    "linkage_snb_pairs",
+    "entity_resolution_snb",
+    # recall audits compare COUNTS of two pair pipelines at build by
+    # design (zero-row contract queries, bench=False where quadratic)
+    "near_dup_cells_recall_violations",
+    "near_dup_multiprobe_recall_violations",
+    # same CC closure as dbscan_embeddings, cell-blocked
+    "dbscan_cells_embeddings",
 }
 
 
