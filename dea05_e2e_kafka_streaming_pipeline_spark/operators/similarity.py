@@ -497,8 +497,9 @@ def with_ivf_probes(
     boundary still co-reside somewhere.
 
     Single-probe recall on this corpus is 0.39/0.36 at sf0.01/sf0.1
-    (`near_dup_cells_recall_violations`); two probes lift it to ~0.6 at
-    ~2x candidate volume (measured in the multiprobe audit query).
+    (`near_dup_cells_recall_violations`); three probes lift it to
+    0.97/0.77 (`near_dup_multiprobe_recall_violations`, floor 0.80 at
+    the check tier).
     Cost shape: exploded to one row per (vector, probe), within-cell
     pair volume grows ~n_probe² at FIXED cell count — so the adaptive
     cell formula (`_adaptive_cells`) is what keeps the product bounded:
