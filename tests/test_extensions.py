@@ -1250,3 +1250,42 @@ def test_multiprobe_pairs_superset_and_distinct(spark):
     assert len(mp_rows) == len(mp)  # one emission per pair
     assert single <= mp <= exact  # monotone recall, exact precision
     assert len(mp) > len(single) or single == exact
+
+
+def test_kmeans_centroids_strided_sample(spark):
+    """The quantizer's training sample must SPAN the id range, not read
+    its head: on a table whose first `sample_rows` ids all sit in one
+    cluster (the ordered-layout trap the x10 tier caught), a prefix
+    sample would train every centroid on that cluster and lump the
+    rest of the table into one mega-cell. With stride sampling, both
+    clusters get centroids and cell sizes stay balanced."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        with_ivf_cell,
+    )
+
+    rng = random.Random(13)
+    # ids 0..199 cluster A, ids 200..399 cluster B — id-ordered layout
+    rows = [(i, [5.0 + rng.gauss(0, 0.1) for _ in range(8)]) for i in range(200)]
+    rows += [
+        (200 + i, [-5.0 + rng.gauss(0, 0.1) for _ in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # sample_rows=100 forces stride 4: the sample sees BOTH clusters
+    cents = kmeans_centroids(df, n_centroids=2, sample_rows=100, seed=5)
+    sizes = sorted(
+        r["cnt"]
+        for r in with_ivf_cell(df, cents)
+        .groupBy("ivf_cell")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    )
+    assert sizes == [200, 200]  # one centroid per cluster, not 400/0
+    # identical when the table fits in the sample (stride 1 == prefix)
+    c1 = kmeans_centroids(df, n_centroids=2, sample_rows=512, seed=5)
+    c2 = kmeans_centroids(df, n_centroids=2, sample_rows=512, seed=5)
+    assert c1 == c2
