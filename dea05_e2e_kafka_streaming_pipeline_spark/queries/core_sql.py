@@ -749,12 +749,16 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.r AS x, b.r AS y
       FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY
     ), m AS (
+      -- widen the multiplicands: a DECIMAL(18,2) x DECIMAL(18,2)
+      -- product overflows duckdb's 18-digit cap once daily totals
+      -- pass ~1e10 (seen at the x10 tier); DECIMAL(38,2) keeps the
+      -- moments exact at any realistic scale, same values at sf0.01
       SELECT count(*) AS n,
              CAST(SUM(x) AS DOUBLE) AS sx,
              CAST(SUM(y) AS DOUBLE) AS sy,
-             CAST(SUM(x * y) AS DOUBLE) AS sxy,
-             CAST(SUM(x * x) AS DOUBLE) AS sxx,
-             CAST(SUM(y * y) AS DOUBLE) AS syy
+             CAST(SUM(CAST(x AS DECIMAL(38,2)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,2)) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,2)) * y) AS DOUBLE) AS syy
       FROM pairs
     )
     SELECT n,

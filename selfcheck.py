@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -73,8 +74,13 @@ def run_sweep(
     """
     con = duckdb.connect()
     for t in TABLES:
+        # driver tiers are single files; engine-written tiers (the x10
+        # scale dir) are parquet DIRECTORIES — glob those for duckdb
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     qs = entry.queries()
     oracles = entry.oracle_sql()
