@@ -158,7 +158,16 @@ def sorted_neighborhood_linkage(
     )
 
     part = list(partition_on or [])
-    cols = {id_col, *part, *sort_on, *(c.left_col for c in comparisons)}
+    # both left_col AND right_col must survive the projection: this is a
+    # self-linkage (one ranked frame aliased twice), so a comparison with
+    # left_col != right_col reads r_{right_col} from the same projection
+    cols = {
+        id_col,
+        *part,
+        *sort_on,
+        *(c.left_col for c in comparisons),
+        *(c.right_col for c in comparisons),
+    }
     ranked = global_row_number(
         df.select(*sorted(cols)), part + sort_on + [id_col], out_col="__rn"
     )

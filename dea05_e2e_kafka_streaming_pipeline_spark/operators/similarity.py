@@ -374,16 +374,24 @@ def kmeans_centroids(
     id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Driver-side seeded k-means (k-means++ init + Lloyd iterations)
-    over a DETERMINISTIC sample — every ``n // sample_rows``-th id in
-    id order (then the lowest ``sample_rows`` of those), so the sample
-    SPANS the table instead of reading its head. The x10 tier caught
-    the head-prefix version misrepresenting ordered/clustered layouts:
-    the lowest ids were ~all one replica, every other cluster's
-    vectors crammed into a few mega-cells, and within-cell pair volume
-    went quadratic. A stride is as reproducible as a prefix and is the
-    honest stand-in for the block-sampled scan you'd run at 100 TB.
-    When the table fits in ``sample_rows`` the stride is 1 — identical
-    to the historical prefix sample.
+    over a DETERMINISTIC sample — every ``n // sample_rows``-th row in
+    id order BY RANK (then the lowest ``sample_rows`` of those), so the
+    sample SPANS the table instead of reading its head. The x10 tier
+    caught the head-prefix version misrepresenting ordered/clustered
+    layouts: the lowest ids were ~all one replica, every other
+    cluster's vectors crammed into a few mega-cells, and within-cell
+    pair volume went quadratic. A stride is as reproducible as a prefix
+    and is the honest stand-in for the block-sampled scan you'd run at
+    100 TB. When the table fits in ``sample_rows`` the stride is 1 —
+    identical to the historical prefix sample.
+
+    The stride is on the RANK in id order (via the range-shuffle
+    ``global_row_number`` scaffold), not on the raw id value: the
+    operator accepts any id layout, and a raw ``id % stride`` filter
+    undersamples (or empties, crashing the fit) sparse or offset id
+    spaces (round-5 advice). On dense 0-based ids — every shipped tier
+    — rank-stride selects exactly the ids the raw-modulo version did,
+    so committed artifacts are unchanged.
 
     The centroid table is the only state IVF needs and it is tiny
     (k × dim doubles); at 100 TB you train it once on a sample exactly
@@ -394,7 +402,13 @@ def kmeans_centroids(
     base = df.filter(F.col(vec_col).isNotNull())
     stride = max(1, base.count() // sample_rows)
     if stride > 1:
-        base = base.filter((F.col(id_col) % stride) == 0)
+        from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+            global_row_number,
+        )
+
+        base = global_row_number(
+            base.select(id_col, vec_col), [id_col], out_col="__rn"
+        ).filter((F.col("__rn") - 1) % stride == 0)
     rows = (
         base.orderBy(id_col)
         .limit(sample_rows)

@@ -51,9 +51,9 @@ def _query_vec(sf_dir: str, vec_id: int = 0) -> tuple[float, ...]:
 @lru_cache(maxsize=None)
 def _quantizer_sample(sf_dir: str, sample_rows: int = 2048):
     """Deterministic driver-side training sample shared by the IVF and
-    PQ quantizers: every ``n // sample_rows``-th vec_id (id-ordered)
-    with a non-null embedding, via pyarrow — no Spark job at plan
-    build. STRIDED, not the id-prefix it used to be: the x10 tier
+    PQ quantizers: every ``n // sample_rows``-th row of the id-sorted
+    table with a non-null embedding, via pyarrow — no Spark job at
+    plan build. STRIDED, not the id-prefix it used to be: the x10 tier
     caught the prefix sample misrepresenting ordered layouts (lowest
     ids were ~all one replica, so every other replica's vectors
     crammed into a few mega-cells and pair volume went quadratic). A
@@ -61,7 +61,17 @@ def _quantizer_sample(sf_dir: str, sample_rows: int = 2048):
     block-sampled scan would at 100 TB. When the table fits in
     ``sample_rows`` the stride is 1 — identical to the historical
     prefix (sf0.01/sf0.1 samples, and therefore every checked result,
-    unchanged). Mirrors operators.similarity.kmeans_centroids."""
+    unchanged).
+
+    The stride is positional over the SORTED id array (rank), not a
+    ``id % stride`` filter on raw values: raw-modulo undersamples or
+    empties sparse/offset id spaces (round-5 advice). On the dense
+    0-based ids of every shipped tier the two select identical rows,
+    so committed artifacts are unchanged. Mirrors
+    operators.similarity.kmeans_centroids (rank-strided there via the
+    global_row_number scaffold)."""
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     dataset = ds.dataset(f"{sf_dir}/embeddings.parquet")
@@ -70,11 +80,8 @@ def _quantizer_sample(sf_dir: str, sample_rows: int = 2048):
     ).column("vec_id")
     stride = max(1, len(ids) // sample_rows)
     if stride > 1:
-        import numpy as np
-        import pyarrow as pa
-
-        arr = ids.to_numpy(zero_copy_only=False)
-        ids = pa.array(arr[arr % stride == 0])
+        arr = np.sort(ids.to_numpy(zero_copy_only=False))
+        ids = pa.array(arr[::stride][:sample_rows])
     t = dataset.to_table(
         columns=["vec_id", "embedding"],
         filter=ds.field("embedding").is_valid()

@@ -1289,3 +1289,39 @@ def test_kmeans_centroids_strided_sample(spark):
     c1 = kmeans_centroids(df, n_centroids=2, sample_rows=512, seed=5)
     c2 = kmeans_centroids(df, n_centroids=2, sample_rows=512, seed=5)
     assert c1 == c2
+
+
+def test_kmeans_centroids_sparse_offset_ids(spark):
+    """The stride is on RANK in id order, not on raw id values: a
+    sparse/offset id space (here 10_000_000 + i*1000, where NO id is
+    divisible by the stride+offset pattern a raw ``id % stride`` filter
+    assumes) must still yield a full-size, both-cluster sample instead
+    of an empty one that crashes the fit (round-5 advice)."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        with_ivf_cell,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (10_000_000 + i * 1000 + 7, [5.0 + rng.gauss(0, 0.1) for _ in range(8)])
+        for i in range(200)
+    ]
+    rows += [
+        (10_000_000 + (200 + i) * 1000 + 7,
+         [-5.0 + rng.gauss(0, 0.1) for _ in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(df, n_centroids=2, sample_rows=100, seed=5)
+    sizes = sorted(
+        r["cnt"]
+        for r in with_ivf_cell(df, cents)
+        .groupBy("ivf_cell")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    )
+    assert sizes == [200, 200]

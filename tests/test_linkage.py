@@ -249,6 +249,40 @@ def test_snb_window_and_partition_semantics(spark):
     assert all(r.score == 1 for r in got)
 
 
+def test_snb_asymmetric_comparison_columns(spark):
+    """A FieldComparison with left_col != right_col (explicitly allowed
+    by the dataclass, e.g. comparing a record's name against the OTHER
+    record's alias in a self-linkage) must resolve: the projection has
+    to retain right_col too, not just left_col (round-5 advice)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.linkage import (
+        exact,
+        sorted_neighborhood_linkage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ann", "anna"),
+            (2, "anna", "ann"),
+            (3, "bob", "zzz"),
+        ],
+        "id long, name string, alias string",
+    )
+    got = sorted_neighborhood_linkage(
+        df,
+        sort_on=["name"],
+        comparisons=[FieldComparison("xname", "name", "alias", exact, 2, -1)],
+        id_col="id",
+        min_score=-10,
+        window=2,
+    ).collect()
+    scores = {(r.left_id, r.right_id): r.score for r in got}
+    # rank order by name: ann(1) < anna(2) < bob(3)
+    # (1,2): l.name='ann' vs r.alias='ann' -> agree -> 2
+    assert scores[(1, 2)] == 2
+    assert scores[(2, 3)] == -1
+    assert scores[(1, 3)] == -1
+
+
 def test_snb_candidate_volume_is_linear(spark):
     """At most n*window candidate pairs regardless of block sizes —
     the contract that distinguishes SNB from equality blocking (one

@@ -12,8 +12,14 @@ meaningless against a different scale):
     python bench.py                      # sf0.1 default
     python tools/gen_budget.py           # -> BENCH_BUDGET.json
 
-    SPARK_GRAFT_SF_DIR=testdata_x10/sf1.0 python bench.py
-    python tools/gen_budget.py --sf 1.0 --out BENCH_BUDGET_x10.json
+    SPARK_GRAFT_SF_DIR=testdata_x10/sf1.0 \\
+        SPARK_GRAFT_BENCH_METRICS=bench_metrics_x10.json python bench.py
+    python tools/gen_budget.py --sf 1.0 --out BENCH_BUDGET_x10.json \\
+        --metrics bench_metrics_x10.json
+
+(the x10 bench MUST write its own side file — without
+SPARK_GRAFT_BENCH_METRICS it clobbers the sf0.1 bench_metrics.json
+snapshot that the sf0.1 budget's provenance depends on)
 """
 
 from __future__ import annotations

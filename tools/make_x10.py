@@ -38,12 +38,15 @@ engine's degenerate-duplicate caps, not scaling):
   is 0, so shingle/MinHash/SimHash pair volume grows exactly 10x.
   n_chars is recomputed (the source tier maintains n_chars ==
   len(text)).
-- embeddings: vec_id offset; the vector is cyclically ROTATED by r
-  positions. A rotation is orthogonal — every intra-replica distance
-  and norm is bit-preserved — while cross-replica cosine behaves like
-  an unrelated random pair (for these i.i.d.-ish vectors), so ANN/
-  near-dup/DBSCAN pair structure grows 10x instead of every vector
-  gaining 9 artificial near-duplicates.
+- embeddings: vec_id offset; the vector gets a per-replica orthogonal
+  transform (cyclic rotation by r % dim, composed with a Walsh-
+  Hadamard ±1 sign flip for r >= dim — see the inline comment). Every
+  intra-replica distance and norm is bit-preserved, while
+  cross-replica cosine behaves like an unrelated random pair (for
+  these i.i.d.-ish vectors), so ANN/near-dup/DBSCAN pair structure
+  grows ~kx in the PLANTED sense while the >= 0.4 background-tail
+  pair count grows ~k² (an inherent property of any isotropic corpus
+  — SCALE.md "recall floors on isotropic data").
 
 Determinism: no rand() anywhere; byte-identical output across runs.
 
@@ -195,13 +198,24 @@ def main() -> int:
     )
     write(lineitem, "lineitem", 32)
 
+    # user-id replica offset DERIVED from the data (max+1), not a
+    # hardcoded population size: if the source tier's user population
+    # ever changes, a stale constant would silently overlap replica id
+    # ranges and merge cross-replica sessions/funnels (round-5 advice).
+    # The derived value is asserted against the historical 1_500 so the
+    # k=10 tier stays byte-identical to the committed ledgers.
+    events_src = src("events")
+    user_offset = events_src.agg(F.max("user_id")).first()[0] + 1
+    assert user_offset == 1_500, (
+        f"events user population changed: max(user_id)+1 = {user_offset}"
+    )
     events = (
-        src("events")
+        events_src
         .crossJoin(reps)
         .select(
             (F.col("event_id") + F.col("r") * N["events"]).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.col("r") * 1_500).alias("user_id"),
+            (F.col("user_id") + F.col("r") * user_offset).alias("user_id"),
             "event_type",
             "value",
             "props",
@@ -230,20 +244,40 @@ def main() -> int:
     )
     write(docs, "documents", 8)
 
-    # cyclic rotation by r: concat(slice(v, r+1, D-r), slice(v, 1, r))
+    # Per-replica orthogonal transform Q_r = D_{r // D} · R_{r % D}:
+    # R_i is the cyclic rotation by i positions; D_j is the diagonal
+    # ±1 matrix with sign (-1)^popcount(p AND j) at position p — the
+    # Walsh-Hadamard sign family, so D_a != D_b whenever a != b and
+    # every Q_r is distinct for k up to EMB_DIM * EMB_DIM replicas.
+    # Both factors are orthogonal, so every intra-replica distance and
+    # norm is bit-preserved, while cross-replica cosine behaves like an
+    # unrelated random pair. The D factor exists for k > EMB_DIM (the
+    # x100 tier): rotation alone has period 64, so replica 64 would
+    # otherwise be a verbatim copy of replica 0 and every vector would
+    # gain artificial exact duplicates. For k <= 64 (the committed x10
+    # tier) j == 0 always — byte-identical output.
+    assert k <= EMB_DIM * EMB_DIM, "Q_r family exhausted beyond D^2 replicas"
+    rotated = F.when(F.col("r") % EMB_DIM == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.expr(f"slice(embedding, r % {EMB_DIM} + 1, "
+                   f"{EMB_DIM} - r % {EMB_DIM})"),
+            F.expr(f"slice(embedding, 1, r % {EMB_DIM})"),
+        )
+    )
+    signed = F.when(F.col("r") < EMB_DIM, F.col("__rot")).otherwise(
+        F.expr(
+            f"transform(__rot, (x, p) -> CASE WHEN"
+            f" bit_count(p & (r div {EMB_DIM})) % 2 = 1"
+            " THEN -x ELSE x END)"
+        )
+    )
     emb = (
         src("embeddings")
         .crossJoin(reps)
+        .withColumn("__rot", rotated)
         .select(
             (F.col("vec_id") + F.col("r") * N["embeddings"]).alias("vec_id"),
-            F.when(F.col("r") == 0, F.col("embedding"))
-            .otherwise(
-                F.concat(
-                    F.expr(f"slice(embedding, r + 1, {EMB_DIM} - r)"),
-                    F.expr("slice(embedding, 1, r)"),
-                )
-            )
-            .alias("embedding"),
+            signed.alias("embedding"),
             "label",
         )
     )
