@@ -35,3 +35,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for
     non-SQL-expressible operators → driver runs rows-only check)."""
     return _registry.oracles()
+
+
+def audited_by() -> dict[str, tuple[str, ...]]:
+    """For each rows-only (no-oracle) query, the companion queries
+    whose green oracle checks pin it (md5-family mirrors, zero-row
+    violation audits, hash-matched deterministic twins). The sweep
+    embeds these in each rows-only CORRECTNESS record and fails the
+    record if a named companion ran without hash-matching."""
+    return _registry.audited_by()

@@ -104,7 +104,19 @@ def main() -> int:
     )
     app_id = spark.sparkContext.applicationId
 
-    qs = registry.bench_queries()
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # exhibits (bench_tier_max): the deliberately-quadratic SQL-exactness
+    # anchors are timed only up to their tier — at x10+ the suite wall
+    # measures scale-path plans, not known-n² apparatus (VERDICT r5 §2)
+    exhibits = (
+        registry.bench_exhibits(sf_val) if isinstance(sf_val, float) else []
+    )
+    qs = registry.bench_queries(sf_val if isinstance(sf_val, float) else None)
+    if exhibits:
+        print(
+            f"# exhibits excluded at sf={sf_val}: {', '.join(exhibits)}",
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     metrics: dict[str, dict] = {}
     plans: dict[str, str] = {}
@@ -145,7 +157,6 @@ def main() -> int:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # ---- per-query regression budget (BENCH_BUDGET*.json) ---------------
     # One budget file per scale tier (BENCH_BUDGET.json = sf0.1,
@@ -197,6 +208,7 @@ def main() -> int:
         "over_budget": over_budget,
         "total_sec": total,
         "sf": sf_val,
+        "exhibits_excluded": exhibits,
     }
     # ---- driver-sample insurance: full oracle sweep at sf0.01 -----------
     # The round driver samples ~50 of the registered queries for its
@@ -249,6 +261,7 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "over_budget": len(over_budget),
+                **({"exhibits_excluded": len(exhibits)} if exhibits else {}),
                 **sweep_line,
             }
         )

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from dea05_e2e_kafka_streaming_pipeline_spark.queries._registry import (  # noqa: F401
     QueryFn,
+    audited_by,
+    bench_exhibits,
     bench_queries,
     oracles,
     queries,

@@ -1157,7 +1157,7 @@ def q_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("approx_user_reach")
+@register("approx_user_reach", audited_by=("approx_reach_violations",))
 def q_approx_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type HyperLogLog++ user reach — the mergeable sketch
     that replaces count(DISTINCT) at 100 TB. The sketch estimate is

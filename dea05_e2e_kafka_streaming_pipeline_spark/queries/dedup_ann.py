@@ -264,7 +264,10 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("pq_topk_embeddings")
+@register(
+    "pq_topk_embeddings",
+    audited_by=("pq_adc_violations", "pq_recall_violations"),
+)
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN: PQ codes (4 subspaces × 16 centroids —
     4 bytes per 64-dim vector, 64× compression) scored against the
@@ -288,7 +291,14 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("ivfpq_topk_embeddings")
+@register(
+    "ivfpq_topk_embeddings",
+    audited_by=(
+        "ivf_topk_fullprobe",
+        "pq_adc_violations",
+        "ivfpq_recall_violations",
+    ),
+)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN composition (FAISS IVFPQ shape): IVF coarse
     cells prune to nprobe=2 of 8, PQ codes score the survivors in the
@@ -457,7 +467,7 @@ def q_ivfpq_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("ivf_topk_pruned")
+@register("ivf_topk_pruned", audited_by=("ivf_topk_fullprobe",))
 def q_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF under its 100 TB layout: the embeddings table is materialized
     ONCE per process as parquet partitioned by ivf_cell
@@ -639,7 +649,10 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproducible in DuckDB; the driver records a weaker rows-only check and
 # tests/test_dedup.py asserts the semantics against planted duplicates)
 
-@register("minhash_lsh_pairs")
+@register(
+    "minhash_lsh_pairs",
+    audited_by=("minhash_lsh_pairs_md5", "minhash_precision_violations"),
+)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidate pairs, exact-Jaccard verified
     at τ=0.2 — same verified-pair semantics as ngram_jaccard_pairs but
@@ -656,7 +669,7 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("simhash_pairs")
+@register("simhash_pairs", audited_by=("simhash_pairs_md5",))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3 via quarter banding."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import simhash_pairs
@@ -830,6 +843,7 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup_pairs",
+    bench_tier_max=0.1,  # quadratic exactness anchor (fixed label block)
     oracle="""
     WITH e AS (
       SELECT vec_id, label,
@@ -858,7 +872,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("knn_join_embeddings")
+@register(
+    "knn_join_embeddings",
+    audited_by=("knn_blocked_exact", "knn_score_violations"),
+)
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-vectors KNN self-join via LSH buckets (top-5
     neighbors each; exact within bucket)."""
@@ -1105,6 +1122,7 @@ def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_label",
+    bench_tier_max=0.1,  # quadratic exactness anchor (fixed label block)
     oracle=f"""
     WITH RECURSIVE pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1154,7 +1172,10 @@ def q_semantic_dedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("semantic_dedup_kmeans")
+@register(
+    "semantic_dedup_kmeans",
+    audited_by=("semantic_dedup_label", "semantic_dedup_violations"),
+)
 def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production semantic dedup: coarse k-means cells (8 centroids,
     deterministic seeded sample) bound the pair space; cosine>=0.3
@@ -1237,6 +1258,7 @@ def q_semantic_dedup_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "entity_resolution_customers",
+    bench_tier_max=0.1,  # quadratic exactness anchor (25-nation block)
     oracle="""
     WITH RECURSIVE lp AS (
       SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
@@ -1538,6 +1560,7 @@ def q_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "dbscan_embeddings",
+    bench_tier_max=0.1,  # quadratic exactness anchor (fixed label block)
     oracle="""
     WITH RECURSIVE e AS (
       SELECT vec_id, label,
@@ -1852,7 +1875,13 @@ def _cells_blocked_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ivf_cell(emb, cents, "embedding")
 
 
-@register("embedding_near_dup_cells")
+@register(
+    "embedding_near_dup_cells",
+    audited_by=(
+        "embedding_near_dup_pairs",
+        "near_dup_cells_recall_violations",
+    ),
+)
 def q_embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs blocked by the N-ADAPTIVE k-means cell — the
     named scale fix for `embedding_near_dup_pairs`'s measured 17.8x
@@ -1915,7 +1944,7 @@ def q_near_dup_cells_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("cell_pairs") < 0.30 * F.col("exact_pairs"))
 
 
-@register("dbscan_cells_embeddings")
+@register("dbscan_cells_embeddings", audited_by=("dbscan_embeddings",))
 def q_dbscan_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine DBSCAN blocked by the n-adaptive k-means cell — the
     scale path for `dbscan_embeddings`'s measured 23.2x wall at 10x
@@ -1939,7 +1968,13 @@ def q_dbscan_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("embedding_near_dup_multiprobe")
+@register(
+    "embedding_near_dup_multiprobe",
+    audited_by=(
+        "embedding_near_dup_pairs",
+        "near_dup_multiprobe_recall_violations",
+    ),
+)
 def q_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe cell-blocked near-dup pairs (operators/similarity.py:
     cosine_near_dup_pairs_multiprobe): every vector indexed into its 3
