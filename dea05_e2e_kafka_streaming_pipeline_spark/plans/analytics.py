@@ -1764,9 +1764,22 @@ def theil_sen(
         )
 
     slope_q, n_pairs = rank_median(slopes, "slope_q")
-    slope = slope_q / 1e9
+    # Intercept candidates in EXACT decimal arithmetic:
+    #   round((y − slope·x)·1e9) == round(y·1e9 − slope_q·x)
+    # algebraically, but the left form evaluates in DOUBLE and a
+    # cents-scale series pushes y·1e9 past 2^53, where each engine's
+    # double→decimal digit rendering differs (observed at the x10
+    # tier: ...467840 vs ...468000). The right form is integer/decimal
+    # math end-to-end — bit-exact at every tier when x is integral and
+    # y has ≤6 decimal places (the quantized-cents discipline of every
+    # caller); otherwise exact to the 6-dp grain of the casts below.
+    slope_q_dec = F.lit(str(slope_q)).cast("decimal(18,0)")
     resid = s.select(
-        F.round((F.col("y") - F.lit(slope) * F.col("x")) * F.lit(1e9))
+        (
+            F.col("y").cast("decimal(20,6)")
+            * F.lit(1000000000).cast("decimal(10,0)")
+            - slope_q_dec * F.col("x").cast("decimal(20,6)")
+        )
         .cast("decimal(38,0)")
         .alias("icept_q")
     )

@@ -1504,8 +1504,14 @@ def q_mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM slopes
       ) WHERE rn = (n + 1) // 2
     ), resid AS (
-      SELECT CAST(round((d.y - (CAST(sm.slope_q AS DOUBLE) / 1e9) * d.x)
-                        * 1e9, 0) AS HUGEINT) AS icept_q
+      -- exact decimal form y·1e9 − slope_q·x (mirrors the engine):
+      -- the double form y·1e9 passes 2^53 on a cents series, where
+      -- each engine's double→integer digit rendering differs
+      SELECT CAST(CAST(d.y AS DECIMAL(20,6))
+                    * CAST(1000000000 AS DECIMAL(10,0))
+                  - CAST(sm.slope_q AS DECIMAL(18,0))
+                    * CAST(d.x AS DECIMAL(20,6))
+                  AS DECIMAL(38,0)) AS icept_q
       FROM daily d, sm
     ), im AS (
       SELECT icept_q FROM (
@@ -1517,12 +1523,14 @@ def q_mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT count(*) FROM daily) AS n_points,
            (SELECT count(*) FROM slopes) AS n_pairs,
-           -- BIGINT here: duckdb->pandas degrades DECIMAL columns to
-           -- float64, breaking the exact string compare; the sf0.01
-           -- medians fit int64 (str(int64) == str(plain Decimal)),
-           -- while the ENGINE output stays decimal(38,0) for scale
-           CAST(sm.slope_q AS BIGINT) AS slope_q,
-           CAST(im.icept_q AS BIGINT) AS intercept_q,
+           -- VARCHAR here: duckdb->pandas degrades HUGEINT/DECIMAL
+           -- columns to float64, breaking the exact compare, and a
+           -- BIGINT cast (the old compromise) overflows at the x10
+           -- tier; the digit string compares exactly against the
+           -- engine's decimal(38,0) at EVERY tier (the hash normalizer
+           -- stringifies both sides)
+           CAST(sm.slope_q AS VARCHAR) AS slope_q,
+           CAST(im.icept_q AS VARCHAR) AS intercept_q,
            CAST(sm.slope_q AS DOUBLE) / 1e9 AS slope,
            CAST(im.icept_q AS DOUBLE) / 1e9 AS intercept
     FROM sm, im

@@ -26,6 +26,33 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# The tier the round driver fixes its oracle contract to. A handful of
+# oracles must name a parquet path directly (DuckDB's parquet_metadata /
+# read_parquet(filename=true) cannot run over the registered views), and
+# the committed SQL string names THIS tier's path. _retarget_oracle
+# rewrites those literals when the sweep runs at another tier, so the
+# path-bound queries stay checkable at x10 instead of being excluded
+# (round-5 verdict item 4).
+DRIVER_SF = "/root/testdata/sf0.01"
+
+
+def _retarget_oracle(sql: str, sf_dir: str) -> str:
+    """Rewrite driver-tier parquet-path literals in an oracle to the
+    sweep tier's path (globbed when the tier's table is a parquet
+    DIRECTORY, as engine-written tiers are). At the driver tier this is
+    an exact no-op — the committed contract string runs verbatim."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir == DRIVER_SF or DRIVER_SF not in sql:
+        return sql
+    for t in TABLES:
+        src = f"{DRIVER_SF}/{t}.parquet"
+        if src in sql:
+            dst = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(dst):
+                dst = f"{dst}/*.parquet"
+            sql = sql.replace(src, dst)
+    return sql
+
 
 def _norm_cell(v):
     if v is None:
@@ -125,7 +152,7 @@ def run_sweep(
             }
             continue
         try:
-            want = con.execute(sql).df()
+            want = con.execute(_retarget_oracle(sql, sf_dir)).df()
         except Exception as e:  # noqa: BLE001
             say(f"ERR  {name}: duckdb: {e}")
             bad.append(name)

@@ -1325,3 +1325,102 @@ def test_kmeans_centroids_sparse_offset_ids(spark):
         .collect()
     )
     assert sizes == [200, 200]
+
+
+def test_matmul_all_pairs_matches_join_scorer(spark):
+    """cosine_all_pairs_matmul must produce the same pair SET (and
+    6-dp scores) as the pair-join scorer with block_col=None — the
+    contract that lets the recall audits swap in the matmul-rate
+    exact baseline. Exercised across the block boundary (n >
+    block_rows) and with a NULL embedding."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_all_pairs_matmul,
+        cosine_near_dup_pairs,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = sorted(
+        map(
+            tuple,
+            cosine_near_dup_pairs(df, threshold=0.2, block_col=None).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            cosine_all_pairs_matmul(df, threshold=0.2, block_rows=32).collect(),
+        )
+    )
+    assert len(want) > 5
+    assert got == want
+    # single block (n <= block_rows) takes the diagonal-only path
+    one = sorted(
+        map(
+            tuple,
+            cosine_all_pairs_matmul(df, threshold=0.2, block_rows=4096).collect(),
+        )
+    )
+    assert one == want
+
+
+def test_adaptive_probes_frontier_values(spark):
+    """adaptive_probes pins the measured recall frontier: the shipped
+    tiers' cell counts map to the probe counts whose full-set recall
+    was measured >= 0.80 (3/4/9 at 8/24/240 cells), and the count
+    never drops below the constant-cost floor of 3."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        adaptive_probes,
+    )
+
+    assert adaptive_probes(8) == 3
+    assert adaptive_probes(24) == 4
+    assert adaptive_probes(240) == 9
+    assert adaptive_probes(1) == 3
+
+
+def test_planted_twin_vectors_deterministic_near_dups(spark):
+    """planted_twin_vectors: twins are deterministic across calls,
+    offset ids by 1e9, keep NULLs null, and sit at cosine ~0.989 to
+    their base vector — above the 0.9 audit threshold, far above the
+    isotropic background."""
+    import math
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        planted_twin_vectors,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(30)]
+    rows.append((77, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t1 = {r.vec_id: r.embedding for r in planted_twin_vectors(df).collect()}
+    t2 = {r.vec_id: r.embedding for r in planted_twin_vectors(df).collect()}
+    assert t1 == t2
+    assert t1[77 + 1_000_000_000] is None
+    base = {i: v for i, v in rows if v is not None}
+    for i, v in base.items():
+        tw = t1[i + 1_000_000_000]
+        nb = math.sqrt(sum(x * x for x in v))
+        cos = sum(float(a) * b for a, b in zip(v, tw)) / nb
+        assert cos > 0.95
+
+
+def test_recall_audit_floor_semantics(spark):
+    """recall_audit: empty (green) when candidates >= floor*exact, one
+    labeled violation row otherwise."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        recall_audit,
+    )
+
+    cand = spark.range(8)
+    exact = spark.range(10)
+    assert recall_audit(cand, exact, floor=0.80).count() == 0
+    bad = recall_audit(cand, exact, floor=0.81, cand_col="c", exact_col="e")
+    rows = bad.collect()
+    assert len(rows) == 1 and rows[0].c == 8 and rows[0].e == 10
