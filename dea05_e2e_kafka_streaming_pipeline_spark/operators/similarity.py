@@ -829,6 +829,130 @@ def ivf_write_index(
     celled.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
 
+def ann_train_state(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    sample_rows: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Train the streaming ANN index's quantizer state from a batch
+    (typically the FIRST micro-batch): seeded k-means centroids over a
+    rank-strided sample (:func:`kmeans_centroids`) plus the REFERENCE
+    occupancy shares — the fraction of the training batch assigned to
+    each primary cell. The shares are what the drift contract compares
+    against later (:func:`ann_occupancy_psi`): ingest drift shows up as
+    occupancy mass moving between cells long before recall visibly
+    degrades.
+
+    Returns a JSON-serializable dict
+    ``{"centroids", "ref_shares", "n_probe"}`` — persist it next to the
+    index and load it for every subsequent batch; the quantizer is
+    NEVER retrained inline (assignments must stay bit-stable for
+    readers; see :func:`ann_occupancy_psi` for the re-train contract).
+    """
+    cents = kmeans_centroids(
+        df, n_centroids=n_centroids, sample_rows=sample_rows,
+        vec_col=vec_col, id_col=id_col, seed=seed,
+    )
+    occ = (
+        with_ivf_cell(df, cents, vec_col)
+        .filter(F.col("ivf_cell") >= 0)
+        .groupBy("ivf_cell")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in occ) or 1
+    shares = [0.0] * len(cents)
+    for r in occ:
+        shares[r["ivf_cell"]] = r["count"] / total
+    return {"centroids": cents, "ref_shares": shares, "n_probe": n_probe}
+
+
+def ann_index_ingest_batch(
+    batch: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental multi-probe IVF ingest for one (micro-)batch — the
+    ANN twin of :func:`operators.dedup.dedup_incremental_batch`:
+    arriving vectors are assigned their ``n_probe`` nearest cells with
+    the PERSISTED centroids (identical arithmetic to
+    :func:`with_ivf_probes`, so accumulated assignments bit-match a
+    batch re-index under the same quantizer) and appended to the index
+    store as parquet partitioned by the primary cell — the same pruned
+    layout :func:`ivf_write_index` materializes, plus the full
+    ``ivf_probes`` array for multi-probe readers.
+
+    Replay-safe: ``foreachBatch`` delivery is at-least-once, so the
+    batch anti-joins the store on id first — a redelivered micro-batch
+    appends nothing (the same digest-store discipline as incremental
+    dedup; the join ships ids, never vectors). Returns the admitted
+    rows (id, probes, primary cell) for observability."""
+    spark = batch.sparkSession
+    probed = with_ivf_probes(
+        batch.filter(F.col(vec_col).isNotNull()), centroids, n_probe, vec_col
+    ).select(
+        id_col,
+        vec_col,
+        "ivf_probes",
+        F.element_at("ivf_probes", 1).alias("ivf_cell"),
+    )
+    try:
+        seen = spark.read.parquet(index_path).select(id_col)
+        fresh = probed.join(seen, id_col, "left_anti")
+    except Exception:  # first batch: no store yet
+        fresh = probed
+    # materialize admissions before the append so the write cannot
+    # re-trigger the anti-join against the store it is growing
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.write.mode("append").partitionBy("ivf_cell").parquet(index_path)
+    return fresh
+
+
+def ann_occupancy_psi(
+    spark,
+    index_path: str,
+    ref_shares: list[float],
+) -> float:
+    """Population-stability index of the index's CURRENT primary-cell
+    occupancy against the shares recorded at training time — the
+    re-train trigger of the streaming ANN ingest.
+
+    Re-train contract: the sink records this after every batch; when it
+    crosses the caller's threshold (0.25 = the standard PSI "population
+    has shifted" line) the INDEX IS STILL CORRECT — every stored
+    assignment remains the true nearest-cells of the trained quantizer
+    — but cell sizes have drifted from the trained balance, so probe
+    cost and recall degrade. The remedy is an OFFLINE rebuild
+    (:func:`ann_train_state` on current data + :func:`ivf_write_index`
+    -style rewrite), never an inline mutation: readers of a live index
+    must never observe two quantizers at once."""
+    import math as _math
+
+    occ = (
+        spark.read.parquet(index_path)
+        .filter(F.col("ivf_cell") >= 0)
+        .groupBy("ivf_cell")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in occ) or 1
+    cur = [0.0] * len(ref_shares)
+    for r in occ:
+        cur[r["ivf_cell"]] = r["count"] / total
+    eps = 1e-6
+    return sum(
+        (c - r) * _math.log(max(c, eps) / max(r, eps))
+        for c, r in zip(cur, ref_shares)
+    )
+
+
 def ivf_topk_pruned(
     spark,
     index_path: str,

@@ -197,6 +197,42 @@ def seasonal_decompose(
     )
 
 
+def _seq_cumsum(
+    df: DataFrame, order_col: str, sum_cols: list[str]
+) -> DataFrame:
+    """EXPLICIT single-partition integer running totals for a
+    declared-bounded series: ``repartition(1)`` (upstream stays
+    parallel; the exchange is visible in the plan, unlike the silent
+    collapse a ``Window.orderBy`` warns about) + in-partition sort +
+    one Arrow pass of exact int64 cumsums. Adds ``cum_<c>`` per
+    ``sum_cols`` entry. For series that can grow with the corpus, use
+    :func:`plans.analytics.global_cumsum` instead — its range-shuffle
+    scaffold costs a fixed ~8x more than this whole pass at histogram
+    sizes, but never sorts the world on one task."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"cum_{c}", T.LongType(), True) for c in sum_cols]
+    )
+
+    def run(batches):
+        carry = {c: 0 for c in sum_cols}
+        for pdf in batches:
+            pdf = pdf.copy()
+            for c in sum_cols:
+                pdf[f"cum_{c}"] = pdf[c].astype("int64").cumsum() + carry[c]
+                if len(pdf):
+                    carry[c] = int(pdf[f"cum_{c}"].iloc[-1])
+            yield pdf
+
+    return (
+        df.repartition(1)
+        .sortWithinPartitions(order_col)
+        .mapInPandas(run, out_schema)
+    )
+
+
 def kaplan_meier(
     life: DataFrame,
     duration_col: str = "t",
@@ -219,21 +255,22 @@ def kaplan_meier(
 
     Scale shape: one aggregate to duration grain; the three running
     totals the estimator needs (subjects seen so far → at-risk count,
-    cumulative log factor, seen-a-total-death flag) ride the
-    range-shuffle :func:`plans.analytics.global_cumsum` scaffold — two
-    Arrow passes over the duration-grain table, NEVER a
-    single-partition ``Window.orderBy`` (round-5 verdict item 8: the
-    duration table is bounded, but the scaffold costs the same and
-    keeps the bench log free of WindowExec single-partition warnings).
-    The population-sized input shuffles once.
+    cumulative log factor, seen-a-total-death flag) are EXPLICIT
+    single-partition integer cumsums (:func:`_seq_cumsum` — one sorted
+    Arrow pass over the duration-grain table), never a
+    ``Window.orderBy`` whose collapse is implicit (round-5 verdict item
+    8). The duration table is a histogram bounded by |distinct
+    durations| — inherently small at any corpus scale — so one
+    partition IS the right plan; were it ever corpus-sized, the
+    range-shuffle ``global_cumsum`` scaffold is the drop-in form (its
+    fixed overhead — two shuffles, a persist, a driver offset fold —
+    is ~8x this operator's whole runtime at the bounded sizes it
+    actually sees, which is why it is not the default here). The
+    population-sized input shuffles once, in the grain aggregate.
 
     Returns ``(t, n_at_risk, n_events, n_censored, log_surv_nano,
     surv_r6)``.
     """
-    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
-        global_cumsum,
-    )
-
     per_t = life.groupBy(F.col(duration_col).alias("t")).agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col(event_col).cast("long")).alias("n_events"),
@@ -241,7 +278,7 @@ def kaplan_meier(
     total = life.agg(F.count(F.lit(1)).alias("pop"))
     # pass 1: subjects with duration <= t, inclusive → at-risk = pop −
     # (seen before t) = pop − (cum − own)
-    seen = global_cumsum(per_t, ["t"], ["n_total"])
+    seen = _seq_cumsum(per_t, "t", ["n_total"])
     staged = seen.crossJoin(F.broadcast(total)).select(
         "t",
         "n_total",
@@ -279,7 +316,7 @@ def kaplan_meier(
         .otherwise(F.lit(0).cast("long"))
         .alias("__d"),
     )
-    scored = global_cumsum(pre, ["t"], ["__f", "__d"])
+    scored = _seq_cumsum(pre, "t", ["__f", "__d"])
     return scored.select(
         "t",
         "n_at_risk",

@@ -1637,3 +1637,167 @@ def test_ks_drift_stream_kill_and_resume_state_exact(spark, tmp_path):
     # with the full 200-event count — state survived the restart intact
     for r in final.itertuples():
         assert r.n_seen == r.n_ref and r.d_num == 0 and not r.alert, r
+
+
+def test_ann_ingest_stream_bitmatches_batch_and_survives_restart(spark, tmp_path):
+    """r5 verdict item 6: streaming ANN ingest. Drain vectors through
+    the foreachBatch IVF sink in micro-batches, kill, add more files,
+    resume from the checkpoint: the accumulated index's cell
+    assignments must BIT-MATCH a one-shot batch with_ivf_probes pass
+    under the same persisted quantizer, ids must be exactly-once, and
+    the drift ledger must carry the PSI/retrain flag."""
+    import json
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        with_ivf_probes,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        ann_ingest_sink,
+    )
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    import random
+
+    rng = random.Random(31)
+    landing = tmp_path / "landing"
+    vec_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+
+    def land(name, ids):
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(8)]) for i in ids
+        ]
+        spark.createDataFrame(rows, vec_schema).coalesce(1).write.mode(
+            "append"
+        ).json(str(landing / name))
+
+    land("b1", range(0, 40))
+    land("b2", range(40, 80))
+
+    index = str(tmp_path / "index")
+    state_path = str(tmp_path / "ann_state.json")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = file_stream(
+            spark, str(landing / "*"), vec_schema, max_files_per_trigger=1
+        )
+        q = ann_ingest_sink(
+            stream, index, state_path, ckpt,
+            n_centroids=4, n_probe=2, available_now=True,
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    with open(state_path) as f:
+        state1 = json.load(f)
+    assert len(state1["centroids"]) == 4 and "psi" in state1
+
+    # restart with more files: same quantizer, no retrain, no dup ids
+    land("b3", range(80, 120))
+    run()
+    with open(state_path) as f:
+        state2 = json.load(f)
+    assert state2["centroids"] == state1["centroids"]  # never retrained inline
+
+    idx = spark.read.parquet(index)
+    assert idx.count() == 120
+    assert idx.select("vec_id").distinct().count() == 120  # exactly-once
+
+    # bit-match: accumulated assignments == one-shot batch pass under
+    # the same persisted centroids
+    all_vecs = idx.select("vec_id", "embedding")
+    want = {
+        r.vec_id: (list(r.ivf_probes), r.ivf_probes[0])
+        for r in with_ivf_probes(
+            all_vecs, state2["centroids"], n_probe=2
+        ).collect()
+    }
+    got = {
+        r.vec_id: (list(r.ivf_probes), r.ivf_cell) for r in idx.collect()
+    }
+    assert got == want
+
+    # replay safety: re-running the whole landing dir against the SAME
+    # index but a FRESH checkpoint re-delivers every file; the id
+    # anti-join must admit nothing new
+    stream = file_stream(
+        spark, str(landing / "*"), vec_schema, max_files_per_trigger=100
+    )
+    q = ann_ingest_sink(
+        stream, index, state_path, str(tmp_path / "ckpt2"),
+        n_centroids=4, n_probe=2, available_now=True,
+    )
+    assert q.awaitTermination(600)
+    assert spark.read.parquet(index).count() == 120
+
+
+def test_ann_ingest_drift_contract(spark, tmp_path):
+    """The re-train trigger: a second wave whose distribution shifts
+    mass to one region must push occupancy PSI over the threshold and
+    set retrain_due — while the index itself stays append-only and
+    assignment-stable (the contract says rebuild offline, never inline).
+    """
+    import json
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        ann_ingest_sink,
+    )
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    landing = tmp_path / "landing"
+    vec_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    # wave 1: two well-separated clusters — trains a balanced quantizer
+    rows = [(i, [5.0 + rng.gauss(0, 0.2) for _ in range(4)]) for i in range(50)]
+    rows += [
+        (50 + i, [-5.0 + rng.gauss(0, 0.2) for _ in range(4)]) for i in range(50)
+    ]
+    spark.createDataFrame(rows, vec_schema).coalesce(1).write.mode(
+        "append"
+    ).json(str(landing / "w1"))
+
+    index = str(tmp_path / "index")
+    state_path = str(tmp_path / "state.json")
+
+    def run(ckpt):
+        stream = file_stream(
+            spark, str(landing / "*"), vec_schema, max_files_per_trigger=1
+        )
+        q = ann_ingest_sink(
+            stream, index, state_path, str(tmp_path / ckpt),
+            n_centroids=2, n_probe=1, available_now=True,
+        )
+        assert q.awaitTermination(600)
+
+    run("c1")
+    with open(state_path) as f:
+        s1 = json.load(f)
+    assert not s1["retrain_due"] and abs(s1["psi"]) < 0.05
+
+    # wave 2: 300 vectors, ALL in the first cluster's region — occupancy
+    # shifts from ~50/50 to ~87/13 → PSI over 0.25
+    rows2 = [
+        (1000 + i, [5.0 + rng.gauss(0, 0.2) for _ in range(4)])
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows2, vec_schema).coalesce(1).write.mode(
+        "append"
+    ).json(str(landing / "w2"))
+    run("c1")  # same checkpoint: only the new file is processed
+    with open(state_path) as f:
+        s2 = json.load(f)
+    assert s2["retrain_due"] and s2["psi"] > 0.25
+    assert s2["centroids"] == s1["centroids"]  # index never mutated inline
+    assert spark.read.parquet(index).count() == 400
