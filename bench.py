@@ -112,6 +112,17 @@ def main() -> int:
         registry.bench_exhibits(sf_val) if isinstance(sf_val, float) else []
     )
     qs = registry.bench_queries(sf_val if isinstance(sf_val, float) else None)
+    # subset mode (SPARK_GRAFT_BENCH_ONLY=q1,q2,...): time only the
+    # named queries — the spill-tier harness benches the ~30 most
+    # expensive scale-path plans at x100 without paying for the whole
+    # suite at 100x data (round-5 verdict item 5)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        missing = names - set(qs)
+        if missing:
+            print(f"# BENCH_ONLY unknown: {sorted(missing)}", file=sys.stderr)
+        qs = {n: f for n, f in qs.items() if n in names}
     if exhibits:
         print(
             f"# exhibits excluded at sf={sf_val}: {', '.join(exhibits)}",
@@ -129,14 +140,18 @@ def main() -> int:
         best, n = None, 0
         before = after = None
         run2_elapsed = None
-        for i in range(2):
-            if i == 1:
+        # SPARK_GRAFT_BENCH_RUNS=1 drops the best-of-2 discipline — the
+        # x100 spill tier pays minutes per query, where a second pass
+        # buys noise reduction nobody needs (budgets aren't gated there)
+        n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+        for i in range(n_runs):
+            if i == n_runs - 1:
                 before = _stage_totals(app_id)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             t = time.perf_counter() - t0
-            if i == 1:
+            if i == n_runs - 1:
                 after = _stage_totals(app_id)
                 run2_elapsed = t
             best = t if best is None else min(best, t)

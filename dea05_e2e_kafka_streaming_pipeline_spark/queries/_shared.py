@@ -92,16 +92,26 @@ def _quantizer_sample(sf_dir: str, sample_rows: int = 2048):
 
 @lru_cache(maxsize=None)
 def _ivf_centroids(
-    sf_dir: str, n_centroids: int = 8, sample_rows: int = 2048
+    sf_dir: str, n_centroids: int = 8, sample_rows: int | None = None
 ) -> tuple[tuple[float, ...], ...]:
     """IVF coarse-quantizer training on the deterministic strided
     sample (``_quantizer_sample``), read driver-side via pyarrow so
     plan build stays Spark-job-free. Same sample discipline + seeded
-    numpy k-means as operators.similarity.kmeans_centroids."""
+    numpy k-means as operators.similarity.kmeans_centroids.
+
+    The sample GROWS with the requested cell count (>= 4 rows per
+    centroid, historical floor 2048): a fixed 2048-row sample starves
+    centroids once the n-adaptive cell formula passes ~512 cells (seen
+    preparing the x100 spill tier — 800+ cells at 200k vectors). At or
+    below 512 cells the sample is the historical 2048, so every
+    committed tier's centroids are byte-identical. Training stays
+    O(k·n·dim): 2400 cells on a 9600-row sample is ~1.5 s."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
         kmeans_fit,
     )
 
+    if sample_rows is None:
+        sample_rows = max(2048, 4 * n_centroids)
     t = _quantizer_sample(sf_dir, sample_rows)
     x = [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
     return tuple(tuple(c) for c in kmeans_fit(x, n_centroids=n_centroids))
@@ -118,8 +128,30 @@ def _vec_count(sf_dir: str) -> int:
     return ds.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
 
 
+def _adaptive_planes(sf_dir: str, target: int = 32, lo: int = 8) -> int:
+    """Hyperplane count whose LSH bucket OCCUPANCY stays ~`target` as
+    the table grows: ``planes = log2(n/target)``, floored at the
+    historical 8 (so sf0.01/sf0.1 keep their committed bucket layout
+    and rows-only counts).
+
+    The x100 spill tier caught the fixed-8-planes disease: 256 buckets
+    at 200k vectors means ~780 vectors/bucket and n² within-bucket
+    pair volume — knn_join measured 71.6x wall at the 10x step (the
+    same fixed-cardinality blocking failure mode as round 5's nation
+    blocks, one level down). Holding occupancy constant makes pair
+    volume ~n·target — linear — at the price LSH always charges for
+    more planes: marginally lower bucket-collision recall per plane
+    (knn quality stays pinned by `knn_score_violations`, which audits
+    SCORES, and `knn_blocked_exact`, which hash-checks the shared
+    scoring/window tail under deterministic blocking). Computed from
+    parquet METADATA (`_vec_count`) so plan build stays job-free."""
+    import math
+
+    return max(lo, math.ceil(math.log2(max(1.0, _vec_count(sf_dir) / target))))
+
+
 def _adaptive_cells(
-    sf_dir: str, target: int = 250, lo: int = 8, hi: int = 512
+    sf_dir: str, target: int = 250, lo: int = 8, hi: int = 4096
 ) -> int:
     """Coarse-quantizer cell count that GROWS with the table: ~`target`
     vectors per cell, clamped to [lo, hi].
@@ -129,10 +161,13 @@ def _adaptive_cells(
     linearly with n and within-cell pair volume grows n² (measured
     26.1x wall at 10x input for `semantic_dedup_kmeans@8cells`);
     holding EXPECTED CELL SIZE constant instead makes pair volume —
-    and measured wall — grow ~linearly. `hi` stays ≤ the 2048-row
-    training sample /4 so every centroid keeps enough sample mass; at
-    sf0.01/sf0.1 the formula lands on the historical 8, so hashes and
-    rows-only row counts are unchanged where the driver checks them."""
+    and measured wall — grow ~linearly. The training sample scales
+    with the cell count (``_ivf_centroids``: >= 4 rows per centroid),
+    so `hi` is a sanity rail, not a sample-mass bound — the old 512
+    clamp silently re-quadraticized the x100 tier (800 wanted cells,
+    occupancy x1.6). At sf0.01/sf0.1 the formula lands on the
+    historical 8, so hashes and rows-only row counts are unchanged
+    where the driver checks them."""
     return min(hi, max(lo, _vec_count(sf_dir) // target))
 
 
@@ -872,6 +907,7 @@ __all__ = [
     "_ivf_centroids",
     "_vec_count",
     "_adaptive_cells",
+    "_adaptive_planes",
     "_pq_codebooks",
     "_SUM_AMOUNT",
     "_DUCK_TOKS",

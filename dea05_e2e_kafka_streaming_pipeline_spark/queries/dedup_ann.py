@@ -123,13 +123,16 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ngram_jaccard_prefix", oracle=_NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME exact Jaccard pairs through the PPJoin-style
-    prefix-filtered plan (operators/dedup.py:ngram_jaccard_pairs_prefix):
-    only each document's hash-order shingle PREFIX enters the inverted
-    index, shrinking candidate volume quadratically while keeping the
-    result exact — hash-matched against the identical DuckDB oracle as
-    `ngram_jaccard_pairs`, which is the completeness proof (a dropped
-    true pair would break the hash)."""
+    """The SAME exact Jaccard pairs through
+    operators/dedup.py:ngram_jaccard_pairs_prefix at τ=0.2 — which, at
+    this τ, DELEGATES to the plain inverted-index count plan by design:
+    an 80%-of-the-index "prefix" prunes nothing, and the x100 spill
+    tier measured the array-carry verification at 243 s / 44 GB spill
+    vs 57 s for the count plan on identical exact output (operator
+    docstring has the full finding). The true prefix machinery —
+    positional + length filters, array verification — is exercised and
+    hash-checked at a τ where it can actually prune by
+    `ngram_jaccard_prefix_hi`."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
         ngram_jaccard_pairs_prefix,
     )
@@ -137,6 +140,33 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register(
+    "ngram_jaccard_prefix_hi",
+    oracle=f"""
+    SELECT * FROM ({_NGRAM_JACCARD_ORACLE}) WHERE jaccard >= 0.75
+    """,
+)
+def q_ngram_jaccard_prefix_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin proper, at the τ=0.75 design point where prefix filtering
+    earns its keep: only the first ~25% of each document's hash-sorted
+    shingles enters the inverted index, collision rows pass the
+    positional bound ``min(|A|−pa, |B|−pb) ≥ ⌈τ(|A|+|B|)/(1+τ)⌉`` and
+    Bayardo's length bound before becoming candidates (measured 2.7x
+    candidate cut at x100 even at τ=0.5, more at 0.75), and exact
+    verification touches only the surviving pairs' shingle arrays.
+    Hash-matched against the same DuckDB all-pairs oracle re-filtered
+    at 0.75 — the completeness proof that the three filters drop no
+    qualifying pair."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), threshold=0.75
     )
 
 
@@ -878,7 +908,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-vectors KNN self-join via LSH buckets (top-5
-    neighbors each; exact within bucket)."""
+    neighbors each; exact within bucket). Plane count is n-adaptive
+    (`_adaptive_planes`: bucket occupancy ~32) — fixed 8 planes was
+    the x100 tier's one measured n² scale-killer (71.6x wall at the
+    10x step); sf0.01/sf0.1 land on the historical 8, so committed
+    rows-only counts are unchanged."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import knn_join
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
@@ -886,6 +920,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         k=5,
         dim=len(_query_vec(sf_dir)),
+        n_planes=_adaptive_planes(sf_dir),
     )
 
 
@@ -953,7 +988,10 @@ def q_knn_score_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = knn_join(emb, k=5, dim=len(_query_vec(sf_dir)))
+    knn = knn_join(
+        emb, k=5, dim=len(_query_vec(sf_dir)),
+        n_planes=_adaptive_planes(sf_dir),
+    )
     a = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb_a"))
     b = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")

@@ -48,6 +48,13 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # file sources: bound split size so a 100 TB table yields sane task counts
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    # recursive CTEs: the default 1M-ROW safety valve trips on any
+    # corpus-scale hierarchy (the referral closure emits ~5 rows per
+    # customer — 7.5M at the x100 tier). Depth stays guarded by
+    # cteRecursionLevelLimit (default 100); rows are data-sized, so the
+    # row valve is raised to a number that only a runaway (cyclic)
+    # recursion would reach.
+    "spark.sql.cteRecursionRowLimit": "1000000000",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
@@ -96,6 +103,13 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider"
         )
+    # env escape hatch for harness-level conf overrides (e.g. the x100
+    # spill bench constrains execution memory without code changes):
+    # SPARK_GRAFT_EXTRA_CONFS="spark.memory.fraction=0.2;spark.foo=bar"
+    env_confs = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for pair in filter(None, (p.strip() for p in env_confs.split(";"))):
+        k, _, v = pair.partition("=")
+        confs[k.strip()] = v.strip()
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

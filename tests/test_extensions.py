@@ -1424,3 +1424,23 @@ def test_recall_audit_floor_semantics(spark):
     bad = recall_audit(cand, exact, floor=0.81, cand_col="c", exact_col="e")
     rows = bad.collect()
     assert len(rows) == 1 and rows[0].c == 8 and rows[0].e == 10
+
+
+def test_prefix_low_tau_delegates_to_count_plan(spark):
+    """Below min_prefix_threshold the prefix plan must BE the plain
+    inverted-index count plan (the x100 finding: an 80% 'prefix'
+    prunes nothing, and array-carry verification costs 4x the count
+    plan at scale) — above it, the posexplode'd positional machinery
+    must be present."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents")
+    low = ngram_jaccard_pairs_prefix(corpus, threshold=0.2)
+    hi = ngram_jaccard_pairs_prefix(corpus, threshold=0.8)
+    low_plan = low._jdf.queryExecution().analyzed().toString()
+    hi_plan = hi._jdf.queryExecution().analyzed().toString()
+    assert "posexplode" not in low_plan  # delegated: no prefix machinery
+    assert "posexplode" in hi_plan  # real PPJoin path

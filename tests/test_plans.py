@@ -205,6 +205,11 @@ _EAGER_BUILD_OK = {
     # design (zero-row contract queries, bench=False where quadratic)
     "near_dup_cells_recall_violations",
     "near_dup_multiprobe_recall_violations",
+    "near_dup_planted_recall_violations",
+    # exact ntile arithmetic rides global_row_number's per-partition
+    # count pass (round-6: replaced the corpus-sized unpartitioned
+    # ntile window)
+    "customer_spend_quartiles",
     # same CC closure as dbscan_embeddings, cell-blocked
     "dbscan_cells_embeddings",
 }
