@@ -2014,25 +2014,26 @@ def q_dbscan_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_multiprobe",
     audited_by=(
         "embedding_near_dup_pairs",
-        "near_dup_multiprobe_recall_violations",
         "near_dup_planted_recall_violations",
     ),
 )
 def q_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe cell-blocked near-dup pairs (operators/similarity.py:
-    cosine_near_dup_pairs_multiprobe): every vector indexed into its
-    `adaptive_probes(cells)` nearest adaptive cells, exact scoring
-    within cells, one emission per pair. Round 6 made the 0.80 recall
-    floor TRAVEL: probes grow as cells^(1/3) (3/4/9 at sf0.01/sf0.1/
-    x10), holding measured full-set recall at 0.966/0.921/0.870 vs the
-    unblocked exact baseline — asserted at EVERY swept tier by
-    `near_dup_multiprobe_recall_violations`, with the constant-probe
-    linear-cost contract pinned by `near_dup_planted_recall_violations`
-    (see adaptive_probes' docstring for why both exist on an isotropic
-    fixture). Rows-only (quantizer-defined blocks); the pair scorer is
-    hash-pinned by `embedding_near_dup_pairs`."""
+    cosine_near_dup_pairs_multiprobe) at the LINEAR-cost operating
+    point: constant 3 probes over n-adaptive cells — the production
+    near-dup path, whose tier-invariant quality contract is planted-
+    structure recall (0.9994 measured at x10, pinned >= 0.99 by
+    `near_dup_planted_recall_violations`; the pair scorer is
+    hash-pinned by `embedding_near_dup_pairs`). The OTHER operating
+    point — adaptive probes p = ceil(1.3·cells^(1/3)) holding the 0.80
+    background-tail recall floor at every tier (0.966/0.921/0.870
+    measured) — is built and certified by
+    `near_dup_multiprobe_recall_violations`; it is deliberately NOT
+    this benched query because the floor's cost is n^(5/3) ON THIS
+    ISOTROPIC FIXTURE (measured 114.5 s at x10, 26% of the whole
+    suite — SCALE.md §isotropic has the impossibility argument and the
+    frontier table). Rows-only (quantizer-defined blocks)."""
     from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
-        adaptive_probes,
         cosine_near_dup_pairs_multiprobe,
     )
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
@@ -2043,7 +2044,7 @@ def q_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFra
         load_table(spark, sf_dir, "embeddings"),
         cents,
         threshold=0.4,
-        n_probe=adaptive_probes(cells),
+        n_probe=3,
     )
 
 
