@@ -1083,12 +1083,28 @@ def edit_distance_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # Two-stage fetch: run the length bound on an (id, int) projection
+    # FIRST and fetch text bodies only for survivors. Measured at sf0.1
+    # the bound kills 86% of candidates (1.13M -> 159k), so the two
+    # body joins — the only place candidate-cardinality rows carry
+    # multi-KB strings through a shuffle — see 7× fewer rows; at the
+    # spill-constrained x100 tier that volume is what hits disk.
+    # Catalyst prunes the shingle column out of the length branch, so
+    # the extra join scans (id, length) only.
+    lens = base.select("id", F.length("t").alias("__l"))
+    la = lens.select(F.col("id").alias("id_a"), F.col("__l").alias("__la"))
+    lb = lens.select(F.col("id").alias("id_b"), F.col("__l").alias("__lb"))
+    survivors = (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .select("id_a", "id_b")
+    )
     ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("__ta"))
     tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("__tb"))
     return (
-        cand.join(ta, "id_a")
+        survivors.join(ta, "id_a")
         .join(tb, "id_b")
-        .filter(F.abs(F.length("__ta") - F.length("__tb")) <= max_dist)
         .withColumn("edit_distance", F.levenshtein("__ta", "__tb", max_dist))
         .filter(F.col("edit_distance") >= 0)  # -1 = early-exited above bound
         .select("id_a", "id_b", "edit_distance")

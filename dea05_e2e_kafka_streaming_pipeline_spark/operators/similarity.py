@@ -552,6 +552,132 @@ def kmeans_fit(
     return c.tolist()
 
 
+def kmeans_fit_hier(
+    x,
+    n_centroids: int = 256,
+    branch: int | None = None,
+    iterations: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Two-level (coarse → sub-cell) k-means over an (n, dim) sample —
+    the trainer that keeps driver-side cost bounded when the adaptive
+    cell count grows with the table.
+
+    :func:`kmeans_fit` is O(k·S·dim) per sweep; with the adaptive-cell
+    discipline (k ∝ n, sample S ∝ k) that product grows quadratically
+    in n — fine up to the ``hi`` clamp, a wall past it. The classic
+    IVF answer is hierarchical training: fit ``k1 ≈ √k`` coarse
+    centers on the sample, partition the sample by nearest coarse
+    center, then fit each partition's share of the remaining budget
+    INSIDE the partition — every level is O(√k·S·dim), and level two
+    decomposes into independent per-cell fits (see
+    :func:`ivf_subquantizers` for the distributed form that trains on
+    ALL data, not a sample, at cluster scale).
+
+    Sub-cell budget is allocated to coarse cells by largest-remainder
+    on occupancy (each non-empty cell ≥ 1, never more than its member
+    count), so dense regions get proportionally finer cells. Returns
+    ≤ ``n_centroids`` flattened centers (fewer only when cells run out
+    of distinct members); output plugs into :func:`with_ivf_cell` /
+    :func:`with_ivf_probes` unchanged. Deterministic: per-cell fits
+    are seeded ``seed + 1 + coarse_id``."""
+    import numpy as np
+
+    x = np.asarray(x, dtype="float64")
+    k = min(n_centroids, len(x))
+    k1 = branch if branch else int(np.ceil(np.sqrt(k)))
+    if k <= 4 or k1 >= k:
+        return kmeans_fit(x, k, iterations, seed)
+    coarse = np.asarray(kmeans_fit(x, k1, iterations, seed), dtype="float64")
+    d = -2.0 * (x @ coarse.T) + (coarse * coarse).sum(axis=1)[None, :]
+    assign = d.argmin(axis=1)
+    sizes = np.bincount(assign, minlength=len(coarse))
+    nonempty = np.flatnonzero(sizes)
+    # largest-remainder allocation: floor(k·share) + 1-by-1 top-up in
+    # descending fractional-remainder order (cell id tiebreak)
+    share = k * sizes[nonempty] / sizes.sum()
+    alloc = np.maximum(1, np.floor(share).astype(int))
+    alloc = np.minimum(alloc, sizes[nonempty])
+    rem = share - np.floor(share)
+    for j in sorted(
+        range(len(nonempty)), key=lambda i: (-rem[i], nonempty[i])
+    ):
+        if alloc.sum() >= k:
+            break
+        if alloc[j] < sizes[nonempty[j]]:
+            alloc[j] += 1
+    # the max(1,·) lift can overshoot k when many cells round to zero:
+    # trim 1-by-1 from the SMALLEST-remainder cells that still have >1
+    for j in sorted(
+        range(len(nonempty)), key=lambda i: (rem[i], nonempty[i])
+    ):
+        if alloc.sum() <= k:
+            break
+        if alloc[j] > 1:
+            alloc[j] -= 1
+    out: list[list[float]] = []
+    for j, kj in zip(nonempty, alloc):
+        members = x[assign == j]
+        out.extend(kmeans_fit(members, int(kj), iterations, seed + 1 + int(j)))
+    return out
+
+
+def ivf_subquantizers(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    sub_per_cell: int = 16,
+    iterations: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED level-two IVF training: assign every vector to its
+    coarse cell (:func:`with_ivf_cell`), shuffle once on the cell id,
+    and fit ``sub_per_cell`` k-means centers per cell with an
+    ``applyInPandas`` group fit — each group trains independently on
+    its FULL membership, not a driver sample.
+
+    This is the 1000-executor shape of :func:`kmeans_fit_hier`'s level
+    two: at 100 TB the driver trains only the coarse quantizer (tiny,
+    sample-based), while refinement touches all data exactly once with
+    per-group cost O(sub·|cell|·dim) and zero driver state — the output
+    is a (coarse_cell, sub_id, centroid) table of k1·sub rows you
+    persist next to the coarse table and broadcast into assignment,
+    exactly like the PQ codebooks. Deterministic: per-cell seeds are
+    ``seed + 1 + cell_id``, and membership is the deterministic argmin
+    assignment, so retraining on identical data is byte-identical."""
+    import pandas as pd
+
+    sub = int(sub_per_cell)
+    if sub <= 0:
+        raise ValueError(f"sub_per_cell must be positive, got {sub}")
+
+    def fit(key, pdf):
+        import numpy as np
+
+        cell = int(key[0])
+        vs = [v for v in pdf[vec_col].to_numpy() if v is not None]
+        if not vs:
+            return pd.DataFrame(
+                {"coarse_cell": [], "sub_id": [], "centroid": []}
+            )
+        x = np.vstack([np.asarray(v, dtype="float64") for v in vs])
+        cents = kmeans_fit(x, min(sub, len(x)), iterations, seed + 1 + cell)
+        return pd.DataFrame(
+            {
+                "coarse_cell": [cell] * len(cents),
+                "sub_id": list(range(len(cents))),
+                "centroid": cents,
+            }
+        )
+
+    assigned = with_ivf_cell(df, coarse_centroids, vec_col=vec_col).filter(
+        F.col("ivf_cell") >= 0
+    )
+    return assigned.groupBy("ivf_cell").applyInPandas(
+        fit, "coarse_cell int, sub_id int, centroid array<double>"
+    )
+
+
 def with_ivf_cell(
     df: DataFrame,
     centroids: list[list[float]],

@@ -119,6 +119,31 @@ def _ivf_centroids(
 
 
 @lru_cache(maxsize=None)
+def _ivf_centroids_hier(
+    sf_dir: str, n_centroids: int = 8, sample_rows: int | None = None
+) -> tuple[tuple[float, ...], ...]:
+    """Two-level coarse-quantizer training (`kmeans_fit_hier`) on the
+    SAME deterministic strided sample as ``_ivf_centroids`` — the
+    bounded-driver-cost trainer whose level two decomposes into
+    independent per-cell fits (distributed form:
+    operators.similarity.ivf_subquantizers). Flat training is
+    O(k·S·dim) and with the adaptive discipline (k ∝ n, S ∝ k) grows
+    quadratically in n; the two-level form is O(√k·S·dim) per level.
+    Quality is pinned where it matters — the layout these centroids
+    induce must still clear the background-tail recall floor
+    (`near_dup_hier_recall_violations`)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_fit_hier,
+    )
+
+    if sample_rows is None:
+        sample_rows = max(2048, 4 * n_centroids)
+    t = _quantizer_sample(sf_dir, sample_rows)
+    x = [[float(v) for v in e] for e in t.column("embedding").to_pylist()]
+    return tuple(tuple(c) for c in kmeans_fit_hier(x, n_centroids=n_centroids))
+
+
+@lru_cache(maxsize=None)
 def _vec_count(sf_dir: str) -> int:
     """Embeddings-table row count from parquet METADATA only (no data
     pages, no Spark job) — the input the adaptive blocking formulas
@@ -905,6 +930,7 @@ __all__ = [
     "_ENTITY_CTES",
     "_query_vec",
     "_ivf_centroids",
+    "_ivf_centroids_hier",
     "_vec_count",
     "_adaptive_cells",
     "_adaptive_planes",

@@ -2090,6 +2090,51 @@ def q_near_dup_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_hier_recall_violations",
+    bench=False,
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS probe_pairs,
+           CAST(NULL AS BIGINT) AS exact_pairs
+    WHERE 1 = 0
+    """,
+)
+def q_near_dup_hier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract of the TWO-LEVEL-trained quantizer (oracle
+    expects ZERO rows): the hierarchical trainer (`kmeans_fit_hier`,
+    O(√k·S) driver cost per level vs the flat fit's O(k·S)) must
+    induce a cell layout whose adaptive-probe near-dup pair count
+    still clears the 0.80 background-tail floor against the exact
+    matmul baseline — same contract, same probes, same floor as
+    `near_dup_multiprobe_recall_violations`, only the trainer differs
+    (measured 1.000 / 0.916 at sf0.01 / sf0.1 vs the flat trainer's
+    0.966 / 0.921 — the two layouts are quality-equivalent).
+    This is what licenses the two-level trainer as the drop-in past
+    the flat trainer's `hi` clamp (where k·S growth turns quadratic):
+    cheaper training may NOT cost recall below the floor. bench=False
+    — the exact side is O(n²) audit apparatus at matmul rate."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        adaptive_probes,
+        cosine_all_pairs_matmul,
+        cosine_near_dup_pairs_multiprobe,
+        recall_audit,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _adaptive_cells(sf_dir, target=83)
+    cents = [list(c) for c in _ivf_centroids_hier(sf_dir, cells)]
+    return recall_audit(
+        cosine_near_dup_pairs_multiprobe(
+            emb, cents, threshold=0.4, n_probe=adaptive_probes(cells)
+        ),
+        cosine_all_pairs_matmul(emb, threshold=0.4),
+        floor=0.80,
+        cand_col="probe_pairs",
+        exact_col="exact_pairs",
+    )
+
+
+@register(
     "near_dup_planted_recall_violations",
     bench=False,
     oracle="""

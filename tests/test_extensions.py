@@ -1444,3 +1444,100 @@ def test_prefix_low_tau_delegates_to_count_plan(spark):
     hi_plan = hi._jdf.queryExecution().analyzed().toString()
     assert "posexplode" not in low_plan  # delegated: no prefix machinery
     assert "posexplode" in hi_plan  # real PPJoin path
+
+
+def test_kmeans_fit_hier_budget_and_determinism():
+    """Two-level trainer: respects the centroid budget (<= k, >= coarse
+    count), is deterministic, and on well-separated clusters puts at
+    least one center near every true cluster (the coarse level alone
+    guarantees that; sub-allocation must not lose it)."""
+    import numpy as np
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_fit_hier,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 16)) * 4.0
+    x = np.vstack([c + rng.standard_normal((50, 16)) * 0.05 for c in centers])
+    got = kmeans_fit_hier(x, n_centroids=24, seed=7)
+    assert len(got) <= 24
+    assert got == kmeans_fit_hier(x, n_centroids=24, seed=7)
+    g = np.asarray(got)
+    for c in centers:
+        d = np.linalg.norm(g - c[None, :], axis=1).min()
+        assert d < 1.0, f"no sub-center near a true cluster (min dist {d})"
+
+
+def test_kmeans_fit_hier_small_k_delegates():
+    """k <= 4 (or branch >= k) is a plain flat fit — byte-identical to
+    kmeans_fit, so tiny tables never pay the two-level machinery."""
+    import numpy as np
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_fit_hier,
+    )
+
+    x = np.random.default_rng(1).standard_normal((40, 8))
+    assert kmeans_fit_hier(x, n_centroids=3, seed=5) == kmeans_fit(
+        x, 3, seed=5
+    )
+
+
+def test_ivf_subquantizers_bitmatch_driver_fit(spark):
+    """The DISTRIBUTED per-cell refinement must produce, for every
+    coarse cell, exactly the centers a driver-side kmeans_fit of that
+    cell's full membership produces (same seed discipline seed+1+cell)
+    — the applyInPandas path is the cluster-scale form of the same
+    computation, not an approximation of it."""
+    import random
+
+    import numpy as np
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivf_subquantizers,
+        kmeans_centroids,
+        kmeans_fit,
+        with_ivf_cell,
+    )
+
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) * 3 for _ in range(8)] for _ in range(3)]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    coarse = kmeans_centroids(df, n_centroids=3, seed=2)
+
+    sub = ivf_subquantizers(df, coarse, sub_per_cell=2, seed=9)
+    got = {
+        (r.coarse_cell, r.sub_id): list(r.centroid) for r in sub.collect()
+    }
+    assert got  # at least one non-empty cell
+
+    celled = with_ivf_cell(df, coarse).collect()
+    by_cell: dict[int, list] = {}
+    for r in celled:
+        by_cell.setdefault(r.ivf_cell, []).append(
+            [float(v) for v in r.embedding]
+        )
+    for cell, members in by_cell.items():
+        want = kmeans_fit(np.asarray(members), 2, seed=9 + 1 + cell)
+        for si, w in enumerate(want):
+            assert got[(cell, si)] == pytest.approx(w, abs=1e-12)
+
+
+def test_ivf_subquantizers_skips_null_vectors(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ivf_subquantizers,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_subquantizers(df, [[1.0, 0.0], [0.0, 1.0]], sub_per_cell=1)
+    rows = out.collect()
+    assert len(rows) == 2  # one sub-center per occupied cell; null skipped
