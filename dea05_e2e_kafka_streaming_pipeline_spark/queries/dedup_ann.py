@@ -1233,7 +1233,8 @@ def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resolves to the historical 8 at sf0.01/sf0.1
     cents = [list(c) for c in _ivf_centroids(sf_dir, _adaptive_cells(sf_dir))]
     return semantic_dedup(
-        emb, threshold=0.3, centroids=cents, algorithm="auto"
+        emb, threshold=0.3, centroids=cents, algorithm="auto",
+        scorer="matmul",
     ).select("vec_id", "label")
 
 
@@ -1270,8 +1271,12 @@ def q_semantic_dedup_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~250 vectors/cell keeps within-cell pair volume linear in n;
     # resolves to the historical 8 at sf0.01/sf0.1
     cents = [list(c) for c in _ivf_centroids(sf_dir, _adaptive_cells(sf_dir))]
-    pairs = semantic_dedup_pairs(emb, threshold=0.3, centroids=cents)
-    kept = semantic_dedup(emb, threshold=0.3, centroids=cents).select("vec_id")
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.3, centroids=cents, scorer="matmul"
+    )
+    kept = semantic_dedup(
+        emb, threshold=0.3, centroids=cents, scorer="matmul"
+    ).select("vec_id")
     paired = (
         pairs.select(F.col("id_a").alias("vec_id"))
         .union(pairs.select(F.col("id_b").alias("vec_id")))
@@ -1942,6 +1947,7 @@ def q_embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cells_blocked_embeddings(spark, sf_dir),
         threshold=0.4,
         block_col="ivf_cell",
+        scorer="matmul",
     )
 
 
@@ -1976,6 +1982,7 @@ def q_near_dup_cells_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cells_blocked_embeddings(spark, sf_dir),
             threshold=0.4,
             block_col="ivf_cell",
+            scorer="matmul",
         ),
         cosine_all_pairs_matmul(
             load_table(spark, sf_dir, "embeddings"), threshold=0.4
@@ -2005,6 +2012,7 @@ def q_dbscan_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_eps=0.2,
         min_pts=4,
         block_col="ivf_cell",
+        scorer="matmul",
     )
 
 
@@ -2045,6 +2053,7 @@ def q_embedding_near_dup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFra
         cents,
         threshold=0.4,
         n_probe=3,
+        scorer="matmul",
     )
 
 
@@ -2080,7 +2089,8 @@ def q_near_dup_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [list(c) for c in _ivf_centroids(sf_dir, cells)]
     return recall_audit(
         cosine_near_dup_pairs_multiprobe(
-            emb, cents, threshold=0.4, n_probe=adaptive_probes(cells)
+            emb, cents, threshold=0.4, n_probe=adaptive_probes(cells),
+            scorer="matmul",
         ),
         cosine_all_pairs_matmul(emb, threshold=0.4),
         floor=0.80,
@@ -2125,7 +2135,8 @@ def q_near_dup_hier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [list(c) for c in _ivf_centroids_hier(sf_dir, cells)]
     return recall_audit(
         cosine_near_dup_pairs_multiprobe(
-            emb, cents, threshold=0.4, n_probe=adaptive_probes(cells)
+            emb, cents, threshold=0.4, n_probe=adaptive_probes(cells),
+            scorer="matmul",
         ),
         cosine_all_pairs_matmul(emb, threshold=0.4),
         floor=0.80,
@@ -2169,7 +2180,7 @@ def q_near_dup_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _adaptive_cells(sf_dir, target=83)
     cents = [list(c) for c in _ivf_centroids(sf_dir, cells)]
     pairs = cosine_near_dup_pairs_multiprobe(
-        union, cents, threshold=0.9, n_probe=3
+        union, cents, threshold=0.9, n_probe=3, scorer="matmul"
     )
     planted = pairs.filter(
         F.col("id_b") - F.col("id_a") == F.lit(1_000_000_000)

@@ -1541,3 +1541,57 @@ def test_ivf_subquantizers_skips_null_vectors(spark):
     out = ivf_subquantizers(df, [[1.0, 0.0], [0.0, 1.0]], sub_per_cell=1)
     rows = out.collect()
     assert len(rows) == 2  # one sub-center per occupied cell; null skipped
+
+
+def test_blocked_matmul_scorer_equals_pair_join(spark):
+    """scorer='matmul' (per-block chunked matmul, one shuffle of vector
+    rows) must emit exactly the pair set and 6-dp scores of the default
+    pair-join scorer — it is a physical-plan change, not a semantics
+    change. Random isotropic fixture with several block sizes including
+    one bigger than nothing (empty block absent) and singletons."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)], i % 5)
+        for i in range(300)
+    ] + [(1000, [rng.gauss(0, 1) for _ in range(16)], 99)]  # singleton block
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, blk int"
+    )
+    ref = {
+        (r.id_a, r.id_b): r.score
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.1, block_col="blk"
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.1, block_col="blk", scorer="matmul"
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=2e-6)
+    # and the heavy majority must be bit-equal after 6-dp rounding
+    exact = sum(1 for k in ref if got[k] == ref[k])
+    assert exact >= 0.99 * len(ref)
+
+
+def test_blocked_matmul_requires_block(spark):
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="matmul"):
+        cosine_near_dup_pairs(
+            df, threshold=0.5, block_col=None, scorer="matmul"
+        )

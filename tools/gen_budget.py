@@ -49,13 +49,16 @@ def main() -> int:
     budget = {
         "comment": (
             f"Per-query wall-clock ceilings at sf{args.sf}, local[32]: 2x "
-            "the latest quiet-window best-of-2 "
-            f"({args.metrics}, total {m['total_sec']}s), floored at 0.5s "
-            "so sub-100ms queries don't trip on scheduler jitter. "
-            "bench.py exits nonzero only when >25% of budgeted queries "
-            "exceed their ceiling - a global host-noise window inflates "
-            "everything a little, a plan regression inflates a few "
-            "queries 2x+."
+            "the latest quiet-window best-of-2 plus a 0.25s additive "
+            "jitter margin "
+            f"({args.metrics}, total {m['total_sec']}s), floored at 0.5s. "
+            "The additive term is scheduler-jitter absorption for "
+            "sub-second queries (their variance is additive ~0.2-0.3s, "
+            "not multiplicative, so a pure 2x ceiling trips on noise); "
+            "for multi-second queries it is negligible. bench.py exits "
+            "nonzero only when >25% of budgeted queries exceed their "
+            "ceiling - a global host-noise window inflates everything a "
+            "little, a plan regression inflates a few queries 2x+."
         ),
         "source_run": {
             "sf": args.sf,
@@ -63,7 +66,8 @@ def main() -> int:
             "date": dt.date.today().isoformat(),
         },
         "ceilings_sec": {
-            q: round(max(0.5, 2.0 * t), 3) for q, t in m["queries"].items()
+            q: round(max(0.5, 2.0 * t + 0.25), 3)
+            for q, t in m["queries"].items()
         },
     }
     out = os.path.join(HERE, args.out)
