@@ -151,7 +151,10 @@ def _pair_scorer(scorer: str) -> Column:
         return _pair_score()
     if scorer == "numpy":
         return _numpy_pair_score()
-    raise ValueError(f"unknown scorer: {scorer!r} (use 'expr' or 'numpy')")
+    raise ValueError(
+        f"unknown scorer: {scorer!r} (use 'expr', 'numpy', or 'matmul' — "
+        "'matmul' is valid only with block_col)"
+    )
 
 
 def _blocked_matmul_pairs(
@@ -669,14 +672,24 @@ def kmeans_fit_hier(
         if alloc[j] < sizes[nonempty[j]]:
             alloc[j] += 1
     # the max(1,·) lift can overshoot k when many cells round to zero:
-    # trim 1-by-1 from the SMALLEST-remainder cells that still have >1
-    for j in sorted(
+    # trim 1-by-1 from the SMALLEST-remainder cells that still have >1,
+    # REPEATING until the budget holds — a single pass decrements each
+    # cell at most once and can leave alloc.sum() > k when overshoot
+    # exceeds the number of trimmable cells (round-6 advice: one
+    # dominant cluster + 8 singletons at k=10 returned 11 centers)
+    trim_order = sorted(
         range(len(nonempty)), key=lambda i: (rem[i], nonempty[i])
-    ):
-        if alloc.sum() <= k:
-            break
-        if alloc[j] > 1:
-            alloc[j] -= 1
+    )
+    while alloc.sum() > k:
+        progressed = False
+        for j in trim_order:
+            if alloc.sum() <= k:
+                break
+            if alloc[j] > 1:
+                alloc[j] -= 1
+                progressed = True
+        if not progressed:
+            break  # every cell at its ≥1 floor: k1 > k is impossible here
     out: list[list[float]] = []
     for j, kj in zip(nonempty, alloc):
         members = x[assign == j]
@@ -945,16 +958,24 @@ def cosine_near_dup_pairs_multiprobe(
     """Near-dup pairs under multi-probe cell blocking: every vector is
     indexed into its ``n_probe`` nearest cells, pairs score exactly
     within each cell, and a pair co-resident in several shared cells
-    emits ONCE (same exact rounded score in every copy, so the dedup is
-    a plain distinct on the pair row). Same output contract as
+    emits ONCE. The dedup keys on (id_a, id_b) ONLY — not the
+    score-bearing row — because the matmul scorer's BLAS accumulation
+    order can differ per cell block, so two copies of one pair may
+    round differently at a 6-dp boundary and a plain distinct would
+    keep both (round-6 advice). max(score) keeps the contract
+    deterministic across scorers. Same output contract as
     :func:`cosine_near_dup_pairs`."""
     probed = with_ivf_probes(df, centroids, n_probe, vec_col).withColumn(
         "__probe_cell", F.explode("ivf_probes")
     )
-    return cosine_near_dup_pairs(
-        probed, threshold=threshold, block_col="__probe_cell",
-        vec_col=vec_col, id_col=id_col, scorer=scorer,
-    ).distinct()
+    return (
+        cosine_near_dup_pairs(
+            probed, threshold=threshold, block_col="__probe_cell",
+            vec_col=vec_col, id_col=id_col, scorer=scorer,
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("score").alias("score"))
+    )
 
 
 def ivf_probes(

@@ -1469,6 +1469,30 @@ def test_kmeans_fit_hier_budget_and_determinism():
         assert d < 1.0, f"no sub-center near a true cluster (min dist {d})"
 
 
+def test_kmeans_fit_hier_skewed_occupancy_holds_budget():
+    """Round-6 advice repro: one dominant cluster + many singleton-ish
+    cells makes the max(1,·) floor overshoot by MORE than a single trim
+    pass can recover (k=10 returned 11 centers; 16 returned 17). The
+    trim must repeat until alloc.sum() <= k at every skew level."""
+    import numpy as np
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kmeans_fit_hier,
+    )
+
+    rng = np.random.default_rng(11)
+    dominant = rng.standard_normal((500, 8)) * 0.05
+    tiny = [
+        rng.standard_normal((1, 8)) * 0.01 + off
+        for off in (np.eye(8) * 50.0)
+    ]
+    x = np.vstack([dominant, *tiny])
+    for k in (10, 12, 16, 24):
+        got = kmeans_fit_hier(x, n_centroids=k, branch=9, seed=7)
+        assert len(got) <= k, f"budget breached at k={k}: {len(got)}"
+        assert got == kmeans_fit_hier(x, n_centroids=k, branch=9, seed=7)
+
+
 def test_kmeans_fit_hier_small_k_delegates():
     """k <= 4 (or branch >= k) is a plain flat fit — byte-identical to
     kmeans_fit, so tiny tables never pay the two-level machinery."""

@@ -206,6 +206,9 @@ _EAGER_BUILD_OK = {
     "near_dup_cells_recall_violations",
     "near_dup_multiprobe_recall_violations",
     "near_dup_planted_recall_violations",
+    # same by-design count comparison as its three siblings above; the
+    # two-level trainer additionally fits the coarse quantizer at build
+    "near_dup_hier_recall_violations",
     # exact ntile arithmetic rides global_row_number's per-partition
     # count pass (round-6: replaced the corpus-sized unpartitioned
     # ntile window)
