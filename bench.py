@@ -90,6 +90,33 @@ def _plan_fingerprint(df) -> str:
     return hashlib.md5(plan.encode()).hexdigest()
 
 
+def _quiet_known_warnings(spark) -> None:
+    """Route two known-benign warning families out of the bench tail —
+    the driver's output-tail capture is the contract surface and was 90%
+    noise (round-6 verdict item 7):
+
+    - WindowExec's no-partition warning: every remaining site is a
+      DECLARED-BOUNDED window (daily-grain series, vocab ranks —
+      operators/timeseries.py, operators/curation.py document each);
+      the growing-table sites were re-planned in rounds 5-6.
+    - CacheManager's "already cached" notice: queries share cached
+      scans by design; re-marking an already-cached plan is a no-op.
+
+    Uses the log4j2 Configurator so only these two loggers move to
+    ERROR; everything else keeps the session default."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for logger in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.CacheManager",
+        ):
+            configurator.setLevel(logger, level)
+    except Exception as e:  # noqa: BLE001 — cosmetics must never fail a run
+        print(f"# log-quiet skipped: {e}", file=sys.stderr)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -103,6 +130,17 @@ def main() -> int:
         },
     )
     app_id = spark.sparkContext.applicationId
+    _quiet_known_warnings(spark)
+    # Cache hygiene at memory-constrained tiers: the x100 spill run
+    # holds 31 expensive queries' cached scans on an 8 GiB heap — cache
+    # accumulated across the suite amplified later queries' GC (r6:
+    # semantic_dedup_kmeans 13.7x in-suite vs 7.4x standalone). With
+    # SPARK_GRAFT_DRIVER_MEM set (the constrained-tier signal) every
+    # query starts cache-cold, so the ledger measures the PLAN, not the
+    # suite's memory history. Unconstrained tiers keep warm reuse.
+    clear_cache = bool(os.environ.get("SPARK_GRAFT_DRIVER_MEM")) or (
+        os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE") == "1"
+    )
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # exhibits (bench_tier_max): the deliberately-quadratic SQL-exactness
@@ -135,6 +173,8 @@ def main() -> int:
     next(iter(qs.values()))(spark, sf_dir).count()
 
     for name, fn in qs.items():
+        if clear_cache:
+            spark.catalog.clearCache()
         # best-of-2: single-shot local timings fluctuate ±40% with JIT/GC
         # noise; the minimum is the stable signal for plan regressions
         best, n = None, 0
@@ -242,7 +282,7 @@ def main() -> int:
             detail_out = os.path.join(
                 here,
                 os.environ.get(
-                    "SPARK_GRAFT_SWEEP_DETAIL", "CORRECTNESS_full_r06.json"
+                    "SPARK_GRAFT_SWEEP_DETAIL", "CORRECTNESS_full_r07.json"
                 ),
             )
             res = run_sweep(

@@ -873,7 +873,7 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup_pairs",
-    bench_tier_max=0.1,  # quadratic exactness anchor (fixed label block)
+    bench_tier_max=0.01,  # quadratic exactness anchor (fixed label block): sweeps everywhere, timed only at oracle scale
     oracle="""
     WITH e AS (
       SELECT vec_id, label,
@@ -1160,7 +1160,7 @@ def q_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_label",
-    bench_tier_max=0.1,  # quadratic exactness anchor (fixed label block)
+    bench_tier_max=0.01,  # quadratic exactness anchor (fixed label block): sweeps everywhere, timed only at oracle scale
     oracle=f"""
     WITH RECURSIVE pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1301,7 +1301,7 @@ def q_semantic_dedup_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "entity_resolution_customers",
-    bench_tier_max=0.1,  # quadratic exactness anchor (25-nation block)
+    bench_tier_max=0.01,  # quadratic exactness anchor (25-nation block): sweeps everywhere, timed only at oracle scale
     oracle="""
     WITH RECURSIVE lp AS (
       SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
@@ -1603,7 +1603,7 @@ def q_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "dbscan_embeddings",
-    bench_tier_max=0.1,  # quadratic exactness anchor (fixed label block)
+    bench_tier_max=0.01,  # quadratic exactness anchor (fixed label block): sweeps everywhere, timed only at oracle scale
     oracle="""
     WITH RECURSIVE e AS (
       SELECT vec_id, label,

@@ -17,7 +17,7 @@ from dea05_e2e_kafka_streaming_pipeline_spark.queries._shared import *  # noqa: 
 
 @register(
     "linkage_customer_pairs",
-    bench_tier_max=0.1,  # quadratic exactness anchor (25-nation block)
+    bench_tier_max=0.01,  # quadratic exactness anchor (25-nation block): sweeps everywhere, timed only at oracle scale
     oracle="""
     WITH pairs AS (
       SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
