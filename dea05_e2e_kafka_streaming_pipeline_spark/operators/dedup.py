@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+    shingle_hashes_from,
+    token_hashes,
     content_fingerprint,
     tokens,
     word_shingles,
@@ -114,16 +116,17 @@ def ngram_jaccard_pairs(
     # the expensive step, so spread it across all cores first (the raw
     # text shuffle is tiny relative to the compute it unlocks)
     df = _spread(df)
+    # shingle hashes composed from token hashes (shingle_hashes_from):
+    # the index joins on 64-bit longs, never strings — ~2.5× less
+    # shuffle volume, cheaper key comparison, and none of the shingle
+    # STRING construction that dominated CPU at x100 (collision
+    # probability over the whole corpus ~ n²/2⁶⁴ — negligible)
     sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, k).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    # join on the 64-bit shingle hash, not the string: ~2.5× less shuffle
-    # volume and cheaper key comparison (collision probability over the
-    # whole corpus ~ n²/2⁶⁴ — negligible)
-    inv = sh.select(
-        "id", "n_sh", F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s")
+        F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
+    ).select("id", shingle_hashes_from("__th", k).alias("sh")).withColumn(
+        "n_sh", F.size("sh")
     )
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -204,11 +207,9 @@ def ngram_jaccard_pairs_prefix(
     df = _spread(df)
     sh = (
         df.select(
-            F.col(id_col).alias("id"),
-            F.array_sort(
-                F.transform(word_shingles(text_col, k), lambda x: F.xxhash64(x))
-            ).alias("sh"),
+            F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
         )
+        .select("id", F.array_sort(shingle_hashes_from("__th", k)).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
     )
     prefix_len = F.least(
@@ -298,9 +299,17 @@ def minhash_signatures(
     num_hashes: int = 64,
     k: int = 3,
     hash_family: str = "xxhash64",
+    with_size: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: element j = min over shingles of a
     seeded hash of the shingle.
+
+    ``with_size=True`` adds an ``n`` column — the shingle-SET size —
+    computed as one more aggregate in the SAME groupBy (the exploded
+    hashes are already one row per distinct shingle), so it costs zero
+    extra shuffles. :func:`minhash_lsh_pairs` rides it through banding
+    to prune candidates on the lossless Jaccard size bound before any
+    shingle array is fetched.
 
     Formulated for codegen: each shingle string is hashed ONCE
     (xxhash64), then the ``num_hashes`` seeded variants are derived by
@@ -329,12 +338,15 @@ def minhash_signatures(
     # (CollapseProject inlines it into every consumer)
     df = _spread(df)
     if hash_family == "xxhash64":
+        # hashed shingles composed from token hashes — skips the shingle
+        # STRING build that dominated signature CPU (shingle_hashes_from
+        # docstring); the md5 family below keeps string shingles because
+        # its DuckDB oracle mirrors them character-for-character. The
+        # token-hash array binds in its OWN select (load-bearing — see
+        # shingle_hashes_from on lambda CSE).
         ex = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(word_shingles(text_col, k), lambda x: F.xxhash64(x))
-            ).alias("h"),
-        )
+            F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
+        ).select("id", F.explode(shingle_hashes_from("__th", k)).alias("h"))
         mins = [
             F.min(F.xxhash64("h", F.lit(j))).alias(f"__m{j}")
             for j in range(num_hashes)
@@ -348,10 +360,17 @@ def minhash_signatures(
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("h")))).alias(f"__m{j}")
             for j in range(num_hashes)
         ]
-    row = ex.groupBy("id").agg(*mins)
-    return row.select(
-        "id", F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig")
-    )
+    aggs = list(mins)
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+    row = ex.groupBy("id").agg(*aggs)
+    out = [
+        F.col("id"),
+        F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias("sig"),
+    ]
+    if with_size:
+        out.append(F.col("__n").alias("n"))
+    return row.select(*out)
 
 
 def minhash_lsh_pairs(
@@ -370,10 +389,12 @@ def minhash_lsh_pairs(
     verification of the candidates (so precision is exact; recall is the
     standard 1-(1-J^r)^b curve).
 
-    Plan: signatures (no shuffle) → explode band hashes → self-join on
-    (band, hash) → distinct candidate pairs → join back shingle arrays →
-    exact Jaccard filter. Shuffle volume is bounded by band-bucket
-    collisions, not raw shingle frequency.
+    Plan: signatures (+ shingle-set size, same groupBy) → explode band
+    hashes → per-bucket pair expansion → distinct candidate (id, size)
+    pairs → lossless size-ratio prune → join back shingle arrays for
+    survivors only → exact Jaccard filter. Shuffle volume is bounded by
+    band-bucket collisions, not raw shingle frequency, and no shingle
+    ARRAY moves until the size bound has passed.
 
     ``hash_family="md5"`` switches signatures AND band hashes to md5
     (see :func:`minhash_signatures`) — DuckDB-reproducible end-to-end.
@@ -395,7 +416,13 @@ def minhash_lsh_pairs(
     if max_bucket_size < 2:
         raise ValueError(f"max_bucket_size must be >= 2: {max_bucket_size}")
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_family)
+    # verification rides the shingle-SET size through the band shuffle
+    # (one int per row, computed inside the signature groupBy) so the
+    # lossless size bound prunes candidates BEFORE any shingle array is
+    # fetched — the edit_distance_pairs two-stage-fetch pattern
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, k, hash_family, with_size=verify
+    )
 
     def band_hash(b: int) -> Column:
         elems = [F.col("sig")[b * rows + r] for r in range(rows)]
@@ -403,8 +430,9 @@ def minhash_lsh_pairs(
             return F.md5(F.concat(*elems))
         return F.xxhash64(*elems)
 
+    carry = ["id", "n"] if verify else ["id"]
     banded = sigs.select(
-        "id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -416,15 +444,19 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("e"),
-    ).select("id", "e.band", "e.bh")
+    ).select(*carry, "e.band", "e.bh")
     # Candidates via per-bucket pair expansion instead of a self-join:
     # a self-join would evaluate the whole signature pipeline twice (no
     # exchange reuse under AQE — measured), while collect_list keeps it
     # at ONE pass. Bucket size is bounded by chunking (see docstring):
     # both windows and the chunk aggregation cluster on (band, bh), so
     # the whole block costs ONE shuffle — the groupBy on the superset
-    # key (band, bh, sub) reuses the window's partitioning.
+    # key (band, bh, sub) reuses the window's partitioning. (A census
+    # agg + join-back would avoid the window sort, but it reads the
+    # signature subtree TWICE — measured at x100 the second signature
+    # pass costs 4x what the sort does, so the window form stays.)
     cap = max_bucket_size
+    member = F.struct("id", "n") if verify else F.struct("id")
     wc = Window.partitionBy("band", "bh")
     wr = wc.orderBy("id")
     ranked = (
@@ -439,45 +471,89 @@ def minhash_lsh_pairs(
             F.array(chunk - 1, chunk),  # boundary doc bridges the chunks
         ).otherwise(F.array(chunk))
     )
-    buckets = (
-        ranked.select("id", "band", "bh", F.explode(subs).alias("sub"))
+    expanded = (
+        ranked.select(member.alias("m"), "band", "bh", F.explode(subs).alias("sub"))
         .groupBy("band", "bh", "sub")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.collect_list("m").alias("ids"))
         .filter(F.size("ids") > 1)
+        .select("ids")
     )
+    if not verify:
+        return (
+            expanded.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(least(x.id, y.id) AS id_a, "
+                        "greatest(x.id, y.id) AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+    # Verification, two-stage (the edit_distance_pairs pattern):
+    # stage 1 proposes (id_a, id_b, na, nb) — two ids and two ints, no
+    # arrays — and prunes on the LOSSLESS Jaccard size bound before any
+    # shingle set is fetched: J(A,B) >= tau forces
+    # |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), hence
+    # min/max >= tau. (The 1e-6 slack covers the 6-dp rounding of the
+    # reported jaccard, so a pair that would round UP to tau survives.)
+    # Stage 2 joins the hashed shingle sets only for survivors — at the
+    # x100 spill tier the candidate×array join was the named superlinear
+    # cost (r6 verdict item 4); the sizes ride the existing band shuffle
+    # as one int per row, so stage 1 adds no shuffle.
     cands = (
-        buckets.select(
+        expanded.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) -> "
                     "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                    "y -> struct(least(x.id, y.id) AS id_a, "
+                    "greatest(x.id, y.id) AS id_b, "
+                    "if(x.id < y.id, x.n, y.n) AS na, "
+                    "if(x.id < y.id, y.n, x.n) AS nb))))"
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.id_b", "p.na", "p.nb")
         .distinct()
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= (threshold - 1e-6) * F.greatest("na", "nb")
+        )
+        .select("id_a", "id_b")
     )
-    if not verify:
-        return cands
-    # verification only needs the shingle SETS — derive them straight
-    # from the input so the expensive signature projection is not
-    # dragged into the plan two more times, and carry them as 64-bit
-    # hashes, not strings: same distinct cardinalities and intersection
-    # sizes (collision probability ~n²/2⁶⁴ within a pair — negligible,
-    # and the exact-Jaccard inverted index joins on the same hashes), at
-    # a fraction of the join/broadcast volume and with long-vs-long
-    # array_intersect instead of string comparisons (measured ~2× on
-    # the verification stage at sf0.1)
+    # shingle sets are derived straight from the input (not the
+    # signature plan) and carried as 64-bit hashes, not strings: same
+    # distinct cardinalities and intersection sizes (collision
+    # probability ~n²/2⁶⁴ within a pair — negligible), at a fraction
+    # of the join volume, with long-vs-long array_intersect (measured
+    # ~2× on the verification stage at sf0.1). The sets join ONCE:
+    # pairs explode into (pair, id) sides, one equi-join streams the
+    # array table past the side rows, and a pair-key regroup reunites
+    # sh_a/sh_b — the previous two-join form shuffled+sorted the full
+    # 500k-array table TWICE at x100 for a 25k-pair probe.
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(text_col, k), lambda x: F.xxhash64(x)).alias(
-            "shingles"
-        ),
+        F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
+    ).select("id", shingle_hashes_from("__th", k).alias("shingles"))
+    sides = cands.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
     withsets = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        sides.join(sh, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("id") == F.col("id_a"), F.col("shingles")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("id") == F.col("id_b"), F.col("shingles")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -1065,12 +1141,12 @@ def edit_distance_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
-        word_shingles(text_col, k).alias("sh"),
-    )
+        token_hashes(text_col).alias("__th"),
+    ).select("id", "t", shingle_hashes_from("__th", k).alias("sh"))
     inv = base.select(
         "id",
         F.length("t").alias("l"),
-        F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s"),
+        F.explode("sh").alias("s"),
     )
     a, b = inv.alias("a"), inv.alias("b")
     # The length bound is applied AFTER the distinct, not in the join
@@ -1169,12 +1245,11 @@ def ngram_containment_pairs(
     only the final scoring projection differs."""
     df = _spread(df)
     sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, k).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    inv = sh.select(
-        "id", "n_sh", F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s")
+        F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
+    ).select("id", shingle_hashes_from("__th", k).alias("sh")).withColumn(
+        "n_sh", F.size("sh")
     )
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

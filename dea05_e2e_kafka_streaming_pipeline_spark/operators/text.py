@@ -57,6 +57,62 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def token_hashes(col: Column | str) -> Column:
+    """Per-token 64-bit hashes (``array<long>``) — the bound input for
+    :func:`shingle_hashes_from`. ALWAYS alias this in its own select
+    before consuming it there: the two-projection split is load-bearing
+    (see shingle_hashes_from)."""
+    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_from(th: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<long> of 64-bit hashes,
+    composed from a BOUND token-hash array column (:func:`token_hashes`
+    aliased in a prior select) — the scale-path twin of
+    :func:`word_shingles` for pipelines that only ever CONSUME hashed
+    shingles (MinHash signatures, inverted indexes, Jaccard
+    verification over hashed sets).
+
+    Each shingle hash is ``xxhash64(h_i, …, h_{i+k-1})`` over the k
+    token hashes instead of hashing the joined shingle STRING: the
+    slice + array_join allocation was ~90% of the MinHash signature
+    stage's CPU at the x100 tier (measured 394s of 435s executor-CPU —
+    string building, not hashing or aggregation). Distinct shingles map
+    to distinct hash tuples, so set cardinalities/intersections match
+    the string form modulo 64-bit collisions (~n²/2⁶⁴ per pair — the
+    same accepted risk as hashing the strings).
+
+    Formulated as a ``zip_with`` chain over shifted slices — NEVER as a
+    lambda that indexes into the outer array. The indexing form
+    (``transform(sequence(...), i -> xxhash64(get(th, i), ...))``)
+    re-evaluates every inlined copy of ``th`` PER ELEMENT because
+    Catalyst does not common-subexpression-eliminate through
+    higher-order lambdas, and optimizer rules DO inline this expression
+    wholesale (InferFiltersFromGenerate's ``size(sh) > 0`` pushes below
+    the _spread exchange with the full expression substituted in —
+    measured 153 s vs 16 s at x100 for the inverted-index explode,
+    O(len²) per document). The zip_with lambdas touch only their
+    element arguments, so ANY number of inlined copies stays O(k·len).
+    The shingle hash is the left fold ``xxhash64(…xxhash64(h_i,
+    h_{i+1})…, h_{i+k-1})``; slices past the array end contribute
+    nulls, which xxhash64 skips deterministically — that also yields
+    word_shingles' one-partial-shingle behavior for documents shorter
+    than k tokens, and token-less documents produce the constant
+    empty-shingle hash (mirroring the string form's single ""
+    shingle), so shingle-equality relations between documents match
+    the string form exactly."""
+    c = F.col(th) if isinstance(th, str) else th
+    h = c
+    for j in range(2, k + 1):
+        tail = F.slice(c, j, F.greatest(F.size(c) - (j - 1), F.lit(1)))
+        h = F.zip_with(h, tail, lambda x, y: F.xxhash64(x, y))
+    out = F.slice(h, 1, F.greatest(F.size(c) - (k - 1), F.lit(1)))
+    empty = F.array(F.xxhash64(F.lit(None).cast("long")))
+    return F.array_distinct(
+        F.when(F.size(c) == 0, empty).otherwise(out)
+    )
+
+
 def _stopword_hits(toks: Column, stops: tuple[str, ...]) -> Column:
     stop_arr = F.array(*[F.lit(s) for s in stops])
     return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
