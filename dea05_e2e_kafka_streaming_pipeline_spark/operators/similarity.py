@@ -1349,6 +1349,37 @@ def ivf_topk_pruned(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ann_store_topk(
+    spark,
+    store_root: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int | None = None,
+    version: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pinned-version top-k over the versioned ANN store — the reader
+    half of the rebuild-and-swap contract: resolve a version ONCE
+    (``version=None`` pins the current one at call time), load its
+    quantizer state, and run :func:`ivf_topk_pruned` against exactly
+    that version's partition-pruned layout. A rebuild that swaps the
+    current version mid-query changes nothing for this reader: the
+    paths and centroids were resolved against the pinned manifest, and
+    the rebuild never touches old version directories.
+
+    ``nprobe`` defaults to the version's trained ``n_probe`` — the same
+    setting its ingest assignments used, so recall matches the trained
+    contract by default."""
+    state = ann_store_state(store_root, version)
+    index_path, _ = ann_store_paths(store_root, state["version"])
+    return ivf_topk_pruned(
+        spark, index_path, query_vec, state["centroids"],
+        k=k, nprobe=nprobe if nprobe is not None else state["n_probe"],
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.85,

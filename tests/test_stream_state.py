@@ -262,3 +262,58 @@ def test_ann_versioned_quantizer_state_constant_bytes(spark, tmp_path):
             assert len(json.load(f)["centroids"]) == 4
     assert abs(sizes[1] - sizes[0]) <= 64  # psi text width only
     assert ann_store_read(spark, store).count() == 200
+
+
+def test_ann_store_topk_pinned_version_stable_across_rebuild(spark, tmp_path):
+    """Reader contract of rebuild-and-swap: a top-k against a PINNED
+    version returns identical rows before and after a rebuild swaps the
+    current version, while an unpinned read resolves the new version
+    and bit-matches a fresh ivf_topk over the rebuilt index."""
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_index_rebuild,
+        ann_store_topk,
+        ann_store_versions,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        ann_ingest_sink_versioned,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.sources import (
+        file_stream,
+    )
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    rng = random.Random(23)
+    landing = tmp_path / "landing"
+    store = str(tmp_path / "store")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(200)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(
+        str(landing / "w0")
+    )
+    q = ann_ingest_sink_versioned(
+        file_stream(spark, str(landing / "*"), schema),
+        store, str(tmp_path / "ckpt"),
+        n_centroids=4, n_probe=2, available_now=True,
+    )
+    assert q.awaitTermination(600)
+    qv = rows[7][1]
+    before = [(r.vec_id, r.score) for r in ann_store_topk(spark, store, qv, k=5).collect()]
+    assert len(before) == 5 and before[0][0] == 7  # self is nearest
+
+    ann_index_rebuild(spark, store, n_centroids=4, n_probe=2)
+    assert ann_store_versions(store) == [0, 1]
+    # pinned read: byte-identical to the pre-rebuild result
+    pinned = [(r.vec_id, r.score) for r in ann_store_topk(spark, store, qv, k=5, version=0).collect()]
+    assert pinned == before
+    # unpinned read resolves v1 and still finds the vector itself
+    after = [(r.vec_id, r.score) for r in ann_store_topk(spark, store, qv, k=5).collect()]
+    assert after[0][0] == 7

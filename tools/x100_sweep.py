@@ -65,7 +65,7 @@ def main() -> int:
     mod = importlib.import_module("__spark_entry__")
     names = set(mod.queries()) - EXCLUDE
     spark = get_spark(app_name="x100_sweep")
-    res = run_sweep(spark, sf_dir, only=names, quiet=True, detail_out=detail_out)
+    res = run_sweep(spark, sf_dir, only=names, quiet=False, detail_out=detail_out)
     print(
         f"x100 sweep: {res['oracle_checked']} oracle hash-matches, "
         f"{res['rows_only']} rows-only, {len(res['failures'])} failures "
