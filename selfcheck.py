@@ -73,11 +73,23 @@ def _norm_cell(v):
 
 
 def _value_hash(df: pd.DataFrame) -> str:
+    """Row-order-insensitive value digest: per-row md5 digests, sorted,
+    md5'd together. Equality semantics are identical to hashing the
+    sorted row strings (two frames match iff their row MULTISETS match
+    cell-for-cell), but peak memory is 16 bytes per row instead of the
+    full stringified table — the x100 sweep's 500k-row array-heavy
+    results MemoryError'd the old single-join form on an 8 GiB driver."""
     df = df[sorted(df.columns)]
-    rows = sorted(
-        ",".join(_norm_cell(v) for v in rec) for rec in df.itertuples(index=False)
+    digests = sorted(
+        hashlib.md5(
+            ",".join(_norm_cell(v) for v in rec).encode()
+        ).digest()
+        for rec in df.itertuples(index=False)
     )
-    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+    h = hashlib.md5()
+    for d in digests:
+        h.update(d)
+    return h.hexdigest()
 
 
 def run_sweep(
