@@ -336,7 +336,11 @@ _GINI_ORACLE = f"""
       FROM j
     )
     SELECT region,
-           round(CAST(CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS DOUBLE)
+           -- no BIGINT cast on the numerator sum: at the x100 tier the
+           -- exact INT128 sum reaches ~7.6e19 > int64 max (caught by
+           -- tools/x100_sweep.py round 7); INT128 -> DOUBLE is the
+           -- same nearest-double the engine's DECIMAL(38) sum takes
+           round(CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
                  / (CAST(max(n) AS DOUBLE) * CAST(sum(cents) AS BIGINT)), 6)
              AS gini
     FROM ranked GROUP BY region

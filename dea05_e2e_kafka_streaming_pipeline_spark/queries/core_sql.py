@@ -506,10 +506,18 @@ def q_region_gini_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy("region")).alias("n"),
     )
+    # each per-row product fits int64 easily (rank ≤ ~3M × cents ≤
+    # ~5e7 → ≤ 3e14) but the per-region SUM reaches ~7.6e19 at the
+    # x100 tier — past int64. Summing exact DECIMAL(38,0) terms keeps
+    # the integer arithmetic exact (the contract: the only float op is
+    # the final division), then the one cast to double is the same
+    # nearest-double the oracle's INT128 sum takes.
+    term = ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast(
+        "decimal(38,0)"
+    )
     return ranked.groupBy("region").agg(
         F.round(
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
-            .cast("double")
+            F.sum(term).cast("double")
             / (F.max("n").cast("double") * F.sum("cents")),
             6,
         ).alias("gini")

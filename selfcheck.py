@@ -10,6 +10,7 @@ Usage:  python selfcheck.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime as _dt
+import gc
 import hashlib
 import math
 import os
@@ -111,16 +112,20 @@ def run_sweep(
     7: the round ledger should not depend on the driver's ~50-query
     sample for full-registry evidence).
     """
-    con = duckdb.connect()
-    for t in TABLES:
-        # driver tiers are single files; engine-written tiers (the x10
-        # scale dir) are parquet DIRECTORIES — glob those for duckdb
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-        )
+    def _fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            # driver tiers are single files; engine-written tiers (the
+            # x10 scale dir) are parquet DIRECTORIES — glob for duckdb
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        return c
+
+    con = _fresh_con()
     qs = entry.queries()
     oracles = entry.oracle_sql()
     audits = getattr(entry, "audited_by", dict)() or {}
@@ -166,14 +171,33 @@ def run_sweep(
         try:
             want = con.execute(_retarget_oracle(sql, sf_dir)).df()
         except Exception as e:  # noqa: BLE001
-            say(f"ERR  {name}: duckdb: {e}")
-            bad.append(name)
-            detail[name] = {
-                "rows_match": False, "schema_match": False,
-                "hash_match": False, "spark_rows": len(got),
-                "oracle_rows": None, "err": f"duckdb: {e}",
-            }
-            continue
+            # blast-radius isolation: a failed oracle (an OOM most of
+            # all) can leave the shared connection's allocator pinned,
+            # cascading bad_allocs into every LATER oracle (x100 sweep,
+            # round 7: one OOM poisoned 47 downstream queries).
+            # Reconnect and retry ONCE on a fresh connection before
+            # recording the error.
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = _fresh_con()
+            try:
+                want = con.execute(_retarget_oracle(sql, sf_dir)).df()
+            except Exception as e2:  # noqa: BLE001
+                say(f"ERR  {name}: duckdb: {e2}")
+                bad.append(name)
+                detail[name] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": len(got),
+                    "oracle_rows": None, "err": f"duckdb: {e2}",
+                }
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = _fresh_con()
+                continue
         cols_ok = sorted(got.columns) == sorted(want.columns)
         rows_ok = len(got) == len(want)
         hash_ok = cols_ok and rows_ok and _value_hash(got) == _value_hash(want)
@@ -191,6 +215,10 @@ def run_sweep(
                 f"FAIL {name}: cols={cols_ok}"
                 f" rows={rows_ok}({len(got)}/{len(want)}) hash={hash_ok}"
             )
+        # multi-million-row compares (x100): drop both frames NOW —
+        # holding them to the next iteration doubles peak memory
+        del got, want
+        gc.collect()
     # adjudicate rows-only records against their named companions: a
     # rows-only query whose companion ran IN THIS SWEEP without
     # hash-matching is a failure of the rows-only query too (the
