@@ -997,10 +997,12 @@ def dsir_importance(
     aggregates (map-side combinable, ≤ B rows — the trained state is
     bounded exactly like the BPE vocab and k-means centroids), and
     (b) a doc-keyed exact aggregate after a broadcast join of the
-    B-row model table. Token log-ratios are quantized to 1e-9
+    B-row model table. Token log-ratios are quantized to 1e-6
     fixed-point BIGINTs before the per-doc sum — order-insensitive
     under any partial-agg schedule, mirrored bit-for-bit by the
-    DuckDB oracle.
+    DuckDB oracle (1e-6, not finer: the grid must dominate the
+    ulp disagreement between JVM and libm logarithms — see the
+    inline comment).
 
     Output: (id, n_tokens, dsir_logweight) — higher = more
     target-like.
@@ -1027,16 +1029,23 @@ def dsir_importance(
     b = float(n_buckets)
     p_tgt = (F.col("n_tgt") + 1).cast("double") / (F.col("tot_tgt") + b)
     p_raw = (F.col("n_raw") + 1).cast("double") / (F.col("tot_raw") + b)
+    # token log-ratios quantize at 1e-6, not 1e-9: JVM StrictMath.log
+    # and DuckDB's libm ln disagree in the last ulp for a handful of
+    # the 1024 bucket ratios, and at the 1e-9 grid that ulp flips the
+    # quantized value — 8 of 500k docs hash-mismatched at the x100
+    # tier. At 1e-6 the grid sits ~4 orders of magnitude above ulp
+    # noise (flip window ~1e-10 of a cell), and the per-doc sum stays
+    # integer-exact / order-insensitive as before.
     scored = (
         toks.join(model.crossJoin(F.broadcast(totals)), "bucket")
         .select(
             F.col(id_col),
-            F.round(F.log(p_tgt / p_raw) * F.lit(1e9)).cast("long").alias("lr_q"),
+            F.round(F.log(p_tgt / p_raw) * F.lit(1e6)).cast("long").alias("lr_q"),
         )
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum("lr_q").cast("double") / F.lit(1e9), 6).alias(
+        F.round(F.sum("lr_q").cast("double") / F.lit(1e6), 6).alias(
             "dsir_logweight"
         ),
     )

@@ -888,12 +888,12 @@ def q_epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(ln(
                ((CAST(n_tgt AS DOUBLE) + 1) / (CAST(tot_tgt AS DOUBLE) + 1024.0))
                / ((CAST(n_raw AS DOUBLE) + 1) / (CAST(tot_raw AS DOUBLE) + 1024.0))
-             ) * 1e9, 0) AS BIGINT) AS lr_q
+             ) * 1e6, 0) AS BIGINT) AS lr_q
       FROM tb JOIN model USING (bucket), tot
     )
     SELECT doc_id,
            count(*) AS n_tokens,
-           round(SUM(lr_q) / 1e9, 6) AS dsir_logweight
+           round(SUM(lr_q) / 1e6, 6) AS dsir_logweight
     FROM scored GROUP BY doc_id
     """,
 )

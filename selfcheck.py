@@ -114,6 +114,12 @@ def run_sweep(
     """
     def _fresh_con():
         c = duckdb.connect()
+        # bound the oracle side: a single heavy oracle must spill to
+        # disk, not grow the buffer pool until the PROCESS can't malloc
+        # (the x100 sweep died that way mid-run — bad_alloc in a fresh
+        # connect after ~90 multi-million-row compares)
+        c.execute("SET memory_limit='24GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_sweep_spill'")
         for t in TABLES:
             # driver tiers are single files; engine-written tiers (the
             # x10 scale dir) are parquet DIRECTORIES — glob for duckdb
@@ -216,9 +222,16 @@ def run_sweep(
                 f" rows={rows_ok}({len(got)}/{len(want)}) hash={hash_ok}"
             )
         # multi-million-row compares (x100): drop both frames NOW —
-        # holding them to the next iteration doubles peak memory
+        # holding them to the next iteration doubles peak memory — and
+        # recycle the DuckDB connection so its buffer pool can't
+        # accumulate across the sweep
         del got, want
         gc.collect()
+        try:
+            con.close()
+        except Exception:  # noqa: BLE001
+            pass
+        con = _fresh_con()
     # adjudicate rows-only records against their named companions: a
     # rows-only query whose companion ran IN THIS SWEEP without
     # hash-matching is a failure of the rows-only query too (the
