@@ -98,7 +98,11 @@ def _quiet_known_warnings(spark) -> None:
     - WindowExec's no-partition warning: every remaining site is a
       DECLARED-BOUNDED window (daily-grain series, vocab ranks —
       operators/timeseries.py, operators/curation.py document each);
-      the growing-table sites were re-planned in rounds 5-6.
+      the growing-table sites were re-planned in rounds 5-6. The
+      suppression does NOT blind the repo to new regressions: the
+      plan-level guard tests/test_plans.py::
+      test_no_undeclared_unpartitioned_windows fails on any
+      unpartitioned Window outside the documented allowlist.
     - CacheManager's "already cached" notice: queries share cached
       scans by design; re-marking an already-cached plan is a no-op.
 

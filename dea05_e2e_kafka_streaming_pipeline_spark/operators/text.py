@@ -100,7 +100,12 @@ def shingle_hashes_from(th: Column | str, k: int = 3) -> Column:
     than k tokens, and token-less documents produce the constant
     empty-shingle hash (mirroring the string form's single ""
     shingle), so shingle-equality relations between documents match
-    the string form exactly."""
+    the string form exactly. NULL text is treated as token-less (the
+    constant empty-shingle hash) rather than the string form's single
+    NULL shingle — a NULL shingle can never equi-join anyway, and the
+    doc must still produce its one exploded row or it vanishes from
+    every n_sh/minhash/containment computation downstream (pinned by
+    tests/test_extensions.py::test_shingle_hashes_edge_cases)."""
     c = F.col(th) if isinstance(th, str) else th
     h = c
     for j in range(2, k + 1):
@@ -108,8 +113,12 @@ def shingle_hashes_from(th: Column | str, k: int = 3) -> Column:
         h = F.zip_with(h, tail, lambda x, y: F.xxhash64(x, y))
     out = F.slice(h, 1, F.greatest(F.size(c) - (k - 1), F.lit(1)))
     empty = F.array(F.xxhash64(F.lit(None).cast("long")))
+    # size(NULL) is NULL, not 0: a NULL token-hash array (NULL text)
+    # must take the constant empty-shingle branch like the string form
+    # does, or NULL-text docs silently produce ZERO exploded shingle
+    # rows and vanish from every minhash/jaccard/containment pipeline.
     return F.array_distinct(
-        F.when(F.size(c) == 0, empty).otherwise(out)
+        F.when(F.coalesce(F.size(c), F.lit(0)) == 0, empty).otherwise(out)
     )
 
 

@@ -45,7 +45,7 @@ def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_ENTITY_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
     closure(ancestor, descendant) AS (
-      SELECT customer_id, customer_id FROM c
+      SELECT customer_id AS ancestor, customer_id AS descendant FROM c
       UNION ALL
       SELECT cl.ancestor, ch.customer_id
       FROM c ch JOIN closure cl
@@ -74,9 +74,15 @@ def q_referral_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CYCLIC graphs, where UNION-dedup recursion is unavailable)."""
     load_orders(spark, sf_dir).createOrReplaceTempView("ref_o")
     load_customers(spark, sf_dir).createOrReplaceTempView("ref_c")
+    # anchor columns are aliased to DISTINCT names: `SELECT customer_id,
+    # customer_id` gives the anchor two copies of ONE attribute, and the
+    # recursive executor's per-step materialization (LogicalRDD) warns on
+    # the duplicate-output projection every round — the exact warning
+    # class that precedes wrong-column bugs after a refactor (r7 verdict
+    # item 4). Same SQL text still runs on DuckDB.
     return spark.sql("""
     WITH RECURSIVE closure(ancestor, descendant) AS (
-      SELECT customer_id, customer_id FROM ref_c
+      SELECT customer_id AS ancestor, customer_id AS descendant FROM ref_c
       UNION ALL
       SELECT cl.ancestor, ch.customer_id
       FROM ref_c ch JOIN closure cl

@@ -1619,3 +1619,61 @@ def test_blocked_matmul_requires_block(spark):
         cosine_near_dup_pairs(
             df, threshold=0.5, block_col=None, scorer="matmul"
         )
+
+
+def test_shingle_hashes_edge_cases(spark):
+    """shingle_hashes_from must agree with word_shingles on every
+    equality relation the dedup family depends on, across the edge
+    cases that exercise the zip_with/null-padding fold: empty text,
+    symbol-only text, 1..k-1 tokens (the sub-k partial shingle), k and
+    k+1 tokens, duplicated docs — and NULL text must NOT vanish (it
+    takes the constant empty-shingle branch, so it groups with
+    token-less docs instead of producing zero exploded rows)."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        shingle_hashes_from,
+        token_hashes,
+        word_shingles,
+    )
+
+    rows = [
+        (0, None),                       # NULL text
+        (1, ""),                         # empty
+        (2, "!!! ??? ..."),              # symbol-only -> zero tokens
+        (3, "alpha"),                    # 1 token (< k)
+        (4, "alpha beta"),               # k-1 tokens
+        (5, "alpha beta gamma"),         # exactly k
+        (6, "alpha beta gamma delta"),   # k+1
+        (7, "alpha beta gamma delta"),   # duplicate of 6
+        (8, "beta gamma delta alpha"),   # same tokens, different order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 3
+    got = (
+        df.select("doc_id", token_hashes("text").alias("__th"))
+        .select("doc_id", shingle_hashes_from("__th", k).alias("hsh"))
+        .join(df.select("doc_id", word_shingles("text", k).alias("ssh")), "doc_id")
+        .orderBy("doc_id")
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in got}
+    # every doc — including NULL text — yields a non-empty shingle set
+    for r in got:
+        assert r.hsh is not None and len(r.hsh) >= 1, r
+    # cardinalities match the string form wherever the string form is
+    # non-NULL-valued (doc 0's string form is [NULL]; hash form maps it
+    # to the constant empty hash — same single-element cardinality)
+    for r in got:
+        assert len(r.hsh) == len(r.ssh), r
+    # pairwise equality relations (same set vs disjoint vs overlap
+    # size) must match between the two forms on non-NULL docs
+    import itertools
+
+    for i, j in itertools.combinations([1, 2, 3, 4, 5, 6, 7, 8], 2):
+        a, b = by_id[i], by_id[j]
+        str_common = len(set(a.ssh) & set(b.ssh))
+        hsh_common = len(set(a.hsh) & set(b.hsh))
+        assert str_common == hsh_common, (i, j, str_common, hsh_common)
+    # NULL text groups with token-less docs under the hash form
+    assert set(by_id[0].hsh) == set(by_id[1].hsh) == set(by_id[2].hsh)

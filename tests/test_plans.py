@@ -447,3 +447,90 @@ def test_bloom_word_table_broadcasts(spark):
     plan = _plan(spark, "bloom_customer_membership")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# Every unpartitioned Window a registered query plans, with why it is
+# bounded. WindowExec's no-partition warning is routed out of the bench
+# tail (bench.py _quiet_known_warnings), so THIS is the guard that keeps
+# a new corpus-sized unbounded window from shipping silently — the exact
+# early signal rounds 5-6 used to find superlinear windows.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # daily/hourly/monthly-grain series: one row per calendar bucket
+    # (≤ a few thousand at any SF — time, not data, bounds cardinality)
+    "revenue_ewma_daily",
+    "cusum_changepoint_daily",
+    "revenue_stl_daily",
+    "conformal_revenue_intervals",
+    "user_acquisition_curve",
+    "running_monthly_revenue",
+    # contingency tables: |regions| x |priorities| cells
+    "chisq_region_priority",
+    "mutual_info_region_priority",
+    # vocab-rank windows over the aggregated token table (vocab grows
+    # ~log with corpus; operators/curation.py documents the bound)
+    "dictionary_encode_docs",
+    "vocab_coverage_docs",
+    "zipf_slope_vocab",
+    # rank-over-top-k arms: the window input is already LIMIT k
+    "rrf_hybrid_topk_docs",
+    "ndcg_int8_ranking",
+}
+
+
+def _top_bracket_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window physical nodes with an empty partitionSpec. Rendering:
+    ``Window [exprs], [part], [order]`` — an empty partition list is
+    omitted, so 2 top-level groups where the last carries sort
+    directions (ASC/DESC) means the 'part' group is missing."""
+    hits = []
+    for line in plan.splitlines():
+        i = line.find("Window [")
+        if i < 0:
+            continue
+        if i > 0 and (line[i - 1].isalnum() or line[i - 1] == "_"):
+            continue  # WindowGroupLimit etc. — only bare Window nodes
+        g = _top_bracket_groups(line[i:])
+        if len(g) == 1 or (
+            len(g) == 2 and (" ASC" in g[-1] or " DESC" in g[-1])
+        ):
+            hits.append(line.strip()[:160])
+    return hits
+
+
+def test_no_undeclared_unpartitioned_windows(spark):
+    """Every unpartitioned (single-partition) Window in any registered
+    query's physical plan must be on the documented bounded allowlist —
+    a new one means someone planned a global sort-the-world window over
+    a data-sized frame."""
+    offenders = {}
+    for name, fn in registry.queries().items():
+        if name in _BOUNDED_GLOBAL_WINDOWS:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        hits = _unpartitioned_windows(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "unpartitioned Window outside the documented allowlist "
+        f"(_BOUNDED_GLOBAL_WINDOWS): {offenders}"
+    )

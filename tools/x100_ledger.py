@@ -79,9 +79,13 @@ def main() -> int:
     missing = [q for q in SUBSET if q not in q100]
     if missing:
         raise SystemExit(f"x100 metrics missing subset queries: {missing}")
-    growth = {
-        q: round(q100[q] / q10[q], 2) for q in SUBSET if q in q10
-    }
+    # the x10 denominator is just as load-bearing: a query absent from
+    # the x10 metrics would silently drop out of growth_vs_x10 and
+    # evade the --max-growth gate, so its absence is a hard error too
+    missing10 = [q for q in SUBSET if q not in q10]
+    if missing10:
+        raise SystemExit(f"x10 metrics missing subset queries: {missing10}")
+    growth = {q: round(q100[q] / q10[q], 2) for q in SUBSET}
     spill = sum(
         m.get("disk_spill_bytes", 0) for m in m100["query_metrics"].values()
     )
