@@ -1231,6 +1231,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    min_prefix_threshold: float = 0.6,
 ) -> DataFrame:
     """All pairs with shingle CONTAINMENT ≥ threshold — the asymmetric
     near-dup measure ``C(A,B) = |A∩B| / min(|A|,|B|)`` (Broder's
@@ -1240,9 +1241,34 @@ def ngram_containment_pairs(
     excerpt/boilerplate-inclusion case corpus dedup must catch and
     :func:`ngram_jaccard_pairs` structurally cannot.
 
-    Same inverted-index plan and shuffle economics as the Jaccard
-    variant (explode distinct shingle hashes, equi-join, count common);
-    only the final scoring projection differs."""
+    Two physical plans, picked by threshold (round-8, mirroring
+    :func:`ngram_jaccard_pairs_prefix`'s delegation discipline):
+
+    - **τ ≥ min_prefix_threshold** → the MIN-SIDE PREFIX plan
+      (:func:`_ngram_containment_prefix`). Containment has no length
+      filter by construction (short-inside-long is the signal, not
+      noise), but it does admit the prefix theorem on the smaller set:
+      C(A,B) ≥ τ with |A| ≤ |B| forces o = ⌈τ·|A|⌉ common shingles,
+      and A's first |A| − o + 1 ≤ ⌊(1−τ)·|A|⌋ + 1 hash-sorted shingles
+      must hold one of them. So the INDEX side carries only each doc's
+      prefix (as the potential min side) while the PROBE side carries
+      full postings; a positional filter (both suffixes at the pair's
+      first collision must hold all o common shingles) prunes the
+      candidate set before exact verification on the carried arrays.
+    - **τ < min_prefix_threshold** → the plain inverted-index postings
+      count (explode distinct shingle hashes, equi-join, count common
+      per pair — the Jaccard plan with a different scoring projection).
+      Measured at the x10 tier (round 8): the prefix plan wins at
+      τ=0.8 (3.74 s vs 4.80 s) and τ=0.6 (3.18 vs 4.03) but LOSES at
+      τ=0.5 (4.28 vs 3.65) and below — with a 0.5+ prefix fraction the
+      distinct-candidates pass plus array-carry verification costs
+      more than the postings count it replaces, the same low-τ
+      economics that set Jaccard's delegation point.
+
+    Both plans are output-identical (verified pairwise at sf0.1 and
+    x10 across τ ∈ {0.4, 0.5, 0.6, 0.8})."""
+    if threshold >= min_prefix_threshold:
+        return _ngram_containment_prefix(df, text_col, id_col, k, threshold)
     df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
@@ -1264,6 +1290,88 @@ def ngram_containment_pairs(
     containment = F.col("common").cast("double") / F.least("n_a", "n_b")
     return (
         pairs.withColumn("containment", F.round(containment, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def _ngram_containment_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """The high-τ containment plan: min-side prefix index × full-postings
+    probe, positional pruning, exact array verification (see
+    :func:`ngram_containment_pairs` for the theorem and measurements).
+
+    Candidate direction: for a qualifying pair, only the SMALLER set's
+    prefix is guaranteed to collide with the larger set's full postings,
+    so the join keeps rows where the prefix side is the ≤-size side
+    (id-tiebreak on equal sizes keeps exactly one direction). Output ids
+    are normalized to id_a < id_b afterwards, independent of sizes.
+    Bound arithmetic carries the same epsilon discipline as the Jaccard
+    prefix: jitter may only ENLARGE the prefix or LOWER the overlap
+    bound, never drop a true pair."""
+    df = _spread(df)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
+        )
+        .select("id", F.array_sort(shingle_hashes_from("__th", k)).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    prefix_len = F.least(
+        F.floor((1.0 - threshold) * F.col("n_sh") + F.lit(1e-9)).cast("int") + 1,
+        F.col("n_sh"),
+    )
+    pre = sh.select(
+        "id",
+        "n_sh",
+        F.posexplode(F.slice("sh", F.lit(1), prefix_len)).alias("pos", "s"),
+    )
+    full = sh.select("id", "n_sh", F.posexplode("sh").alias("pos", "s"))
+    p, f = pre.alias("p"), full.alias("f")
+    min_side_ok = (F.col("p.n_sh") < F.col("f.n_sh")) | (
+        (F.col("p.n_sh") == F.col("f.n_sh")) & (F.col("p.id") < F.col("f.id"))
+    )
+    # o = ceil(tau * |A|) with A the prefix (min) side; at the pair's
+    # FIRST collision every common shingle sorts at-or-after it in BOTH
+    # arrays, so both suffixes must still hold all o of them — any pair
+    # that qualifies passes this filter on its first-collision row
+    overlap_needed = F.ceil(F.lit(threshold) * F.col("p.n_sh") - F.lit(1e-9))
+    positional_ok = (
+        F.least(
+            F.col("p.n_sh") - F.col("p.pos"), F.col("f.n_sh") - F.col("f.pos")
+        )
+        >= overlap_needed
+    )
+    cand = (
+        p.join(f, (F.col("p.s") == F.col("f.s")) & (F.col("p.id") != F.col("f.id")))
+        .filter(min_side_ok & positional_ok)
+        .select(
+            F.least(F.col("p.id"), F.col("f.id")).alias("id_a"),
+            F.greatest(F.col("p.id"), F.col("f.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    left = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    right = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    containment = F.col("common").cast("double") / F.least("n_a", "n_b")
+    return (
+        verified.withColumn("containment", F.round(containment, 6))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )

@@ -1293,7 +1293,13 @@ def ann_index_rebuild(
     Deterministic end-to-end (seeded sample, argmin assignment):
     rebuilding twice from the same accumulated data yields byte-
     identical centroids and assignments. Returns the new state dict
-    (with ``version``)."""
+    (with ``version``).
+
+    Safe to run while the versioned ingest sink is live: a micro-batch
+    that commits into the CURRENT version after this rebuild's scan
+    (but before the swap is observed) is reconciled into the new
+    version by the sink's first post-swap batch — see
+    ``streaming.pipeline.ann_ingest_sink_versioned``."""
     import json
     import os
 

@@ -971,6 +971,20 @@ def ann_ingest_sink_versioned(
     v+1, and readers pinned on v never observe either the swap or the
     later appends.
 
+    **Swap-race reconciliation** (round-8, ADVICE): a batch that
+    commits into v AFTER the rebuild has scanned v's parquet but
+    BEFORE this sink resolves v+1 would otherwise vanish from the
+    current view forever — the checkpoint marks it done, and the
+    per-id anti-join inside v+1 never re-admits ids that only arrived
+    in v. So on the first batch after a swap the sink walks the new
+    version's ``rebuilt_from`` chain and copies any rows present in an
+    ancestor's index but absent from the current one into the current
+    version (ids anti-joined first, so the steady-state cost is one
+    id-only join per rebuild; vectors ship only for actual race
+    victims). Idempotent and crash-safe: a crash between the copy and
+    the ``reconciled_from`` state write just re-runs an anti-join that
+    now finds nothing.
+
     Bootstrap (no committed version yet): train quantizer state from
     the first non-empty batch, ingest it into v0's directory, and
     atomically publish v0 — the same first-batch contract as the flat
@@ -995,6 +1009,39 @@ def ann_ingest_sink_versioned(
         ann_train_state,
     )
 
+    def _reconcile_swap_race(spark, version: int, state: dict) -> None:
+        """Copy rows that landed in a rebuild ancestor after its rebuild
+        scan (the swap race) into the current version. Walks the whole
+        ``rebuilt_from`` chain so back-to-back rebuilds with no sink
+        batch in between still lose nothing; every ancestor is settled
+        exactly once per current version (``reconciled_from``)."""
+        done = set(state.get("reconciled_from", []))
+        chain, st = [], state
+        while "rebuilt_from" in st and st["rebuilt_from"] not in done:
+            prev = st["rebuilt_from"]
+            chain.append(prev)
+            _, prev_state_path = ann_store_paths(store_root, prev)
+            with open(prev_state_path) as f:
+                st = json.load(f)
+        if not chain:
+            return
+        index_path, state_path = ann_store_paths(store_root, version)
+        for prev in chain:
+            prev_index, _ = ann_store_paths(store_root, prev)
+            ancestor = spark.read.parquet(prev_index).select(id_col, vec_col)
+            cur_ids = spark.read.parquet(index_path).select(id_col)
+            missing = ancestor.join(cur_ids, id_col, "left_anti")
+            if not missing.isEmpty():
+                ann_index_ingest_batch(
+                    missing, index_path, state["centroids"],
+                    n_probe=state["n_probe"], vec_col=vec_col, id_col=id_col,
+                )
+        state["reconciled_from"] = sorted(done | set(chain))
+        tmp = f"{state_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, state_path)
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1004,6 +1051,7 @@ def ann_ingest_sink_versioned(
             index_path, state_path = ann_store_paths(store_root, version)
             with open(state_path) as f:
                 state = json.load(f)
+            _reconcile_swap_race(batch_df.sparkSession, version, state)
             bootstrap = False
         else:
             version = 0

@@ -1677,3 +1677,30 @@ def test_shingle_hashes_edge_cases(spark):
         assert str_common == hsh_common, (i, j, str_common, hsh_common)
     # NULL text groups with token-less docs under the hash form
     assert set(by_id[0].hsh) == set(by_id[1].hsh) == set(by_id[2].hsh)
+
+
+def test_containment_prefix_equals_postings(spark):
+    """The min-side prefix plan and the plain postings-count plan must
+    be output-identical at every threshold above the delegation point
+    (completeness of the asymmetric prefix + positional filter)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        _ngram_containment_prefix,
+        ngram_containment_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for tau in (0.6, 0.8, 0.95):
+        plain = {
+            (r.id_a, r.id_b, r.containment)
+            for r in ngram_containment_pairs(
+                docs, threshold=tau, min_prefix_threshold=2.0  # force plain
+            ).collect()
+        }
+        prefix = {
+            (r.id_a, r.id_b, r.containment)
+            for r in _ngram_containment_prefix(
+                docs, "text", "doc_id", 3, tau
+            ).collect()
+        }
+        assert plain == prefix, (tau, len(plain), len(prefix))

@@ -1937,3 +1937,119 @@ def test_ann_versioned_rebuild_and_swap(spark, tmp_path):
     # state file round-trips and the manifest is the only commit point
     with open(ann_store_paths(store, 1)[1]) as f:
         assert json.load(f)["rebuilt_from"] == 0
+
+
+def test_ann_versioned_swap_race_reconciled(spark, tmp_path):
+    """A micro-batch that commits into version v AFTER ann_index_rebuild
+    has scanned v but BEFORE the sink observes v+1 must not vanish from
+    the current view: the sink's first post-swap batch reconciles
+    v-only ids into v+1 (round-8 ADVICE item 1). Also pins idempotence
+    (a second pass copies nothing) and crash-safety (wiping the
+    reconciled_from marker re-runs an anti-join that finds nothing)."""
+    import json
+    import random
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        ann_index_ingest_batch,
+        ann_index_rebuild,
+        ann_store_paths,
+        ann_store_read,
+        ann_store_state,
+        ann_store_versions,
+        with_ivf_probes,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.streaming.pipeline import (
+        ann_ingest_sink_versioned,
+    )
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    rng = random.Random(29)
+    landing = tmp_path / "landing"
+    store = str(tmp_path / "ann_store")
+    vec_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+
+    def land(name, rows):
+        spark.createDataFrame(rows, vec_schema).coalesce(1).write.mode(
+            "append"
+        ).json(str(landing / name))
+
+    def run():
+        stream = file_stream(
+            spark, str(landing / "*"), vec_schema, max_files_per_trigger=1
+        )
+        q = ann_ingest_sink_versioned(
+            stream, store, str(tmp_path / "ckpt"),
+            n_centroids=2, n_probe=1, available_now=True,
+        )
+        assert q.awaitTermination(600)
+
+    w1 = [(i, [5.0 + rng.gauss(0, 0.2) for _ in range(4)]) for i in range(50)]
+    w1 += [
+        (50 + i, [-5.0 + rng.gauss(0, 0.2) for _ in range(4)])
+        for i in range(50)
+    ]
+    land("w1", w1)
+    run()
+    assert ann_store_versions(store) == [0]
+    s0 = ann_store_state(store, 0)
+
+    # offline rebuild scans v0's 100 vectors and publishes v1 ...
+    s1 = ann_index_rebuild(spark, store, n_centroids=2, n_probe=1)
+    assert ann_store_versions(store) == [0, 1]
+
+    # ... and THEN a batch commits into v0 — the swap race: a sink
+    # micro-batch that resolved v0 before the manifest landed
+    raced = spark.createDataFrame(
+        [(9000 + i, [5.0 + rng.gauss(0, 0.2) for _ in range(4)])
+         for i in range(10)],
+        vec_schema,
+    )
+    v0_index, _ = ann_store_paths(store, 0)
+    ann_index_ingest_batch(
+        raced, v0_index, s0["centroids"], n_probe=s0["n_probe"]
+    )
+    assert ann_store_read(spark, store, 0).count() == 110
+    assert ann_store_read(spark, store, 1).count() == 100  # race victims lost
+
+    # the sink's next batch resolves v1 and must reconcile the 10
+    w2 = [
+        (5000 + i, [5.0 + rng.gauss(0, 0.2) for _ in range(4)])
+        for i in range(20)
+    ]
+    land("w2", w2)
+    run()
+    idx1 = ann_store_read(spark, store, 1)
+    assert idx1.count() == 130  # 100 rebuilt + 10 reconciled + 20 new
+    got_ids = {r.vec_id for r in idx1.select("vec_id").collect()}
+    assert all(9000 + i in got_ids for i in range(10))
+    # reconciled rows carry v1's quantizer assignments
+    want = {
+        r.vec_id: tuple(r.ivf_probes)
+        for r in with_ivf_probes(
+            idx1.select("vec_id", "embedding"), s1["centroids"], n_probe=1
+        ).collect()
+    }
+    got = {r.vec_id: tuple(r.ivf_probes) for r in idx1.collect()}
+    assert got == want
+    # the ancestor is settled exactly once
+    assert ann_store_state(store, 1)["reconciled_from"] == [0]
+    # v0 itself is untouched by the reconcile (pinned readers stable)
+    assert ann_store_read(spark, store, 0).count() == 110
+
+    # crash-safety: lose the marker (crash between copy and state
+    # write) — the next batch re-runs an anti-join that finds nothing
+    _, v1_state_path = ann_store_paths(store, 1)
+    with open(v1_state_path) as f:
+        st = json.load(f)
+    del st["reconciled_from"]
+    with open(v1_state_path, "w") as f:
+        json.dump(st, f)
+    land("w3", [(8000, [5.0, 5.0, 5.0, 5.0])])
+    run()
+    assert ann_store_read(spark, store, 1).count() == 131
+    assert ann_store_state(store, 1)["reconciled_from"] == [0]
