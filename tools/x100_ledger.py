@@ -37,7 +37,11 @@ import os
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # The spill subset: the most expensive scale-path plans (r6 selection,
-# stable across rounds so ledgers compare like-for-like).
+# stable across rounds so ledgers compare like-for-like; r8 widened it
+# by the families the spill regime had never executed — iterative graph
+# peeling/PageRank, the linkage SNB/ER paths, the retractable-MV IVM
+# sibling, the new containment prefix plan, global-rownum shuffle,
+# sessionization, and BM25 — per round-7 verdict item 5).
 SUBSET = [
     "referral_tree_rollup", "basket_part_pairs", "basket_rules_confidence",
     "bfs_hops_parts", "sole_late_supplier", "hbos_outlier_orders",
@@ -52,6 +56,11 @@ SUBSET = [
     "curation_pipeline_docs", "retractable_minmax_sales",
     "triangle_counts_parts", "clustering_coeff_parts",
     "link_prediction_parts",
+    # --- r8 additions ---
+    "kcore_parts_graph", "pagerank_dedup_graph", "linkage_snb_pairs",
+    "entity_resolution_snb", "jaro_winkler_customer_names",
+    "ngram_containment_prefix_hi", "retractable_daily_sales",
+    "epoch_shuffle_docs", "events_sessionization", "bm25_topk_docs",
 ]
 
 

@@ -60,7 +60,7 @@ def main() -> int:
         here, "testdata_x100", "sf10"
     )
     detail_out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        here, "CORRECTNESS_x100_r07.json"
+        here, "CORRECTNESS_x100_r08.json"
     )
     mod = importlib.import_module("__spark_entry__")
     names = set(mod.queries()) - EXCLUDE

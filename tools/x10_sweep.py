@@ -76,7 +76,7 @@ def main() -> int:
         here, "testdata_x10", "sf1.0"
     )
     detail_out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        here, "CORRECTNESS_x10_r06.json"
+        here, "CORRECTNESS_x10_r08.json"
     )
     mod = importlib.import_module("__spark_entry__")
     names = set(mod.queries()) - EXCLUDE
