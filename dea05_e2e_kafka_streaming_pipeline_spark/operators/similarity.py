@@ -2236,3 +2236,76 @@ def ndcg_eval(
             ).alias("ndcg_r6"),
         )
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's farthest-point
+    traversal, the classic 2-approximation for the k-center objective)
+    — the diversity-sampling primitive for training-data curation:
+    pick ``k`` vectors such that every vector is close to some pick,
+    by repeatedly selecting the point FARTHEST from the current picks.
+    Complements the repo's similarity family from the opposite
+    direction — MMR re-ranks a bounded candidate pool for one query,
+    SemDeDup/k-means DROP redundant points; k-center SELECTS a maximal-
+    coverage skeleton of the whole corpus (coreset for clustering,
+    seed set for active learning / annotation budgets).
+
+    Deterministic end-to-end: the seed is the minimum id (farthest-
+    point is seed-invariant up to the 2-approx guarantee, and a fixed
+    seed makes the output oracle-checkable); per-center squared L2
+    distances are computed in double via the inner-product identity
+    ``|a−b|² = |a|² + |b|² − 2a·b`` and ROUNDED to ``round_digits``
+    BEFORE the min-over-centers and the argmax, so the selection
+    depends only on 1e-6-quantized values that DuckDB reproduces
+    (same discipline as the DSIR log-ratio quantization).
+
+    Scale shape: k−1 driver-coordinated passes, each ONE TakeOrdered
+    job (partial top-1 per partition — no sort shuffle, no full
+    collect; the driver sees exactly one row per pass, the bounded-
+    apparatus contract). Every pass recomputes min-distance against
+    ≤k literal centers — O(k²·n·d) total, the stateless tradeoff that
+    avoids persisting a running dmin column across jobs (at 100 TB
+    you would checkpoint dmin instead; with k=8 the recompute is
+    cheaper than the checkpoint writes). Returns ``(rank, vec_id,
+    sel_dist)`` — sel_dist is the selection's distance-to-picked-set,
+    the k-center coverage radius sequence (NULL for the seed)."""
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).withColumn("sq", _dot(F.col("v"), F.col("v")))
+    seed = e.orderBy("id").first()
+    picks: list[tuple[int, int, float | None]] = [(1, seed["id"], None)]
+    centers: list[tuple[list[float], float]] = [(seed["v"], seed["sq"])]
+    chosen: list[int] = [seed["id"]]
+    for r in range(2, k + 1):
+        dists = [
+            F.round(
+                F.col("sq")
+                + F.lit(csq)
+                - 2.0 * _dot(F.col("v"), F.array(*[F.lit(x) for x in cv])),
+                round_digits,
+            )
+            for cv, csq in centers
+        ]
+        dmin = F.least(*dists) if len(dists) > 1 else dists[0]
+        row = (
+            e.filter(~F.col("id").isin(chosen))
+            .select("id", "v", "sq", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), F.col("id"))
+            .first()
+        )
+        if row is None:  # corpus smaller than k
+            break
+        picks.append((r, row["id"], float(row["dmin"])))
+        centers.append((row["v"], row["sq"]))
+        chosen.append(row["id"])
+    return spark.createDataFrame(
+        picks, schema="rank int, vec_id long, sel_dist double"
+    )

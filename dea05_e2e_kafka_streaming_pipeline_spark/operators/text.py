@@ -355,6 +355,204 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", content_fingerprint(text_col).alias("fingerprint"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every k-token gram, slide a window
+    of ``w`` consecutive gram hashes, and select the RIGHTMOST minimal
+    hash of each window. The selection guarantees that any shared run
+    of at least ``w + k - 1`` tokens between two documents yields at
+    least one shared fingerprint, while keeping the per-document
+    fingerprint density at ~2/(w+1) — the local, position-robust
+    alternative to :func:`content_fingerprint`'s whole-document key and
+    to MinHash's set-level signature (winnowing preserves WHERE the
+    match is, which is what plagiarism/provenance audits need).
+
+    Returns ``(id_col, pos, fp_hash)`` — one row per selected
+    fingerprint, ``pos`` the 1-based gram position. Documents shorter
+    than ``k + w - 1`` tokens (no full window) produce no rows, the
+    same boundary convention as the reference's span audits.
+
+    Scale shape: the whole computation is PER-DOCUMENT array math in
+    one projection — gram hashing, window folds, and the dedup of
+    adjacent windows' repeated picks (``array_distinct`` BEFORE the
+    explode, duplicates only ever occur within a document) are all
+    map-side; the operator shuffles NOTHING. Gram hashes are md5-prefix
+    60-bit ints rather than xxhash64 so DuckDB oracles can reproduce
+    them (the fingerprint IS the output here, unlike the internal-only
+    shingle hashes of :func:`shingle_hashes_from`). The token array is
+    bound in its own projection before the window lambdas consume it —
+    the same CSE-through-lambda discipline as shingle_hashes_from;
+    per-window work touches only the bound ``ph`` column, so the fold
+    is O(n·w) per document regardless of optimizer inlining."""
+    toks = tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("t")).filter(
+        F.size("t") >= k + w - 1
+    )
+    # (pos, hash) structs per gram, bound before the window lambdas.
+    ph = d.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("p"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("t", i, k), " ")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+            ),
+        ).alias("ph"),
+    )
+    # Rightmost minimum of each w-window: left fold keeping the later
+    # element on ties (<=), init = sentinel above any 60-bit hash.
+    init = F.struct(
+        F.lit(-1).cast("long").alias("p"),
+        F.lit(1 << 62).cast("long").alias("h"),
+    )
+    sel = ph.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ph") - (w - 1)),
+                    lambda s: F.aggregate(
+                        F.slice("ph", s, w),
+                        init,
+                        lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(
+                            acc
+                        ),
+                    ),
+                )
+            )
+        ).alias("fp"),
+    )
+    return sel.select(
+        id_col, F.col("fp.p").alias("pos"), F.col("fp.h").alias("fp_hash")
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    MOSS's candidate-pair report. Fingerprints occurring in more than
+    ``max_df`` documents are dropped BEFORE pairing (MOSS's ubiquitous-
+    hash suppression: boilerplate fingerprints carry no authorship
+    signal), which is also the scale safety valve — per-hash pair
+    fanout is bounded by max_df², so no heavy-hitter hash can produce
+    a quadratic join blowup. Returns ``(doc_a, doc_b, n_shared)``.
+
+    Scale shape: fingerprinting is map-side (:func:`winnow_fingerprints`
+    shuffles nothing); the doc-level distinct and df-filter shuffle only
+    (id, hash) pairs; the pair join shuffles on fp_hash with bounded
+    postings. The min_shared HAVING runs map-side-partial on the
+    (doc_a, doc_b) grain."""
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select(id_col, "fp_hash")
+        .distinct()
+    )
+    keep = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp_hash")
+    )
+    e = fps.join(keep, "fp_hash")
+    a = e.select(F.col("fp_hash"), F.col(id_col).alias("doc_a"))
+    b = e.select(F.col("fp_hash"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def boilerplate_span_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    min_docs: int = 3,
+    df_frac: float = 0.005,
+) -> DataFrame:
+    """Per-document boilerplate exposure (the CCNet/C4 curation signal):
+    a k-token span is BOILERPLATE when it appears in at least
+    ``max(min_docs, ceil(df_frac · |corpus|))`` distinct documents —
+    a relative threshold, so "common" keeps meaning common as the
+    corpus grows. Returns per document the total span count, the count
+    of span occurrences that are boilerplate, and their ratio — the
+    input to a drop-or-trim curation rule (differs from
+    ``duplicate_spans_docs``, the corpus-level audit, by turning the
+    same span grain into a per-row curation feature; and from
+    ``contamination_docs`` by measuring corpus-INTERNAL commonality,
+    not benchmark overlap).
+
+    Scale shape: spans explode map-side and reduce once on the span key
+    (df computation — map-side partial agg); the boilerplate span set
+    is the ONLY broadcast-joined side (bounded: spans above a relative
+    df threshold are at most |corpus|·spans_per_doc/df_min keys, and
+    empirically tiny); the per-doc re-aggregation reduces on doc_id.
+    The corpus size is a scalar agg, broadcast as a literal via
+    crossJoin of a 1-row frame — no collect of data rows."""
+    toks = tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= k)
+    spans = d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.array_join(F.slice("t", i, k), " "),
+            )
+        ).alias("span"),
+    )
+    n_corpus = d.agg(F.count(F.lit(1)).alias("n_corpus"))
+    span_df = spans.groupBy("span").agg(
+        F.countDistinct(id_col).alias("span_docs")
+    )
+    boiler = (
+        span_df.crossJoin(F.broadcast(n_corpus))
+        .filter(
+            F.col("span_docs")
+            >= F.greatest(
+                F.lit(min_docs), F.ceil(F.lit(df_frac) * F.col("n_corpus"))
+            )
+        )
+        .select("span")
+    )
+    flagged = spans.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(1))), "span", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler_spans"),
+        F.round(
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("boiler_ratio"),
+    )
+
+
 def build_inverted_index(
     df: DataFrame,
     text_col: str = "text",

@@ -2240,3 +2240,68 @@ def q_near_dup_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_col="found_pairs",
         exact_col="planted_pairs",
     )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy farthest-point selection as chained MATERIALIZED
+    CTEs (DuckDB re-evaluates non-materialized CTEs per reference — the
+    chain doubles per stage without it, 2^k blowup). Each stage joins
+    the remaining vectors against the current center set, takes the
+    min of per-center 1e-6-rounded squared L2 distances (the identity
+    |a−b|² = |a|²+|b|²−2a·b, all in double — the exact arithmetic the
+    Spark operator uses), and picks the argmax with vec_id tie-break.
+    GROUP BY stays on vec_id alone (never the 64-dim list); the picked
+    row's vector is re-joined from sq2 afterwards."""
+    parts = [
+        "WITH sq2 AS MATERIALIZED (SELECT vec_id, v,"
+        " list_inner_product(v, v) AS s FROM (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings))",
+        ", s1 AS MATERIALIZED (SELECT vec_id, v, s FROM sq2"
+        " ORDER BY vec_id LIMIT 1)",
+    ]
+    sel = ["SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS sel_dist FROM s1"]
+    prev = "s1"
+    for r in range(2, k + 1):
+        parts.append(f"""
+    , x{r} AS MATERIALIZED (
+      SELECT q.vec_id,
+             min(round(q.s + c.s - 2*list_inner_product(q.v, c.v), 6)) AS dmin
+      FROM sq2 q, {prev} c
+      WHERE q.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY q.vec_id
+      ORDER BY dmin DESC, q.vec_id LIMIT 1
+    )
+    , p{r} AS MATERIALIZED (
+      SELECT x.vec_id, s2.v, s2.s, x.dmin
+      FROM x{r} x JOIN sq2 s2 USING (vec_id)
+    )
+    , cs{r} AS MATERIALIZED (
+      SELECT vec_id, v, s FROM {prev}
+      UNION ALL SELECT vec_id, v, s FROM p{r}
+    )""")
+        sel.append(f"SELECT {r} AS rank, vec_id, dmin AS sel_dist FROM p{r}")
+        prev = f"cs{r}"
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@register("kcenter_coreset_embeddings", oracle=_kcenter_oracle(8))
+def q_kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point traversal, the
+    2-approximation) over the embeddings table, k=8: the diversity-
+    SELECTION primitive the similarity family lacked — MMR re-ranks a
+    bounded pool for one query, SemDeDup/k-means DROP redundancy;
+    k-center picks a maximal-coverage skeleton of the whole corpus
+    (annotation budgets, active-learning seeds, coreset clustering).
+    Deterministic: seed = min vec_id, per-center squared L2 in double
+    rounded to 1e-6 BEFORE the min-over-centers and argmax (the DSIR
+    quantization discipline), ties to the smaller id. k−1 driver-
+    coordinated TakeOrdered passes, one row collected per pass; the
+    returned sel_dist column is the coverage-radius sequence. Oracle:
+    the same greedy unrolled as 7 chained materialized CTE stages."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return kcenter_coreset(load_table(spark, sf_dir, "embeddings"), k=8)

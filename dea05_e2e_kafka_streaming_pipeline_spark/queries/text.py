@@ -1228,3 +1228,127 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+_WINNOW_FPS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 2), i -> struct_pack(
+               p := i,
+               h := ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT))
+               AS ph
+      FROM toks WHERE len(t) >= 8
+    ), sel AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ph) - 3),
+               s -> list_reduce(ph[s:s+4],
+                                (acc, x) -> CASE WHEN x.h <= acc.h
+                                            THEN x ELSE acc END)) AS fps
+      FROM hs
+    )
+    SELECT DISTINCT doc_id, u.fp.p AS pos, u.fp.h AS fp_hash
+    FROM sel, unnest(sel.fps) AS u(fp)
+"""
+
+
+@register("winnow_fingerprints_docs", oracle=_WINNOW_FPS_ORACLE)
+def q_winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm) at k=4 grams / w=5 windows: the rightmost
+    minimal gram hash of every window, giving position-robust local
+    fingerprints with the guarantee that any shared ≥8-token run
+    between documents yields a shared fingerprint. Entirely map-side
+    array math — the operator shuffles nothing (dedup of adjacent
+    windows' repeated picks is array_distinct BEFORE the explode); the
+    DuckDB oracle replays the identical fold with list_reduce over the
+    same md5-prefix 60-bit gram hashes."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "winnow_shared_pairs",
+    oracle=f"""
+    WITH fps_all AS ({_WINNOW_FPS_ORACLE}),
+    fps AS (SELECT DISTINCT doc_id, fp_hash FROM fps_all),
+    keep AS (
+      SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50
+    ),
+    e AS (
+      SELECT doc_id, fp_hash FROM fps
+      WHERE fp_hash IN (SELECT fp_hash FROM keep)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM e a JOIN e b USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS candidate pairs: documents sharing ≥2 winnowed fingerprints,
+    with ubiquitous fingerprints (document frequency > 50) suppressed
+    before pairing — both the algorithm's no-signal rule and the scale
+    safety valve (per-hash pair fanout is bounded by max_df², so no
+    boilerplate hash can go quadratic). Complements the set-similarity
+    dedup family: MinHash/Jaccard measure whole-document overlap;
+    winnowing pairs fire on LOCALIZED shared runs (quotation,
+    plagiarism, shared boilerplate blocks) that set similarity
+    dilutes away."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        winnow_shared_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return winnow_shared_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "boilerplate_span_ratio_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), d AS (
+      SELECT doc_id, t FROM toks WHERE len(t) >= 4
+    ), spans AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+3], ' ')))
+               AS span
+      FROM d
+    ), n AS (
+      SELECT count(*) AS n_corpus FROM d
+    ), boiler AS (
+      SELECT span FROM spans, n
+      GROUP BY span, n.n_corpus
+      HAVING count(DISTINCT doc_id)
+             >= greatest(3, CAST(ceil(0.005 * n.n_corpus) AS BIGINT))
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           count(b.span) AS n_boiler_spans,
+           round(CAST(count(b.span) AS DOUBLE) / count(*), 6) AS boiler_ratio
+    FROM spans s LEFT JOIN boiler b USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def q_boilerplate_span_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate exposure (the CCNet/C4 curation signal):
+    fraction of a document's 4-token spans that are corpus-common
+    (appearing in ≥ max(3, 0.5% of documents) distinct docs — a
+    RELATIVE threshold, so "common" keeps meaning common at 100 TB).
+    Turns `duplicate_spans_docs`' corpus-level audit into a per-row
+    curation feature for drop-or-trim rules. Spans explode map-side,
+    df reduces once on the span key, and only the (tiny, relative-
+    threshold-bounded) boilerplate span set is broadcast back."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        boilerplate_span_ratio,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return boilerplate_span_ratio(load_table(spark, sf_dir, "documents"))

@@ -1704,3 +1704,124 @@ def test_containment_prefix_equals_postings(spark):
             ).collect()
         }
         assert plain == prefix, (tau, len(plain), len(prefix))
+
+
+def test_winnow_fingerprints_guarantee_and_rightmost(spark):
+    """Winnowing's two defining properties at (k=4, w=5): (a) the
+    guarantee — two documents sharing a run of ≥ w+k−1 = 8 tokens share
+    at least one fingerprint; (b) selection density — every window of w
+    consecutive gram positions contains ≥1 selected position (the local
+    coverage invariant), and duplicate window winners collapse to one
+    row per (doc, pos, hash)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "x1 y1 z1 " + shared + " tail one two"),
+            (2, "p2 q2 " + shared + " other ending words here now"),
+            (3, "unrelated words entirely disjoint from the rest corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    # (a) guarantee: docs 1 and 2 share the 8-token run
+    assert by_doc[1] & by_doc[2], "shared >=8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # (b) coverage: every w-window of gram positions has a selection
+    rows1 = sorted(r.pos for r in fps if r.doc_id == 1)
+    n_grams = len("x1 y1 z1 ".split() + shared.split() + " tail one two".split()) - 3
+    for s in range(1, n_grams - 4 + 1):
+        assert any(s <= p <= s + 4 for p in rows1), f"window {s} uncovered"
+    # distinct rows per (doc,pos,hash)
+    assert len(fps) == len({(r.doc_id, r.pos, r.fp_hash) for r in fps})
+
+
+def test_winnow_short_doc_and_pairs(spark):
+    """Documents shorter than k+w−1 tokens produce no fingerprints (no
+    full window); winnow_shared_pairs fires on the localized shared run
+    and suppresses ubiquitous fingerprints via max_df."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    run = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, "short doc here"), (2, "a b " + run), (3, "c d " + run),
+         (4, "totally different text about storage engines and query planners again")],
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(
+        spark.createDataFrame([(1, "short doc here")], "doc_id long, text string")
+    ).count() == 0
+    pairs = winnow_shared_pairs(df).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(2, 3)]
+    assert pairs[0].n_shared >= 2
+    # max_df suppression: a fingerprint in EVERY doc carries no signal
+    many = spark.createDataFrame(
+        [(i, "zz yy " + run) for i in range(10)], "doc_id long, text string"
+    )
+    assert winnow_shared_pairs(many, max_df=5).count() == 0
+
+
+def test_boilerplate_span_ratio(spark):
+    """A span planted in ≥3 docs is boilerplate (absolute floor 3 at
+    tiny corpus size); docs without it score 0; ratio = boilerplate
+    span occurrences / total spans."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        boilerplate_span_ratio,
+    )
+
+    boiler = "click here to subscribe"
+    rows = [
+        (1, boiler + " unique tail alpha beta"),
+        (2, boiler + " other words gamma delta"),
+        (3, boiler + " more filler epsilon zeta"),
+        (4, "independent document with its own words entirely"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in boilerplate_span_ratio(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[4].n_boiler_spans == 0 and out[4].boiler_ratio == 0.0
+    for d in (1, 2, 3):
+        assert out[d].n_boiler_spans >= 1  # the planted 4-gram
+        assert 0 < out[d].boiler_ratio < 1
+
+
+def test_kcenter_coreset_greedy(spark):
+    """Hand-checkable farthest-point traversal: three tight clusters on
+    a line — the greedy picks one point per cluster before refining,
+    seed = min vec_id, ties to smaller id, sel_dist non-increasing."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    pts = {
+        0: [0.0, 0.0], 1: [0.1, 0.0],      # cluster A (seed here)
+        2: [10.0, 0.0], 3: [10.1, 0.0],    # cluster B
+        4: [5.0, 0.0], 5: [5.1, 0.0],      # cluster C (middle)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    got = kcenter_coreset(df, k=3).orderBy("rank").collect()
+    # seed 0; farthest is 3 at (10.1,0), d=10.1^2; then the middle
+    # cluster at dmin=25 (tie between 4 and 5 resolved to smaller id)
+    assert [r.vec_id for r in got] == [0, 3, 4]
+    assert got[0].sel_dist is None
+    assert got[1].sel_dist == pytest.approx(102.01)
+    assert got[2].sel_dist == 25.0  # min(|5-0|^2, |5.1-10.1|^2)
+    # k larger than corpus: stops cleanly
+    tiny = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    assert kcenter_coreset(tiny, k=5).count() == 2

@@ -213,6 +213,9 @@ _EAGER_BUILD_OK = {
     # count pass (round-6: replaced the corpus-sized unpartitioned
     # ntile window)
     "customer_spend_quartiles",
+    # greedy farthest-point traversal: k−1 TakeOrdered argmax passes
+    # are driver actions by design (the BPE/MMR greedy-chain precedent)
+    "kcenter_coreset_embeddings",
     # same CC closure as dbscan_embeddings, cell-blocked
     "dbscan_cells_embeddings",
 }
