@@ -553,6 +553,230 @@ def boilerplate_span_ratio(
     )
 
 
+def _window_hash_positions(
+    df: DataFrame, text_col: str, id_col: str, span_len: int
+) -> DataFrame:
+    """One row per L-token window position: ``(id, pos, h)`` with ``pos``
+    the 1-based first-token index and ``h`` the md5-prefix 60-bit hash
+    of the space-joined window — the replayable positional twin of
+    :func:`shingle_hashes_from` (which is distinct-set, xxhash64, and
+    deliberately NOT SQL-reproducible). Documents shorter than
+    ``span_len`` tokens produce no rows. Entirely map-side; the token
+    array is bound in its own projection before the hashing lambda
+    consumes it (the CSE-through-lambda discipline of
+    shingle_hashes_from)."""
+    d = df.select(
+        F.col(id_col), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= span_len)
+    return d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (span_len - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.array_join(F.slice("t", i, span_len), " ")),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+
+def _merge_position_islands(
+    hits: DataFrame, id_col: str, span_len: int
+) -> DataFrame:
+    """Gap-and-island merge of duplicated window positions into maximal
+    spans: window at ``pos`` covers tokens ``[pos, pos+L-1]``; two hit
+    windows belong to the same span iff the later start is ≤ the
+    earlier start + L (overlap or touch). Returns one row per maximal
+    span ``(id, span_start, span_end, span_tokens)``. The window spec
+    is partitioned by document — bounded per-key state, never a global
+    single-reducer sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= span_len, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = (
+        hits.withColumn("brk", brk)
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (span_len - 1)).alias("span_end"),
+        (F.max("pos") + (span_len - 1) - F.min("pos") + 1).alias(
+            "span_tokens"
+        ),
+    )
+
+
+def maximal_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document MAXIMAL duplicated substring spans (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022 — the fixed-L windowed formulation of their suffix-array
+    duplicate detector): every L-token window whose hash recurs
+    ``min_count``+ times corpus-wide marks its positions duplicated;
+    overlapping/touching duplicated positions merge into maximal spans.
+    Returns one row per document: ``(id, n_tokens, n_spans,
+    dup_tokens, dup_frac)`` — including zero-span and shorter-than-L
+    documents (the audit must cover the whole corpus, not just the
+    guilty rows). Differs from `duplicate_spans_docs` (the span-grain
+    frequency mine) by merging to maximal spans and charging them back
+    to documents — the per-doc memorization-risk feature a curation
+    rule filters on.
+
+    Scale shape: window hashing is map-side array math; ONE shuffle on
+    the window hash for the occurrence count (map-side partial agg),
+    one hash-keyed join back (AQE may broadcast the duplicated-hash
+    side when small), one doc-keyed window for the island merge.
+    Shuffles carry (id, pos, h) longs — never text. Window occurrence
+    counting is count(*) over positions (intra-document repeats count,
+    matching the published semantics where any second occurrence of a
+    substring is a duplicate)."""
+    d = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias(
+            "t"
+        ),
+    )
+    wins = _window_hash_positions(df, text_col, id_col, span_len)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select(id_col, "pos")
+    spans = _merge_position_islands(hits, id_col, span_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    base = d.select(id_col, F.size("t").alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def dedup_spans_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Exact-substring corpus REWRITE (Lee et al. 2022's actual dedup
+    step, not just the audit): for every duplicated L-token window,
+    the single globally-first occurrence — ordered by ``(id, pos)`` —
+    is kept; every later occurrence marks its positions removable;
+    removable positions merge into maximal spans (same island rule as
+    :func:`maximal_dup_spans`) and the covered tokens are CUT from the
+    document. Returns ``(id, n_tokens, n_removed, clean_text)`` for
+    every input document, ``clean_text`` the kept tokens space-joined
+    (token-normalized output — the published granularity for this
+    corpus; byte-faithful splicing would key spans by char offsets,
+    same plan shape).
+
+    Rank ≥ 2 within a hash partition IS the duplicated test (a hash
+    with one occurrence never ranks 2), so the plan needs no separate
+    occurrence-count pass: one shuffle on the window hash for the
+    global first-occurrence ranking, one doc-keyed island merge, one
+    doc-keyed join of the collected span list (disjoint and few per
+    doc) back onto the token arrays, then a map-side higher-order
+    filter drops covered token indexes. Documents shorter than L or
+    containing only first occurrences pass through byte-identical in
+    token space."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias(
+            "t"
+        ),
+    )
+    wins = _window_hash_positions(df, text_col, id_col, span_len)
+    rk = F.row_number().over(
+        Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+    )
+    removable = (
+        wins.withColumn("rk", rk).filter(F.col("rk") >= 2).select(id_col, "pos")
+    )
+    spans = _merge_position_islands(removable, id_col, span_len)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    joined = d.join(span_lists, id_col, "left").select(
+        id_col,
+        "t",
+        F.coalesce(
+            "spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ).alias("spans"),
+    )
+    # sequence(1, 0) DESCENDS — an empty token array must short-circuit
+    # to an empty kept list, never reach the sequence expression.
+    kept = F.when(
+        F.size("t") == 0,
+        F.array().cast("array<struct<i:long,tok:string>>"),
+    ).otherwise(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda i: F.struct(
+                    i.cast("long").alias("i"),
+                    F.element_at("t", i).alias("tok"),
+                ),
+            ),
+            lambda s: ~F.exists(
+                "spans",
+                lambda sp: (s["i"] >= sp["span_start"])
+                & (s["i"] <= sp["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.size("t").alias("n_tokens"),
+        kept.alias("_kept"),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.size("_kept")).alias("n_removed"),
+        F.array_join(F.transform("_kept", lambda s: s["tok"]), " ").alias(
+            "clean_text"
+        ),
+    )
+
+
 def build_inverted_index(
     df: DataFrame,
     text_col: str = "text",

@@ -369,3 +369,117 @@ def q_bloom_customer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fpr_r6"),
     )
+
+
+@register(
+    "kmv_source_shingle_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM t
+    ), d AS (
+      SELECT DISTINCT source AS key,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv
+      FROM sh
+    ), sk AS (
+      SELECT key, hv,
+             row_number() OVER (PARTITION BY key ORDER BY hv) AS rk
+      FROM d QUALIFY rk <= {_KMV_K}
+    ), kp AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM (SELECT DISTINCT key FROM sk) a, (SELECT DISTINCT key FROM sk) b
+      WHERE a.key < b.key
+    ), u AS (
+      SELECT key_a, key_b, hv, max(fa) AS fa, max(fb) AS fb FROM (
+        SELECT kp.key_a, kp.key_b, s.hv, 1 AS fa, 0 AS fb
+        FROM kp JOIN sk s ON s.key = kp.key_a
+        UNION ALL
+        SELECT kp.key_a, kp.key_b, s.hv, 0 AS fa, 1 AS fb
+        FROM kp JOIN sk s ON s.key = kp.key_b
+      ) GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rk
+      FROM u
+    ), st AS (
+      SELECT key_a, key_b, count(*) AS n_merged,
+             max(CASE WHEN rk = {_KMV_K} THEN hv END) AS theta,
+             sum(CASE WHEN fa = 1 AND fb = 1 AND rk < {_KMV_K} THEN 1 ELSE 0 END)
+               AS common_below,
+             sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS common_all
+      FROM r GROUP BY 1, 2
+    ), ds AS (
+      SELECT DISTINCT source, shingle FROM sh
+    ), ex AS (
+      SELECT a.source AS key_a, b.source AS key_b, count(*) AS exact_inter
+      FROM ds a JOIN ds b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT st.key_a, st.key_b, st.n_merged, st.theta,
+           round(CASE WHEN st.n_merged < {_KMV_K} THEN CAST(st.n_merged AS DOUBLE)
+                 ELSE {float(_KMV_K - 1)} * {_KMV_SPACE} / CAST(st.theta AS DOUBLE)
+                 END, 4) AS est_union_r4,
+           round(CASE WHEN st.n_merged < {_KMV_K} THEN CAST(st.common_all AS DOUBLE)
+                 ELSE CAST(st.common_below AS DOUBLE) * {_KMV_SPACE}
+                      / CAST(st.theta AS DOUBLE)
+                 END, 4) AS est_inter_r4,
+           COALESCE(ex.exact_inter, 0) AS exact_inter
+    FROM st LEFT JOIN ex
+      ON st.key_a = ex.key_a AND st.key_b = ex.key_b
+    """,
+)
+def q_kmv_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE shingle-vocabulary overlap from KMV/theta sketches:
+    which crawl sources share 3-gram content, answered at sketch cost
+    (k=64 retained hashes per source) instead of the pair-join cost of
+    `source_contamination_matrix` — the one-pass mergeable path a
+    100 TB corpus survey must take (per-source sketches reduce
+    map-side; the pair stage touches k·|sources| rows total, never
+    the corpus). Same estimator as `kmv_user_overlap`; the exact
+    distinct-shingle intersection rides along for honesty at oracle
+    scale (it, not the sketch, is what a scale deployment would drop).
+    Composes operators/sketches.py:kmv_sketch over
+    operators/text.py:word_shingles."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        word_shingles,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles("text")).alias("shingle")
+    )
+    sk = kmv_sketch(sh, "source", "shingle", k=_KMV_K)
+    est = kmv_pair_overlap(sk, k=_KMV_K)
+    ds = sh.distinct()
+    exact = (
+        ds.alias("a")
+        .join(
+            ds.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("key_a"),
+            F.col("b.source").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return est.join(exact, ["key_a", "key_b"], "left").select(
+        "key_a",
+        "key_b",
+        "n_merged",
+        "theta",
+        "est_union_r4",
+        "est_inter_r4",
+        F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+    )

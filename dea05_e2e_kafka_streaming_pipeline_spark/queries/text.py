@@ -1352,3 +1352,208 @@ def q_boilerplate_span_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     return boilerplate_span_ratio(load_table(spark, sf_dir, "documents"))
+
+
+_SPAN_L = 8
+
+# Positional L-token window hashes — the DuckDB replay of
+# operators/text.py:_window_hash_positions (md5-prefix 60-bit ints,
+# 1-based first-token position; docs shorter than L produce no rows).
+_DUCK_WINS = f"""
+    toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, w.pos AS pos, w.h AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_SPAN_L - 2}),
+                 i -> struct_pack(
+                   pos := i,
+                   h := ('0x' || substr(md5(array_to_string(
+                          t[i:i+{_SPAN_L - 1}], ' ')), 1, 15))::BIGINT)))
+                 AS w
+        FROM toks WHERE len(t) >= {_SPAN_L}
+      )
+    )
+"""
+
+_DUCK_ISLANDS = f"""
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SPAN_L} THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + {_SPAN_L - 1} AS span_end
+      FROM isl2 GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "maximal_dup_spans_docs",
+    oracle=f"""
+    WITH {_DUCK_WINS},
+    dup AS (
+      SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)
+    ), {_DUCK_ISLANDS},
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(span_end - span_start + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.t) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / greatest(len(t.t), 1), 6) AS dup_frac
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_maximal_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MAXIMAL duplicated substring spans (Lee et al., ACL
+    2022, fixed-L windowed formulation, L=8): duplicated 8-token window
+    positions merged into maximal spans (gap-and-island per document),
+    rolled up to the per-doc duplicated-token fraction — the
+    memorization-risk feature span-level curation rules filter on.
+    Every document appears, including zero-span and shorter-than-L
+    rows. One hash-keyed shuffle for occurrence counts, one doc-keyed
+    window for the merge; shuffles carry (id, pos, hash) longs, never
+    text (operators/text.py:maximal_dup_spans)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        maximal_dup_spans,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return maximal_dup_spans(
+        load_table(spark, sf_dir, "documents"), span_len=_SPAN_L
+    )
+
+
+@register(
+    "exact_substring_dedup_docs",
+    oracle=f"""
+    WITH {_DUCK_WINS},
+    rk AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+      FROM wins
+    ), hits AS (
+      SELECT doc_id, pos FROM rk WHERE rk >= 2
+    ), {_DUCK_ISLANDS},
+    tokidx AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t) + 1)) AS i
+      FROM toks
+    ), kept AS (
+      SELECT ti.doc_id, ti.i, ti.tok
+      FROM tokidx ti LEFT JOIN spans s
+        ON s.doc_id = ti.doc_id
+       AND ti.i BETWEEN s.span_start AND s.span_end
+      WHERE s.doc_id IS NULL
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.t) AS n_tokens,
+           len(t.t) - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_exact_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring corpus REWRITE (Lee et al. 2022's dedup step,
+    L=8): for each duplicated 8-token window, the globally-first
+    occurrence (by (doc_id, pos)) survives; later occurrences merge
+    into maximal spans and their tokens are cut, the document text
+    reconstructed from the kept tokens. Rank ≥ 2 within the hash
+    partition IS the duplicate test, so the plan is one hash-keyed
+    ranking shuffle + one doc-keyed island merge + a map-side
+    higher-order filter over the token arrays
+    (operators/text.py:dedup_spans_rewrite)."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        dedup_spans_rewrite,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return dedup_spans_rewrite(
+        load_table(spark, sf_dir, "documents"), span_len=_SPAN_L
+    )
+
+
+@register(
+    "distinct_ngram_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT lang, 1 AS n, unnest(t) AS gram FROM toks WHERE len(t) >= 1
+      UNION ALL
+      SELECT lang, 2 AS n,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> array_to_string(t[i:i+1], ' ')))
+      FROM toks WHERE len(t) >= 2
+      UNION ALL
+      SELECT lang, 3 AS n,
+             unnest(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' ')))
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT n, lang,
+           count(*) AS total_ngrams,
+           count(DISTINCT gram) AS distinct_ngrams,
+           round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+             AS distinct_ratio
+    FROM grams GROUP BY 1, 2
+    """,
+)
+def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity scorecard: distinct-n ratio (unique n-grams /
+    total n-grams, n in 1/2/3) per language — the standard text-
+    generation diversity metric (distinct-1/2/3) applied corpus-wide,
+    and the early-warning signal for template/boilerplate floods that
+    per-document dedup misses. ONE scan: the three gram grains explode
+    from the same bound token array (each n guarded map-side — a
+    shorter-than-n doc contributes nothing at that grain), then a
+    single (n, lang)-keyed aggregate with map-side partials."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import tokens
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", tokens("text").alias("t"))
+    def _gram_arr(n: int):
+        # single-arg lambda only: a second lambda parameter (even a
+        # defaulted one) switches PySpark's transform to the
+        # (element, index) form and the index silently shadows it
+        return F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice("t", i, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    per_n = [_gram_arr(n) for n in (1, 2, 3)]
+    grams = d.select(
+        "lang", F.explode(F.flatten(F.array(*per_n))).alias("g")
+    ).select("lang", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    return grams.groupBy("n", "lang").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.countDistinct("gram").alias("distinct_ngrams"),
+        F.round(
+            F.countDistinct("gram").cast("double") / F.count(F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )

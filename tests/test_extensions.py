@@ -1825,3 +1825,87 @@ def test_kcenter_coreset_greedy(spark):
         [(0, [0.0]), (1, [1.0])], "vec_id long, embedding array<double>"
     )
     assert kcenter_coreset(tiny, k=5).count() == 2
+
+
+def test_maximal_dup_spans_merge_and_coverage(spark):
+    """Lee-et-al span audit invariants at L=4: (a) overlapping
+    duplicated windows merge into ONE maximal span covering the whole
+    shared run; (b) documents with no duplicated window — including
+    shorter-than-L and token-less docs — still appear with zero spans;
+    (c) dup_tokens equals the merged span length, not the sum of
+    window lengths."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        maximal_dup_spans,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    rows = [
+        (0, run + " unique0 tail0"),
+        (1, "head1 lead1 " + run),
+        (2, "totally different words here now indeed"),
+        (3, "shorty"),                       # < L tokens
+        (4, ""),                             # token-less
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in maximal_dup_spans(df, span_len=4).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    # 6-token run = three 4-token windows (pos 1..3 in doc 0) -> ONE
+    # span of exactly 6 tokens in each sharing doc
+    assert got[0].n_spans == 1 and got[0].dup_tokens == 6
+    assert got[1].n_spans == 1 and got[1].dup_tokens == 6
+    assert got[0].dup_frac == pytest.approx(6 / 8, abs=1e-6)
+    for d in (2, 3, 4):
+        assert got[d].n_spans == 0 and got[d].dup_tokens == 0
+        assert got[d].dup_frac == 0.0
+    assert got[3].n_tokens == 1 and got[4].n_tokens == 0
+
+
+def test_dedup_spans_rewrite_first_occurrence_wins(spark):
+    """Rewrite semantics: the globally-first occurrence (min (doc_id,
+    pos)) keeps its text; later occurrences lose exactly the shared
+    run; non-duplicated docs and sub-L docs pass through unchanged in
+    token space."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        dedup_spans_rewrite,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, run + " unique0 tail0"),
+        (1, "head1 lead1 " + run),
+        (2, "totally different words here now"),
+        (3, "shorty"),
+        (4, None),                           # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in dedup_spans_rewrite(df, span_len=4).collect()
+    }
+    assert got[0].n_removed == 0 and got[0].clean_text == run + " unique0 tail0"
+    assert got[1].n_removed == 6 and got[1].clean_text == "head1 lead1"
+    assert got[2].n_removed == 0
+    assert got[2].clean_text == "totally different words here now"
+    assert got[3].n_removed == 0 and got[3].clean_text == "shorty"
+    assert got[4].n_tokens == 0 and got[4].n_removed == 0
+    assert got[4].clean_text == ""
+
+
+def test_dedup_spans_rewrite_intra_doc(spark):
+    """Intra-document repetition is deduplicated too (the published
+    semantics count ANY second occurrence): a doc repeating its own
+    L-token run keeps only the first copy."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        dedup_spans_rewrite,
+    )
+
+    run = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(0, run + " middle filler words " + run)],
+        "doc_id long, text string",
+    )
+    r = dedup_spans_rewrite(df, span_len=4).collect()[0]
+    assert r.n_removed == 4
+    assert r.clean_text == run + " middle filler words"
