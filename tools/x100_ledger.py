@@ -61,6 +61,11 @@ SUBSET = [
     "entity_resolution_snb", "jaro_winkler_customer_names",
     "ngram_containment_prefix_hi", "retractable_daily_sales",
     "epoch_shuffle_docs", "events_sessionization", "bm25_topk_docs",
+    # --- r8 part 2: the exact-substring dedup family (window-hash
+    # rank + island merge + rewrite are new shuffle/sort shapes the
+    # spill regime has never executed) and the winnow pair join ---
+    "maximal_dup_spans_docs", "exact_substring_dedup_docs",
+    "winnow_shared_pairs",
 ]
 
 
