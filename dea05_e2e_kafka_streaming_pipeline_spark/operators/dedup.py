@@ -1375,3 +1375,92 @@ def _ngram_containment_prefix(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with COSINE similarity ≥ threshold over tf-idf-weighted
+    term vectors — the WEIGHTED near-duplicate detector: where Jaccard
+    (:func:`ngram_jaccard_pairs`) treats every shingle equally, tf-idf
+    cosine discounts ubiquitous terms and amplifies rare ones, so two
+    docs sharing distinctive vocabulary pair up even when their
+    boilerplate differs (and boilerplate-only overlap does NOT pair).
+
+    Sparse inverted-index plan — never materializes a dense vector:
+    term frequencies are one (doc,term) aggregate; document frequencies
+    one term-keyed aggregate over it; the dot product is a self-equi-
+    join on term (a term contributes only to pairs that share it, so
+    df=1 terms are dropped from the JOIN side — they can't contribute,
+    an optimization with zero semantic effect since they still count
+    in the norms).
+
+    Exactness discipline: the weight w = tf·ln(N/df) is quantized ONCE
+    to 1e-4 fixed point; every norm² and dot product downstream is an
+    exact INTEGER sum of integer products (order-independent, so the
+    shuffle's nondeterministic add order can't flip a hash), and the
+    single double division happens at the very end. Magnitudes: w ≤
+    ~1e3 → wq ≤ 1e7 → wq² ≤ 1e14, summed over ≤ doc-length terms —
+    comfortably inside int64 at the x100 tier.
+
+    Scale shape: identical to the Jaccard index-join family — shuffles
+    carry (id, term-hash, wq) only; the known hazard is stop-term join
+    fanout (df² candidate rows per ubiquitous term), for which the
+    production lever at 100 TB is a df cap (drop terms with
+    df > ratio·N from the join side — they carry the least idf weight),
+    the same lever as the LSH escape hatch for Jaccard. Terms join on
+    their xxhash64, not the string (less shuffle volume; collision
+    probability ~ vocab²/2⁶⁴).
+    """
+    df = _spread(df)
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .groupBy("id", F.xxhash64("tok").alias("t"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        tf.join(docfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "t",
+            "df_t",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df_t").cast("double"))
+                * F.lit(1e4)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    norms = w.groupBy("id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("norm2")
+    )
+    idx = w.filter(F.col("df_t") >= 2).select("id", "t", "wq")
+    a, b = idx.alias("a"), idx.alias("b")
+    dots = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.wq") * F.col("b.wq")).alias("dotq"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("n2a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("n2b"))
+    cosine = F.col("dotq").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(cosine, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1008,6 +1008,96 @@ def bigram_surprisal(
     )
 
 
+def kneser_ney_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document bigram cross-entropy under an interpolated
+    Kneser-Ney model (Kneser & Ney 1995; Chen & Goodman 1999) trained
+    on the corpus itself — the standard n-gram smoothing that add-one
+    (:func:`bigram_surprisal`) is the strawman for:
+
+        p(w₂|w₁) = max(c(w₁,w₂) − D, 0)/c(w₁·)
+                   + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+
+    The continuation distribution N₁₊(·w₂)/N₁₊(··) ranks words by how
+    many DISTINCT contexts they follow, not raw frequency — the classic
+    "San Francisco" effect: "francisco" is frequent but follows only
+    one context, so its continuation mass is tiny. KN therefore
+    separates formulaic/boilerplate-heavy documents (high raw bigram
+    counts, low context diversity) from genuinely fluent text in a way
+    add-one smoothing can't.
+
+    Everything is count aggregates over the exploded bigram relation —
+    four shuffles, all on bigram/word keys, each with map-side partial
+    aggregation: c(w₁,w₂); c(w₁·) and N₁₊(w₁·) in ONE pass over the
+    bigram-type relation (they share the w₁ key); N₁₊(·w₂) on the w₂
+    key; N₁₊(··) as a 1-row broadcast. Since the model scores its own
+    training corpus, every scored bigram has c ≥ 1 > D, so the
+    discounted term is strictly positive and log never sees 0. The
+    per-bigram −ln p quantizes to 1e-9 fixed point before the
+    integer-exact per-doc sum (same discipline as the other surprisal
+    operators). Docs with < 2 tokens drop out.
+    """
+    toks_arr = tokens(F.col(text_col))
+    n = F.size(toks_arr)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice(toks_arr, 1, n - 1).alias("w1"),
+                    F.slice(toks_arr, 2, n - 1).alias("w2"),
+                ),
+            ).otherwise(F.array()),
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    # c(w1·) and N1+(w1·) in one aggregate over the bigram-type relation.
+    ctx = bg_counts.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1f"),
+    )
+    # N1+(·w2): distinct predecessors of w2 = rows of the type relation.
+    cont = bg_counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    total_types = bg_counts.agg(
+        F.count(F.lit(1)).cast("double").alias("n_types")
+    )
+    d = F.lit(float(discount))
+    scored = (
+        pairs.join(bg_counts, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total_types))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("c_bg").cast("double") - d)
+                    / F.col("c_ctx").cast("double")
+                    + d
+                    * F.col("n1f").cast("double")
+                    / F.col("c_ctx").cast("double")
+                    * (F.col("n1b").cast("double") / F.col("n_types"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("logp_q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -F.sum("logp_q").cast("double") / F.lit(1e9) / F.count(F.lit(1)), 6
+        ).alias("kn_surprisal_nats"),
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     *,

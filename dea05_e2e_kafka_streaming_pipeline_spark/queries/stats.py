@@ -1662,3 +1662,64 @@ def q_ks_monthly_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ks_by_group(year(1996), year(1997), "o_totalprice", ["month"])
+
+
+@register(
+    "isotonic_priority_rate",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)
+               AS bin,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), bins AS (
+      SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM b GROUP BY 1
+    ), seg AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(sum(m.s) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS avg_jk
+      FROM bins j
+      JOIN bins k ON j.bin <= k.bin
+      JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+      GROUP BY 1, 2
+    ), fit AS (
+      SELECT i, max(minavg) AS iso FROM (
+        SELECT i.bin AS i, seg.j AS j, min(seg.avg_jk) AS minavg
+        FROM bins i
+        JOIN seg ON seg.j <= i.bin AND seg.k >= i.bin
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT bins.bin, bins.n AS n_rows,
+           round(CAST(bins.s AS DOUBLE) / CAST(bins.n AS DOUBLE), 6)
+             AS raw_rate,
+           round(fit.iso, 6) AS isotonic_rate
+    FROM bins JOIN fit ON fit.i = bins.bin
+    """,
+)
+def q_isotonic_priority_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of P(high-priority) against order value via
+    the pool-adjacent-violators CLOSED FORM, max_{j≤i} min_{k≥i}
+    mean(y over bins j..k) (plans/analytics.py:isotonic_calibration) —
+    PAV without the sequential pooling loop: one map-side-combining
+    aggregate reduces the fact table to ~20 fixed-width price bins and
+    the max-min evaluates on the bounded bin relation (B³ segment
+    rows, constant at any SF, every post-aggregate join broadcast).
+    The training-data use is quality-score calibration before
+    threshold filtering."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        isotonic_calibration,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("y"),
+    )
+    return isotonic_calibration(
+        orders, score_col="o_totalprice", label_col="y", bin_width=25000.0
+    )

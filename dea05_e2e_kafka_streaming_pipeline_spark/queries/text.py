@@ -435,6 +435,65 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "kneser_ney_surprisal_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ), bgc AS (
+      SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx,
+             count(*) AS n1f
+      FROM bgc GROUP BY 1
+    ), cont AS (
+      SELECT w2, count(*) AS n1b FROM bgc GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bgc
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln(
+               (CAST(c.c_bg AS DOUBLE) - 0.75) / CAST(x.c_ctx AS DOUBLE)
+               + 0.75 * CAST(x.n1f AS DOUBLE) / CAST(x.c_ctx AS DOUBLE)
+                 * (CAST(p.n1b AS DOUBLE) / tot.n_types)
+             ) * 1e9) AS BIGINT) AS logp_q
+      FROM bg b
+      JOIN bgc c USING (w1, w2)
+      JOIN ctx x USING (w1)
+      JOIN cont p USING (w2)
+      CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(-CAST(sum(logp_q) AS DOUBLE) / 1e9 / count(*), 6)
+             AS kn_surprisal_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per document
+    (operators/text.py:kneser_ney_surprisal) — the production n-gram
+    smoothing: absolute discount D=0.75 plus a continuation-probability
+    back-off that ranks words by distinct-context diversity, so
+    boilerplate-heavy docs (high raw bigram counts, low context
+    diversity) separate from fluent text. Four key-local aggregates on
+    the exploded bigram relation; c(w₁·) and N₁₊(w₁·) share one pass;
+    1e-9 fixed-point per-bigram quantization keeps doc sums
+    integer-exact."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        kneser_ney_surprisal,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return kneser_ney_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+
+
 @register("bpe_token_counts_docs", oracle=_bpe_counts_oracle(8))
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side BPE token budgeting: per-doc token counts under the
@@ -1412,7 +1471,7 @@ _DUCK_ISLANDS = f"""
     SELECT t.doc_id,
            len(t.t) AS n_tokens,
            COALESCE(p.n_spans, 0) AS n_spans,
-           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
                  / greatest(len(t.t), 1), 6) AS dup_frac
     FROM toks t LEFT JOIN per_doc p USING (doc_id)
