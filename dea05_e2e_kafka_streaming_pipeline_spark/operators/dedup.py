@@ -1381,86 +1381,97 @@ def tfidf_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
     """All pairs with COSINE similarity ≥ threshold over tf-idf-weighted
-    term vectors — the WEIGHTED near-duplicate detector: where Jaccard
-    (:func:`ngram_jaccard_pairs`) treats every shingle equally, tf-idf
-    cosine discounts ubiquitous terms and amplifies rare ones, so two
-    docs sharing distinctive vocabulary pair up even when their
-    boilerplate differs (and boilerplate-only overlap does NOT pair).
+    word k-gram shingle vectors — the WEIGHTED near-duplicate detector:
+    where set-Jaccard (:func:`ngram_jaccard_pairs`) treats every
+    distinct shingle equally, tf-idf cosine keeps shingle MULTIPLICITY
+    and discounts corpus-common shingles, so two docs sharing
+    distinctive phrasing pair up even when their boilerplate differs
+    (and boilerplate-only overlap does NOT pair).
 
     Sparse inverted-index plan — never materializes a dense vector:
-    term frequencies are one (doc,term) aggregate; document frequencies
-    one term-keyed aggregate over it; the dot product is a self-equi-
-    join on term (a term contributes only to pairs that share it, so
-    df=1 terms are dropped from the JOIN side — they can't contribute,
-    an optimization with zero semantic effect since they still count
-    in the norms).
+    term frequencies are one (doc, shingle-hash) aggregate over the
+    POSITIONAL shingle multiset (``shingle_hashes_from(distinct=False)``
+    — same composed 64-bit hashes as the Jaccard family, so the index
+    still joins on longs, never strings); document frequencies one
+    hash-keyed aggregate over it; the dot product is a self-equi-join
+    on shingle hash. df=1 shingles are dropped from the JOIN side only
+    — they cannot contribute to any pair, a pure-optimization prune
+    with zero semantic effect since they still count in the norms. The
+    candidate cardinality is therefore IDENTICAL to the Jaccard
+    inverted index (same skew hazards, same LSH escape hatch at
+    corpus scale).
 
     Exactness discipline: the weight w = tf·ln(N/df) is quantized ONCE
     to 1e-4 fixed point; every norm² and dot product downstream is an
     exact INTEGER sum of integer products (order-independent, so the
-    shuffle's nondeterministic add order can't flip a hash), and the
-    single double division happens at the very end. Magnitudes: w ≤
-    ~1e3 → wq ≤ 1e7 → wq² ≤ 1e14, summed over ≤ doc-length terms —
-    comfortably inside int64 at the x100 tier.
-
-    Scale shape: identical to the Jaccard index-join family — shuffles
-    carry (id, term-hash, wq) only; the known hazard is stop-term join
-    fanout (df² candidate rows per ubiquitous term), for which the
-    production lever at 100 TB is a df cap (drop terms with
-    df > ratio·N from the join side — they carry the least idf weight),
-    the same lever as the LSH escape hatch for Jaccard. Terms join on
-    their xxhash64, not the string (less shuffle volume; collision
-    probability ~ vocab²/2⁶⁴).
+    shuffle's nondeterministic add order cannot flip a value hash); the
+    single double division happens at the very end. Magnitudes: per-doc
+    tf ≤ doc length ~1e3, idf ≤ ln N ~ 14 → wq ≤ ~1.4e8 is the extreme
+    pathological bound, with sums over ≤ doc-length terms — inside
+    int64 even at the x100 tier for this corpus's ~300-token docs
+    (wq ~ 1e5, norm² ~ 3e12).
     """
     df = _spread(df)
     tf = (
         df.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens(text_col)).alias("tok"),
+            F.col(id_col).alias("id"), token_hashes(text_col).alias("__th")
         )
-        .groupBy("id", F.xxhash64("tok").alias("t"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    docfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
-    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    w = (
-        tf.join(docfreq, "t")
-        .crossJoin(F.broadcast(n_docs))
         .select(
             "id",
-            "t",
-            "df_t",
+            F.explode(
+                shingle_hashes_from("__th", k, distinct=False)
+            ).alias("t"),
+        )
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # df_t and norm2 attach via PARTITIONED windows instead of
+    # aggregate-and-join-back: the whole weighting stage is then ONE
+    # linear pipeline over the (id, t, tf) relation — the expensive
+    # shingle explode executes once, and the self-join's two sides
+    # share an identical Exchange(t) that Spark's ReuseExchange
+    # collapses into a single execution (the aggregate-per-branch
+    # form re-ran the explode ~5x: no common-subexpression reuse
+    # across DataFrame branches without materialization).
+    wt = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("t"))
+        )
+        .withColumn(
+            "wq",
             F.round(
                 F.col("tf").cast("double")
                 * F.log(F.col("n_docs") / F.col("df_t").cast("double"))
                 * F.lit(1e4)
-            )
-            .cast("long")
-            .alias("wq"),
+            ).cast("long"),
         )
     )
-    norms = w.groupBy("id").agg(
-        F.sum(F.col("wq") * F.col("wq")).alias("norm2")
+    wn = wt.withColumn(
+        "norm2", F.sum(F.col("wq") * F.col("wq")).over(Window.partitionBy("id"))
     )
-    idx = w.filter(F.col("df_t") >= 2).select("id", "t", "wq")
+    idx = wn.filter(F.col("df_t") >= 2).select("id", "t", "wq", "norm2")
     a, b = idx.alias("a"), idx.alias("b")
     dots = (
         a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.norm2").alias("n2a"),
+            F.col("b.norm2").alias("n2b"),
+        )
         .agg(F.sum(F.col("a.wq") * F.col("b.wq")).alias("dotq"))
     )
-    na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("n2a"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("n2b"))
     cosine = F.col("dotq").cast("double") / (
         F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
     )
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("cosine", F.round(cosine, 6))
+        dots.withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -65,7 +65,9 @@ def token_hashes(col: Column | str) -> Column:
     return F.transform(tokens(col), lambda t: F.xxhash64(t))
 
 
-def shingle_hashes_from(th: Column | str, k: int = 3) -> Column:
+def shingle_hashes_from(
+    th: Column | str, k: int = 3, *, distinct: bool = True
+) -> Column:
     """Distinct word k-gram shingles as an array<long> of 64-bit hashes,
     composed from a BOUND token-hash array column (:func:`token_hashes`
     aliased in a prior select) — the scale-path twin of
@@ -117,9 +119,11 @@ def shingle_hashes_from(th: Column | str, k: int = 3) -> Column:
     # must take the constant empty-shingle branch like the string form
     # does, or NULL-text docs silently produce ZERO exploded shingle
     # rows and vanish from every minhash/jaccard/containment pipeline.
-    return F.array_distinct(
-        F.when(F.coalesce(F.size(c), F.lit(0)) == 0, empty).otherwise(out)
-    )
+    arr = F.when(F.coalesce(F.size(c), F.lit(0)) == 0, empty).otherwise(out)
+    # distinct=False keeps the positional MULTISET (one hash per window
+    # position) for frequency-weighted consumers (tf-idf shingle
+    # cosine); the default distinct SET is the Jaccard/MinHash unit.
+    return F.array_distinct(arr) if distinct else arr
 
 
 def _stopword_hits(toks: Column, stops: tuple[str, ...]) -> Column:

@@ -2305,3 +2305,72 @@ def q_kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
     return kcenter_coreset(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ), tf AS (
+      SELECT doc_id AS id, s, count(*) AS tf
+      FROM (SELECT doc_id, unnest(shs) AS s FROM sh) GROUP BY 1, 2
+    ), docfreq AS (
+      SELECT s, count(*) AS df_t FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), w AS (
+      SELECT tf.id, tf.s, docfreq.df_t,
+             CAST(round(CAST(tf.tf AS DOUBLE)
+                        * ln(nd.n_docs / CAST(docfreq.df_t AS DOUBLE))
+                        * 1e4) AS BIGINT) AS wq
+      FROM tf JOIN docfreq USING (s) CROSS JOIN nd
+    ), norms AS (
+      SELECT id, CAST(sum(wq * wq) AS BIGINT) AS norm2 FROM w GROUP BY 1
+    ), idx AS (
+      SELECT id, s, wq FROM w WHERE df_t >= 2
+    ), dots AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(sum(a.wq * b.wq) AS BIGINT) AS dotq
+      FROM idx a JOIN idx b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT id_a, id_b,
+             round(CAST(dotq AS DOUBLE)
+                   / (sqrt(CAST(na.norm2 AS DOUBLE))
+                      * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+      FROM dots
+      JOIN norms na ON na.id = dots.id_a
+      JOIN norms nb ON nb.id = dots.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.8
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup pairs: cosine ≥ 0.8 over tf-idf-weighted
+    3-gram shingle vectors (operators/dedup.py:tfidf_cosine_pairs) —
+    the frequency-aware complement to set-Jaccard: shingle multiplicity
+    counts, corpus-common shingles are idf-discounted, so distinctive-
+    phrasing overlap wins over boilerplate overlap. Sparse inverted-
+    index join on composed 64-bit shingle hashes (identical candidate
+    cardinality to ngram_jaccard_pairs); weights quantized once to
+    1e-4 fixed point so every norm²/dot is an exact integer sum. The
+    oracle replays it on shingle STRINGS — equality relations match
+    the hash form modulo 64-bit collisions."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+    from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
+
+    return tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )

@@ -1909,3 +1909,56 @@ def test_dedup_spans_rewrite_intra_doc(spark):
     r = dedup_spans_rewrite(df, span_len=4).collect()[0]
     assert r.n_removed == 4
     assert r.clean_text == run + " middle filler words"
+
+
+def test_shingle_hashes_multiset(spark):
+    """distinct=False must keep one hash per WINDOW POSITION (the tf-idf
+    frequency unit): repeated shingles stay repeated, the multiset's
+    distinct view equals the default set form, and the sub-k/empty/NULL
+    branches still produce exactly one element."""
+    from pyspark.sql import functions as F
+
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.text import (
+        shingle_hashes_from,
+        token_hashes,
+        tokens,
+    )
+
+    rows = [
+        (0, "a b c a b c a b c"),        # shingle "a b c" appears 3x
+        (1, "a b c d"),                  # all windows distinct
+        (2, "x y"),                      # sub-k -> one partial shingle
+        (3, ""),                         # token-less -> one element
+        (4, None),                       # NULL text -> one element
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 3
+    out = (
+        df.select(
+            "doc_id",
+            F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tok"),
+            token_hashes("text").alias("__th"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            shingle_hashes_from("__th", k, distinct=False).alias("ms"),
+            shingle_hashes_from("__th", k).alias("st"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.size("ms").alias("n_ms"),
+            F.size(F.array_distinct("ms")).alias("n_ms_distinct"),
+            F.size("st").alias("n_st"),
+        )
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    for doc_id, r in by_id.items():
+        expected = max(r["n_tok"] - k + 1, 1)
+        assert r["n_ms"] == expected, (doc_id, r)
+        # multiset's distinct view == the default set form
+        assert r["n_ms_distinct"] == r["n_st"], (doc_id, r)
+    assert by_id[0]["n_ms"] == 7 and by_id[0]["n_st"] < 7
+    assert by_id[3]["n_ms"] == 1 and by_id[4]["n_ms"] == 1
