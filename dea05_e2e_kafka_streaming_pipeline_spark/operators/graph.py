@@ -66,7 +66,7 @@ def pagerank_fixed_point(
     keep = 100 - damping_pct
     if weight_col is None:
         e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        deg_agg = F.count(F.lit(1)).alias("deg")
         contrib_expr = "r div deg"
     else:
         e = edges.select(
@@ -74,8 +74,20 @@ def pagerank_fixed_point(
             F.col(dst_col).alias("dst"),
             F.col(weight_col).cast("long").alias("w"),
         )
-        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+        deg_agg = F.sum("w").alias("deg")
         contrib_expr = "(r * w) div deg"
+    # Pin (lazy localCheckpoint) the tables every iteration re-reads:
+    # the edge list is typically an EXPENSIVE subtree (the near-dup
+    # queries feed the full inverted-index Jaccard plan in here), and a
+    # DataFrame re-derives its whole lineage at each reference — e and
+    # deg are read once per round, and the ranks chain references
+    # itself twice per round (contrib join + the __n carry), doubling
+    # the unpinned plan per iteration (2^rounds vertex scans). The pins
+    # are exactly GraphX's persist-the-edges discipline; eager=False
+    # keeps plan-building job-free (registry lazy-build rule) and
+    # nothing survives the query — every run recomputes from source.
+    e = e.localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(deg_agg).localCheckpoint(eager=False)
     n_df = vertices.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
         vertices.select(F.col(id_col).alias("v"))
@@ -101,6 +113,7 @@ def pagerank_fixed_point(
                 ),
             )
             .drop("s")
+            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias("rank_fp"))
 

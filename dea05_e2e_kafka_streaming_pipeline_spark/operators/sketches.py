@@ -340,6 +340,14 @@ def kmv_pair_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
     from pyspark.sql import Window
 
     space = float(1 << _HLL_HASH_BITS)
+    # the sketch is referenced three times below (key enumeration + both
+    # membership sides); a DataFrame re-derives its lineage per
+    # reference, and the lineage here is typically the FULL distinct+
+    # window pipeline over raw values — pin it (lazy localCheckpoint:
+    # computed once at action time, zero jobs at plan-build, nothing
+    # persists across runs) so the pair stage reads k·|keys| pinned rows
+    # instead of recomputing the sketch build thrice
+    sketch = sketch.localCheckpoint(eager=False)
     # unordered key pairs — |keys|² rows, broadcast onto the sketches
     keys = sketch.select("key").distinct()
     kp = (

@@ -47,14 +47,37 @@ def token_count(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles as an array<string> — the unit of
-    n-gram Jaccard similarity and MinHash signatures."""
+    n-gram Jaccard similarity and MinHash signatures.
+
+    Formulated as a ``zip_with`` concat fold over shifted slices — the
+    string twin of :func:`shingle_hashes_from`, and for the same
+    optimizer reason: the old ``transform(sequence(...), i ->
+    array_join(slice(toks, i+1, k)))`` form references the OUTER token
+    array inside the lambda, and Catalyst neither CSEs through
+    higher-order lambdas nor stops optimizer rules inlining the whole
+    ``tokens()`` regexp into the lambda body — re-tokenizing the
+    document once per shingle POSITION (measured ~3× on the sf0.1 kmv
+    shingle explode). The fold's lambdas touch only their element
+    arguments; ``concat_ws`` skips the NULLs that pad slices past the
+    array end, reproducing the one-partial-shingle behavior for
+    documents shorter than k tokens, and the degenerate branch keeps
+    the empty/NULL-text outputs bit-identical to the old form
+    (empty → [""], NULL → [NULL])."""
     toks = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    h = toks
+    for j in range(2, k + 1):
+        tail = F.slice(
+            toks, j, F.greatest(F.size(toks) - (j - 1), F.lit(1))
         )
-    )
+        h = F.zip_with(h, tail, lambda x, y: F.concat_ws(" ", x, y))
+    out = F.slice(h, 1, F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    # empty token array → [""], NULL tokens → [NULL] — exactly what the
+    # sequence/array_join form produced for those inputs
+    degenerate = F.array(F.array_join(F.slice(toks, 1, k), " "))
+    arr = F.when(
+        F.coalesce(F.size(toks), F.lit(0)) == 0, degenerate
+    ).otherwise(out)
+    return F.array_distinct(arr)
 
 
 def token_hashes(col: Column | str) -> Column:

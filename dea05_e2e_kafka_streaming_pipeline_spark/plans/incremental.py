@@ -263,6 +263,24 @@ def finalize_retractable(
     return state.select(*cols)
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Lazy lineage truncation for a SMALL state table referenced more
+    than once in the same maintenance step. A DataFrame re-derives its
+    whole logical subtree at every reference, so a state table used by
+    (say) the horizon probe, the merge, and the rebuild gate multiplies
+    its upstream plan by the reference count — the un-pinned
+    retractable-min/max step planned 564 parquet scans / 676 exchanges
+    (13.8k-line physical plan) for a job whose data is k·groups rows.
+    ``localCheckpoint(eager=False)`` rebases every reference onto ONE
+    shared RDD: computed once at action time, no job at plan-build time
+    (the registry's lazy-build contract holds), and nothing persists
+    across runs — each invocation recomputes from the parquet inputs.
+    In production IVM the state table is a materialized table between
+    maintenance steps anyway (tests/test_incremental.py round-trips it
+    through parquet); the pin is the in-flight equivalent."""
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # Retractable MIN/MAX — bounded value buffers with a recompute escape hatch
 # ---------------------------------------------------------------------------
@@ -290,6 +308,39 @@ def finalize_retractable(
 # keep next to the view anyway): cost O(underflowing groups), only on
 # adversarial delete storms that burn through K runner-ups.
 
+def _explode_sides(
+    per_val: DataFrame, keys: list[str], extra: list[str] | None = None
+) -> DataFrame:
+    """Expand per-(group, value) rows into the two buffer sides (min:
+    value as-is, max: value negated so both share the "k smallest"
+    algebra). Post-aggregation explode instead of a pre-aggregation
+    union: the multiplicity of value v is the same on both sides, so
+    counting once at (group, value) grain and THEN fanning out halves
+    the rows crossing the (group, value) exchange and scans the base
+    a single time (the union form re-derived the whole upstream
+    subtree per side)."""
+    sv = F.explode(
+        F.array(
+            F.struct(
+                F.lit("min").alias("__side"), F.col("__v").alias("__val")
+            ),
+            F.struct(
+                F.lit("max").alias("__side"), (-F.col("__v")).alias("__val")
+            ),
+        )
+    )
+    extra = extra or []
+    return per_val.select(
+        *keys, F.col("__cnt"), *extra, sv.alias("__sv")
+    ).select(
+        *keys,
+        F.col("__sv.__side").alias("__side"),
+        F.col("__sv.__val").alias("__val"),
+        "__cnt",
+        *extra,
+    )
+
+
 def minmax_state_from_base(
     base: DataFrame,
     keys: list[str],
@@ -300,32 +351,29 @@ def minmax_state_from_base(
     side), the k smallest distinct (sign-adjusted) values with their
     multiplicities; ``complete`` marks groups with ≤ k distinct values
     (their buffer IS the whole multiset). One shuffle at (group, value)
-    grain + one bounded per-group rank."""
+    grain (the sides fan out AFTER the aggregation — see
+    :func:`_explode_sides`), the distinct-value count rides a window
+    over the aggregated value table instead of a second aggregate +
+    join, then one bounded per-(group, side) rank."""
     long = base.select(
         *keys, F.col(value_col).alias("__v")
     ).filter(F.col("__v").isNotNull())
-    signed_vals = long.select(
-        *keys, F.lit("min").alias("__side"), F.col("__v").alias("__val")
-    ).unionByName(
-        long.select(
-            *keys, F.lit("max").alias("__side"), (-F.col("__v")).alias("__val")
-        )
-    )
-    per_val = signed_vals.groupBy(*keys, "__side", "__val").agg(
+    per_val = long.groupBy(*keys, "__v").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    w = Window.partitionBy(*keys, "__side").orderBy("__val")
-    ranked = per_val.withColumn("__rk", F.row_number().over(w))
-    n_distinct = per_val.groupBy(*keys, "__side").agg(
-        F.count(F.lit(1)).alias("__nd")
+    # distinct values per group == rows per group of the aggregated
+    # table, identical for both sides; computed here (pre-explode, on
+    # half the rows) so the rank window below keeps its WindowGroupLimit
+    # top-k pushdown (a count over ITS partition would force full sorts)
+    per_val = per_val.withColumn(
+        "__nd", F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
-    return (
-        ranked.filter(F.col("__rk") <= k)
-        .join(n_distinct, [*keys, "__side"])
-        .select(
-            *keys, "__side", "__val", "__cnt",
-            (F.col("__nd") <= k).alias("__complete"),
-        )
+    sides = _explode_sides(per_val, keys, extra=["__nd"])
+    w = Window.partitionBy(*keys, "__side").orderBy("__val")
+    ranked = sides.withColumn("__rk", F.row_number().over(w))
+    return ranked.filter(F.col("__rk") <= k).select(
+        *keys, "__side", "__val", "__cnt",
+        (F.col("__nd") <= k).alias("__complete"),
     )
 
 
@@ -346,20 +394,25 @@ def retractable_minmax_update(
     of the batch at (group, value) grain, a state-sized merge, and a
     semi-joined rebuild of the (normally tiny) underflow set.
     """
+    state = _pin(state)
     batch_long = signed.select(
         *keys, F.col(value_col).alias("__v"), F.col("sign")
     ).filter(F.col("__v").isNotNull())
-    batch_sides = batch_long.select(
-        *keys, F.lit("min").alias("__side"),
-        F.col("__v").alias("__val"), F.col("sign"),
-    ).unionByName(
-        batch_long.select(
-            *keys, F.lit("max").alias("__side"),
-            (-F.col("__v")).alias("__val"), F.col("sign"),
+    # one shuffle of the batch at (group, value) grain; the two sides
+    # fan out AFTER the aggregation (sign sums are side-independent) —
+    # see _explode_sides. Pinned (lazy localCheckpoint): the delta is
+    # referenced by both the merge and the new-group probe, and WITHOUT
+    # the pin each reference re-derives the whole batch subtree — the
+    # state/delta/trim tables here are k·groups-sized, so materializing
+    # them is noise next to re-running their lineage (the un-pinned
+    # plan re-planned the base scans 500+ times; 13.8k-line plan).
+    batch_delta = _pin(
+        _explode_sides(
+            batch_long.groupBy(*keys, "__v").agg(
+                F.sum("sign").cast("long").alias("__cnt")
+            ),
+            keys,
         )
-    )
-    batch_delta = batch_sides.groupBy(*keys, "__side", "__val").agg(
-        F.sum("sign").cast("long").alias("__cnt")
     )
 
     # per-buffer horizon: the largest tracked value; a COMPLETE buffer
@@ -392,6 +445,10 @@ def retractable_minmax_update(
         .filter(F.col("__rk") <= k)
         .select(*keys, "__side", "__val", "__cnt", "__complete")
     )
+    # pinned: referenced by the survivor probe AND the final anti-join —
+    # un-pinned, each re-derives the merge+trim subtree (state-sized
+    # data, but the LINEAGE re-plans the whole upstream DAG)
+    trimmed = _pin(trimmed)
 
     # groups needing a rebuild: a BUFFER (group, side) existed but is
     # now empty while incomplete (underflow — per SIDE: a delete storm
@@ -412,7 +469,8 @@ def retractable_minmax_update(
         .distinct()
         .join(had.select(*keys).distinct(), keys, "left_anti")
     )
-    rebuild_keys = underflow.unionByName(new_groups).distinct()
+    # pinned: feeds both the rebuild semi-join and the final anti-join
+    rebuild_keys = _pin(underflow.unionByName(new_groups).distinct())
     rebuilt = minmax_state_from_base(
         base_after.join(rebuild_keys, keys, "left_semi"),
         keys, value_col, k=k,

@@ -458,14 +458,29 @@ def q_kmv_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "source", F.explode(word_shingles("text")).alias("shingle")
     )
-    sk = kmv_sketch(sh, "source", "shingle", k=_KMV_K)
+    # distinct (source, shingle) is computed ONCE and pinned (lazy
+    # localCheckpoint): the sketch build and the exact-intersection
+    # audit both derive from it, and un-pinned each reference re-ran
+    # the whole shingle explode + string distinct (the query's
+    # dominant cost) from the parquet scan
+    ds = sh.distinct().localCheckpoint(eager=False)
+    sk = kmv_sketch(ds, "source", "shingle", k=_KMV_K)
     est = kmv_pair_overlap(sk, k=_KMV_K)
-    ds = sh.distinct()
+    # the exact audit joins on the 60-bit shingle hash, not the string:
+    # rows are distinct (source, shingle) so equal-hash rows across two
+    # sources are exactly the shared distinct shingles (modulo the same
+    # accepted ~n²/2⁶⁰ collision risk the whole shingle-hash family
+    # carries) — 8-byte join keys instead of shuffling shingle strings
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.sketches import (
+        hll_hash,
+    )
+
+    dsv = ds.select("source", hll_hash(F.col("shingle")).alias("hv"))
     exact = (
-        ds.alias("a")
+        dsv.alias("a")
         .join(
-            ds.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            dsv.alias("b"),
+            (F.col("a.hv") == F.col("b.hv"))
             & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(

@@ -51,15 +51,21 @@ def test_pagerank_exact_two_node_hand_computation(spark):
     assert ranks[1] == ranks[2] == r
 
 
-def test_pagerank_plan_is_lazy(spark):
-    """Building the rank plan must run no Spark jobs (N rides along as
-    a broadcast aggregate, not a driver count)."""
-    before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+def test_pagerank_pins_flatten_the_plan(spark):
+    """The edge list, degree table, and per-round ranks are pinned
+    (localCheckpoint) so each is computed ONCE per run instead of
+    re-derived at every reference — the returned plan must therefore be
+    a flat projection over the final pinned round (one ExistingRDD scan,
+    no Exchange, and no re-derivation of the edge subtree). Building
+    runs the pin jobs eagerly under AQE, which is why the pagerank
+    queries sit in test_plans._EAGER_BUILD_OK."""
     v = spark.range(100).select(F.col("id"))
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
-    pagerank_fixed_point(v, e, iterations=2)
-    after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
-    assert after == before
+    ranks = pagerank_fixed_point(v, e, iterations=2)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_weighted_pagerank_favors_strong_edges(spark):
