@@ -682,36 +682,44 @@ def hamming_pairs(
             F.array(chunk - 1, chunk),  # boundary row bridges the chunks
         ).otherwise(F.array(chunk))
     )
+    # signatures RIDE the candidate pipeline as (id, hash) structs: the
+    # old shape joined the signature table back twice to fetch sh_a/sh_b
+    # for verification, re-deriving the (often expensive — SimHash bit
+    # votes over the whole corpus) signature subtree three times per
+    # query. Carrying the 8-byte hash through the bucket explode costs
+    # one long per candidate row and removes both joins; the pair-grain
+    # distinct is unchanged because the hash is functionally dependent
+    # on the id.
     buckets = (
-        ranked.select("id", "q", "qh", F.explode(subs).alias("sub"))
+        ranked.select(
+            F.struct(F.col("id"), F.col("__h")).alias("rec"),
+            "q", "qh", F.explode(subs).alias("sub"),
+        )
         .groupBy("q", "qh", "sub")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.collect_list("rec").alias("recs"))
+        .filter(F.size("recs") > 1)
     )
     cands = (
         buckets.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                    "flatten(transform(recs, (x, i) -> "
+                    "transform(slice(recs, i + 2, size(recs) - i - 1), "
+                    "y -> struct("
+                    "CASE WHEN x.id < y.id THEN x.id ELSE y.id END AS id_a, "
+                    "CASE WHEN x.id < y.id THEN y.id ELSE x.id END AS id_b, "
+                    "CASE WHEN x.id < y.id THEN x.__h ELSE y.__h END AS sh_a, "
+                    "CASE WHEN x.id < y.id THEN y.__h ELSE x.__h END AS sh_b"
+                    "))))"
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
-    )
-    sig_a = sigs.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a")
-    )
-    sig_b = sigs.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cands.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("hamming", hamming)
+        cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

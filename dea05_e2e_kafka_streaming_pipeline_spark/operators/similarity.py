@@ -2276,10 +2276,17 @@ def kcenter_coreset(
     sel_dist)`` — sel_dist is the selection's distance-to-picked-set,
     the k-center coverage radius sequence (NULL for the seed)."""
     spark = df.sparkSession
-    e = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    ).withColumn("sq", _dot(F.col("v"), F.col("v")))
+    e = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("sq", _dot(F.col("v"), F.col("v")))
+        # pinned: the k-1 farthest-point passes below each re-read the
+        # vector table — un-pinned, every pass re-ran the scan + the
+        # double-cast + |v|² projection (k-1 redundant corpus scans)
+        .localCheckpoint(eager=False)
+    )
     seed = e.orderBy("id").first()
     picks: list[tuple[int, int, float | None]] = [(1, seed["id"], None)]
     centers: list[tuple[list[float], float]] = [(seed["v"], seed["sq"])]
