@@ -76,18 +76,18 @@ def pagerank_fixed_point(
         )
         deg_agg = F.sum("w").alias("deg")
         contrib_expr = "(r * w) div deg"
-    # Pin (lazy localCheckpoint) the tables every iteration re-reads:
-    # the edge list is typically an EXPENSIVE subtree (the near-dup
-    # queries feed the full inverted-index Jaccard plan in here), and a
-    # DataFrame re-derives its whole lineage at each reference — e and
-    # deg are read once per round, and the ranks chain references
-    # itself twice per round (contrib join + the __n carry), doubling
-    # the unpinned plan per iteration (2^rounds vertex scans). The pins
-    # are exactly GraphX's persist-the-edges discipline; eager=False
-    # keeps plan-building job-free (registry lazy-build rule) and
-    # nothing survives the query — every run recomputes from source.
-    e = e.localCheckpoint(eager=False)
-    deg = e.groupBy("src").agg(deg_agg).localCheckpoint(eager=False)
+    # NOT pinned, deliberately (r8 measurement): the edge list is often
+    # an expensive subtree (near-dup queries feed the full inverted-
+    # index Jaccard plan in here) referenced once per round, but
+    # Spark's ReuseExchange/AQE stage reuse already dedupes the
+    # identical subtrees within one execution — bench-methodology
+    # timings with localCheckpoint pins on e/deg/ranks were 4.7x SLOWER
+    # (8.7 s vs 1.9 s at sf0.1): under AQE each pin materializes its
+    # upstream stages eagerly per DataFrame build, paying the subtree
+    # once per pin instead of once per run. For iteration counts large
+    # enough that PLAN SIZE itself becomes the cost, checkpoint per
+    # round as in ``connected_components``.
+    deg = e.groupBy("src").agg(deg_agg)
     n_df = vertices.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
         vertices.select(F.col(id_col).alias("v"))
@@ -113,7 +113,6 @@ def pagerank_fixed_point(
                 ),
             )
             .drop("s")
-            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias("rank_fp"))
 

@@ -51,21 +51,20 @@ def test_pagerank_exact_two_node_hand_computation(spark):
     assert ranks[1] == ranks[2] == r
 
 
-def test_pagerank_pins_flatten_the_plan(spark):
-    """The edge list, degree table, and per-round ranks are pinned
-    (localCheckpoint) so each is computed ONCE per run instead of
-    re-derived at every reference — the returned plan must therefore be
-    a flat projection over the final pinned round (one ExistingRDD scan,
-    no Exchange, and no re-derivation of the edge subtree). Building
-    runs the pin jobs eagerly under AQE, which is why the pagerank
-    queries sit in test_plans._EAGER_BUILD_OK."""
+def test_pagerank_builds_lazily(spark):
+    """PageRank deliberately carries NO localCheckpoint pins (r8
+    measurement: pins were 4.7x slower under the bench methodology —
+    ReuseExchange/AQE stage reuse already dedupes the repeated edge
+    subtree within one execution, while each pin materializes its
+    upstream stages eagerly per DataFrame build). Building the plan
+    must therefore run ZERO jobs (registry lazy-build rule)."""
     v = spark.range(100).select(F.col("id"))
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
-    ranks = pagerank_fixed_point(v, e, iterations=2)
-    plan = ranks._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
-    assert "Exchange" not in plan
-    assert "Join" not in plan
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    pagerank_fixed_point(v, e, iterations=2)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "building the pagerank plan ran driver jobs"
 
 
 def test_weighted_pagerank_favors_strong_edges(spark):

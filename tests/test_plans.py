@@ -219,15 +219,14 @@ _EAGER_BUILD_OK = {
     # same CC closure as dbscan_embeddings, cell-blocked
     "dbscan_cells_embeddings",
     # r8 optimization: multiply-referenced state tables are pinned with
-    # lazy localCheckpoints (edges/degrees/per-round ranks in PageRank;
-    # buffer state/delta/trim in retractable min-max; the KMV sketch and
-    # distinct-shingle tables) — under AQE, planning the checkpoint RDD
-    # materializes its upstream shuffle stages, which surfaces as jobs
-    # at build. The alternative was re-deriving the expensive subtree
-    # per reference (the un-pinned min-max step planned 564 parquet
-    # scans; PageRank re-ran the full Jaccard pair pipeline 6×).
-    "pagerank_dedup_graph",
-    "pagerank_weighted_dedup",
+    # lazy localCheckpoints (buffer state/delta/trim in retractable
+    # min-max; the KMV sketch and distinct-shingle tables) — under AQE,
+    # planning the checkpoint RDD materializes its upstream shuffle
+    # stages, which surfaces as jobs at build. The alternative was
+    # re-deriving the expensive subtree per reference (the un-pinned
+    # min-max step planned 564 parquet scans). PageRank is NOT here:
+    # its pins measured 4.7x slower than exchange reuse and were
+    # reverted (operators/graph.py).
     "retractable_minmax_sales",
     "kmv_user_overlap",
     "kmv_source_shingle_overlap",
