@@ -2215,26 +2215,30 @@ def ndcg_eval(
         w.alias("w_t"),
     )
     c = candidate.select(F.col(id_col), w.alias("w_c"))
-    dcg = (
-        c.join(t.select(id_col, "gain"), id_col, "left")
-        .select(
-            (F.coalesce(F.col("gain"), F.lit(0)) * F.col("w_c")).alias("d")
-        )
-        .agg(F.sum("d").alias("dcg_micro"))
-    )
-    idcg = t.select((F.col("gain") * F.col("w_t")).alias("d")).agg(
-        F.sum("d").alias("idcg_micro")
-    )
-    return (
-        dcg.crossJoin(F.broadcast(idcg))
-        .select(
-            F.lit(method).alias("method"),
-            "dcg_micro",
-            "idcg_micro",
-            F.round(
-                F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
-            ).alias("ndcg_r6"),
-        )
+    # ONE full-outer join + ONE aggregate (r8): the old shape read the
+    # truth list twice (dcg's left join + a second idcg aggregate) and
+    # cross-joined the two one-row results — on a full outer join,
+    # matched and candidate-only rows contribute gain·w_c to DCG
+    # (truth-only rows contribute 0 via the null w_c), and matched and
+    # truth-only rows contribute gain·w_t to IDCG (candidate-only rows
+    # have null gain·w_t) — identical exact-integer sums, but the
+    # upstream ranking subtree is derived once per list, not twice.
+    joined = c.join(t, id_col, "full")
+    return joined.agg(
+        F.sum(
+            F.coalesce(F.col("gain"), F.lit(0))
+            * F.coalesce(F.col("w_c"), F.lit(0))
+        ).alias("dcg_micro"),
+        F.sum(F.coalesce(F.col("gain") * F.col("w_t"), F.lit(0))).alias(
+            "idcg_micro"
+        ),
+    ).select(
+        F.lit(method).alias("method"),
+        "dcg_micro",
+        "idcg_micro",
+        F.round(
+            F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+        ).alias("ndcg_r6"),
     )
 
 

@@ -1655,6 +1655,22 @@ def mann_whitney_u(
     ).unionByName(
         df_b.select(F.col(value_col).alias("v"), F.lit(0).alias("__a"))
     )
+    return mann_whitney_u_tagged(tagged, "v", "__a")
+
+
+def mann_whitney_u_tagged(
+    tagged: DataFrame, value_col: str, tag_col: str
+) -> DataFrame:
+    """:func:`mann_whitney_u` over a single PRE-TAGGED table — rows
+    carry ``tag_col`` in {1, 0} for sample A/B membership. Callers whose
+    label is already a column (e.g. ``ranking_auc_int8``'s top-20
+    membership flag) use this entry point directly: splitting into two
+    DataFrames and re-unioning them would derive the (often expensive)
+    scored subtree once per side (r8 measurement), where one tagged
+    pass reads it once. Identical exact-integer midrank algebra."""
+    tagged = tagged.select(
+        F.col(value_col).alias("v"), F.col(tag_col).alias("__a")
+    )
     counts = tagged.groupBy("v").agg(
         F.sum("__a").cast("long").alias("n_a"),
         F.sum(1 - F.col("__a")).cast("long").alias("n_b"),

@@ -1823,7 +1823,12 @@ def q_ndcg_int8_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(cosine_similarity(F.col("v"), qv), 6).alias("s_exact"),
         F.round(cosine_similarity(deq, qv), 6).alias("s_int8"),
-    )
+    # persisted (lazy — zero jobs at plan build): both toplists and the
+    # eval join reference this 3-double-per-vector table; un-persisted,
+    # each reference re-ran the parquet array scan + both interpreted
+    # higher-order-function cosines (no Exchange in the subtree, so
+    # ReuseExchange cannot dedupe a TakeOrdered lineage)
+    ).persist()
 
     def toplist(col: str) -> DataFrame:
         top = scored.orderBy(F.desc(col), "vec_id").limit(20)
@@ -1903,7 +1908,7 @@ def q_ranking_auc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity,
     )
     from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
-        mann_whitney_u,
+        mann_whitney_u_tagged,
     )
     from dea05_e2e_kafka_streaming_pipeline_spark.sources.registry import load_table
 
@@ -1925,16 +1930,18 @@ def q_ranking_auc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(cosine_similarity(F.col("v"), qv), 6).alias("s_exact"),
         F.round(cosine_similarity(deq, qv), 6).alias("s_int8"),
-    )
+    # persisted (lazy): referenced by the top-20 list and the labeling
+    # join — un-persisted each reference re-ran the array scan + both
+    # interpreted cosines (same rationale as ndcg_int8_ranking)
+    ).persist()
     top20 = scored.orderBy(F.desc("s_exact"), "vec_id").limit(20).select("vec_id")
     labeled = scored.join(
         top20.withColumn("__pos", F.lit(1)), "vec_id", "left"
     ).select("s_int8", F.coalesce("__pos", F.lit(0)).alias("__pos"))
-    mw = mann_whitney_u(
-        labeled.filter(F.col("__pos") == 1).select("s_int8"),
-        labeled.filter(F.col("__pos") == 0).select("s_int8"),
-        "s_int8",
-    )
+    # single tagged pass: the pos/neg split + re-union of the old
+    # two-sample call derived `labeled` (and the scored subtree under
+    # it) once per side; __pos IS the sample tag
+    mw = mann_whitney_u_tagged(labeled, "s_int8", "__pos")
     return mw.select(
         F.col("n_a").alias("n_pos"),
         F.col("n_b").alias("n_neg"),
