@@ -227,12 +227,53 @@ def clustering_coefficients(
     )
 
 
+def _kcore_driver(spark, rows: list, k: int) -> DataFrame:
+    """Driver-side worklist peel for SMALL edge lists (entered only
+    through :func:`k_core`'s bounded-take gate — the same size-adaptive
+    discipline as ``connected_components(algorithm="auto")``): the
+    k-core is the UNIQUE maximal subgraph of min-degree ≥ k, so any
+    peel order (the distributed simultaneous rounds, the oracle's
+    16-round unroll, this asynchronous worklist) reaches the identical
+    fixpoint. The distributed loop's per-round cost (degree aggregate +
+    two semi-joins + checkpoint + count, × diameter-ish rounds) dwarfs
+    a microsecond worklist on graphs this size."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(set)
+    for r in rows:
+        adj[r.lo].add(r.hi)
+        adj[r.hi].add(r.lo)
+    queue = [v for v, nb in adj.items() if len(nb) < k]
+    while queue:
+        v = queue.pop()
+        nb = adj.get(v)
+        if nb is None or len(nb) >= k:
+            continue
+        for u in nb:
+            un = adj[u]
+            un.discard(v)
+            if len(un) < k:
+                queue.append(u)
+        del adj[v]
+    out = [(int(v), len(nb)) for v, nb in adj.items()]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("v", T.LongType(), False),
+            T.StructField("core_degree", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def k_core(
     edges: DataFrame,
     k: int,
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 32,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """The k-core of an undirected graph — the maximal subgraph where
     every vertex keeps degree ≥ k — by iterative peeling: drop every
@@ -257,12 +298,20 @@ def k_core(
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
-    e = (
+    e_plan = (
         edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # size-adaptive gate (r8, the connected_components "auto" pattern):
+    # ONE bounded fetch; if the whole canonical edge list fits in
+    # driver_max_edges rows the peel runs as a driver worklist —
+    # otherwise the fetched rows are discarded and the distributed
+    # loop runs unchanged (at 100 TB the fetch stops at the bound)
+    fetched = e_plan.take(driver_max_edges + 1)
+    if len(fetched) <= driver_max_edges:
+        return _kcore_driver(edges.sparkSession, fetched, k)
+    e = e_plan.localCheckpoint(eager=True)
     n_edges = e.count()
     for _ in range(max_iterations):
         if n_edges == 0:
@@ -274,11 +323,15 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("v")
+        # lazy checkpoint + count: the count action materializes the
+        # checkpoint blocks in the SAME job (eager=True paid a separate
+        # materialization job before every count — one extra scheduling
+        # round-trip per peel round)
         pruned = e.join(
             keep.withColumnRenamed("v", "lo"), "lo", "leftsemi"
         ).join(
             keep.withColumnRenamed("v", "hi"), "hi", "leftsemi"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_pruned = pruned.count()
         if n_pruned == n_edges:
             break
