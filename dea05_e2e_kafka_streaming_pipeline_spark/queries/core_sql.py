@@ -2008,14 +2008,23 @@ def q_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(at95, F.col("amt"))).alias("p95"),
         )
     )
+    # the clip bounds are cast to DOUBLE before clipping — NOT kept
+    # decimal — because the hash contract is a FLOAT sum on both sides:
+    # DuckDB's percentile_disc returns DOUBLE (greatest/least promote
+    # the decimal amounts), and Spark's percentile_disc did too, so the
+    # committed w_sum bits are a double accumulation; an exact decimal
+    # sum here would drift from the oracle in the last ulps. The scan
+    # order (and so the partial-sum schedule) is unchanged by the
+    # percentile rewrite above — the amt side is the same plan.
+    pd05, pd95 = F.col("p05").cast("double"), F.col("p95").cast("double")
     clipped = amt.join(F.broadcast(pct), "o_orderpriority").withColumn(
-        "w", F.greatest(F.least(F.col("amt"), F.col("p95")), F.col("p05"))
+        "w", F.greatest(F.least(F.col("amt").cast("double"), pd95), pd05)
     )
     return (
         clipped.groupBy("o_orderpriority", "p05", "p95")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("w").cast("double").alias("w_sum"),
+            F.sum("w").alias("w_sum"),
         )
         .select(
             "o_orderpriority",
