@@ -18,6 +18,8 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    local_max_rows: int = 2_000_000,
+    known_n: int | None = None,
 ) -> DataFrame:
     """Total-order global row numbering WITHOUT the single-reducer
     collapse of ``row_number() OVER (ORDER BY ...)`` — Spark plans that
@@ -35,22 +37,60 @@ def global_row_number(
        back to the driver, prefix-summed into offsets, and broadcast-
        joined back: ``rn = offset[pid] + local_rn``.
 
-    The numbered stream is ``persist()``-ed because steps 2→3 take two
-    actions over it; at lake scale the natural form of this operator is
-    "write the range-sorted table, then number from file row counts" —
-    the in-memory persist is the interactive equivalent. ``order_cols``
-    must be a total order (include a unique tie-break) for the result
-    to be deterministic.
+    The numbered stream is pinned with a lazy ``localCheckpoint``
+    because steps 2→3 take two actions over it; at lake scale the
+    natural form of this operator is "write the range-sorted table,
+    then number from file row counts" — the local checkpoint is the
+    interactive equivalent. NOT ``.persist()``: CacheManager matches
+    by canonicalized plan, so a persisted stream would leak across
+    bench repetitions of the same query (r8 verdict); the checkpoint
+    RDD binds to THIS DataFrame object and is recomputed from the
+    inputs on every invocation. ``order_cols`` must be a total order
+    (include a unique tie-break) for the result to be deterministic.
 
     Also the exact-ntile building block: ``bucket = 1 +
     (rn-1)*k/total`` gives equal-frequency buckets without the
     unpartitioned ``ntile`` window (see ``customer_spend_quartiles``'s
     scale note).
+
+    Size-adaptive small branch (r9, the ``connected_components("auto")``
+    / ``k_core`` gate discipline): when the caller proves the input
+    small — ``known_n`` from a count it already ran, or an opt-in
+    ``local_max_rows`` gate (lazy localCheckpoint + count, so the gate
+    probe IS the materialization the scaffold needs anyway) — the
+    numbering collapses to ONE sorted single-partition JVM pass (an
+    explicit ``coalesce(1)``, never a silent ``Window.orderBy``
+    collapse; ``monotonically_increasing_id`` on the one sorted
+    partition is the position, whole-stage codegen, no Python
+    boundary). That skips the scaffold's fixed cost (range-shuffle
+    sample job + pin + per-partition-count collect + broadcast join —
+    measured ~0.9 s at any input size). Above the gate the scaffold
+    runs over the already-materialized checkpoint, so the gate costs
+    one narrow-table write, not a second derivation (every call site
+    projects to the order/payload columns first). ``local_max_rows=0``
+    disables the gate outright for inputs too wide to checkpoint.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    if known_n is None and local_max_rows > 0:
+        # the probe doubles as the materialization: every scaffold
+        # consumer pays a full pass anyway (the old persist), so the
+        # count that decides the branch is not an extra derivation
+        df = df.localCheckpoint(eager=False)
+        known_n = df.count()
+    if known_n is not None and local_max_rows > 0 and known_n <= local_max_rows:
+        # one sorted partition → monotonically_increasing_id IS the
+        # 0-based position (partition 0 contributes no high bits), so
+        # the numbering stays JVM-only whole-stage codegen — no Python
+        # boundary at all on this branch
+        return (
+            df.coalesce(1)
+            .sortWithinPartitions(*[F.col(c) for c in order_cols])
+            .withColumn(
+                out_col, (F.monotonically_increasing_id() + 1).cast("long")
+            )
+        )
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
@@ -63,20 +103,27 @@ def global_row_number(
     )
 
     def number(batches):
+        # arrow-native: the payload columns (doc bodies, decimals) pass
+        # through as untouched arrow buffers — mapInPandas materialized
+        # every cell as a Python object just to stamp two ints (§4.2)
         import numpy as np
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__pid"] = pid
-            pdf["__lrn"] = np.arange(seen + 1, seen + 1 + len(pdf), dtype="int64")
-            seen += len(pdf)
-            yield pdf
+        for batch in batches:
+            n_rows = batch.num_rows
+            pid_arr = pa.array(np.full(n_rows, pid, dtype="int32"))
+            lrn = pa.array(np.arange(seen + 1, seen + 1 + n_rows, dtype="int64"))
+            seen += n_rows
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pid_arr, lrn],
+                names=list(batch.schema.names) + ["__pid", "__lrn"],
+            )
 
-    local = ranged.mapInPandas(number, out_schema).persist(
-        StorageLevel.MEMORY_AND_DISK
+    local = ranged.mapInArrow(number, out_schema).localCheckpoint(
+        eager=False
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -1493,6 +1540,8 @@ def global_cumsum(
     order_cols: list[str],
     sum_cols: list[str],
     num_partitions: int | None = None,
+    local_max_rows: int = 2_000_000,
+    known_n: int | None = None,
 ) -> DataFrame:
     """Running totals of ``sum_cols`` in ``order_cols`` order WITHOUT the
     single-reducer ``sum() OVER (ORDER BY ...)`` collapse — the cumsum
@@ -1508,11 +1557,59 @@ def global_cumsum(
 
     Output: the input columns plus ``cum_<c>`` for each ``c`` in
     ``sum_cols``.
+
+    Size-adaptive small branch (r9): every caller feeds this a
+    DISTINCT-VALUE counts table, so the input is usually bounded by
+    the value domain, not the row count — at that size the scaffold's
+    fixed cost (range-shuffle sample job + pin + per-partition-totals
+    collect + broadcast join, ~0.9 s at any input size) dwarfs the
+    work. The gate (lazy localCheckpoint + count — the probe IS the
+    materialization the scaffold paid anyway) routes inputs ≤
+    ``local_max_rows`` to ONE sorted single-partition Arrow pass (the
+    ``_seq_cumsum`` idiom, explicit ``coalesce(1)``); larger inputs
+    run the scaffold over the already-materialized checkpoint
+    unchanged. ``local_max_rows=0`` disables the gate; ``known_n``
+    skips the probe when the caller already counted.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    if known_n is None and local_max_rows > 0:
+        df = df.localCheckpoint(eager=False)
+        known_n = df.count()
+    if known_n is not None and local_max_rows > 0 and known_n <= local_max_rows:
+        small_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(f"cum_{c}", T.LongType(), True) for c in sum_cols]
+        )
+
+        def running_single(batches):
+            # arrow-native (mapInArrow, not mapInPandas): the order
+            # column is often DECIMAL, which pandas converts to Python
+            # Decimal objects row by row — pyarrow passes it through as
+            # untouched decimal128 buffers and the int64 cumsum runs
+            # vectorized (guide §4.2)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            carry = {c: 0 for c in sum_cols}
+            for batch in batches:
+                names = list(batch.schema.names)
+                cols = list(batch.columns)
+                for c in sum_cols:
+                    col = pc.cast(batch.column(names.index(c)), pa.int64())
+                    cs = pc.add(pc.cumulative_sum_checked(col), carry[c])
+                    if batch.num_rows:
+                        carry[c] = cs[batch.num_rows - 1].as_py()
+                    cols.append(cs)
+                    names.append(f"cum_{c}")
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+
+        return (
+            df.coalesce(1)
+            .sortWithinPartitions(*[F.col(c) for c in order_cols])
+            .mapInArrow(running_single, small_schema)
+        )
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
@@ -1523,21 +1620,31 @@ def global_cumsum(
     )
 
     def running(batches):
+        # arrow-native for the same reason as global_row_number's
+        # stamping pass: decimal order columns stay decimal128 buffers
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         carry = {c: 0 for c in sum_cols}
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__pid"] = pid
+        for batch in batches:
+            names = list(batch.schema.names)
+            cols = list(batch.columns)
+            cols.append(pa.array(np.full(batch.num_rows, pid, dtype="int32")))
+            names.append("__pid")
             for c in sum_cols:
-                pdf[f"__lcs_{c}"] = pdf[c].astype("int64").cumsum() + carry[c]
-                if len(pdf):
-                    carry[c] = int(pdf[f"__lcs_{c}"].iloc[-1])
-            yield pdf
+                col = pc.cast(batch.column(names.index(c)), pa.int64())
+                cs = pc.add(pc.cumulative_sum_checked(col), carry[c])
+                if batch.num_rows:
+                    carry[c] = cs[batch.num_rows - 1].as_py()
+                cols.append(cs)
+                names.append(f"__lcs_{c}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    local = ranged.mapInPandas(running, out_schema).persist(
-        StorageLevel.MEMORY_AND_DISK
+    local = ranged.mapInArrow(running, out_schema).localCheckpoint(
+        eager=False
     )
     totals = sorted(
         (r["__pid"], tuple(r[f"__t_{c}"] for c in sum_cols))
@@ -1715,6 +1822,9 @@ def mann_whitney_u_tagged(
     )
 
 
+_RANK_LOCAL_MAX = 8_000_000  # single-task rank-selection bound (doubles)
+
+
 def theil_sen(
     series: DataFrame,
     x_col: str = "x",
@@ -1745,41 +1855,94 @@ def theil_sen(
     Output: ONE row — n_points, n_pairs, the exact fixed-point medians
     (slope_q, intercept_q, 1e-9 units) and their double views.
     """
+    # pin the series once (r9): un-pinned it was re-aggregated THREE
+    # times — once per self-join side and once for the residuals; the
+    # per-x count aggregate below doubles as the pin's materialization
     s = series.select(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
+    ).localCheckpoint(eager=False)
+    # n_points / n_pairs arithmetically from per-x counts (one tiny
+    # aggregate over the bounded series) instead of counting the pair
+    # join output: pairs require xi < xj STRICTLY, so ties contribute
+    # nothing and n_pairs = (k² − Σ c_x²) / 2 exactly
+    stats = (
+        s.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").cast("long").alias("k"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+        )
+        .head()
     )
+    n_points = int(stats["k"] or 0)
+    n_pairs = (n_points * n_points - int(stats["c2"] or 0)) // 2
     a = s.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
     b = s.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
-    # Intermediate quantized values are decimal(38,0), NOT long: the
-    # EXTREME pairwise slopes of a cents-denominated series overflow
-    # int64 at the 1e-9 grain once daily totals pass ~9e9 cents (seen
-    # at the x10 tier — CAST_OVERFLOW on 9.47e18). The MEDIANS are
-    # small and surface as long; only the rank ordering ever sees the
-    # extremes, and decimal orders identically.
+    # The slope rank runs on the DOUBLE from round() directly (r9) —
+    # NOT on a decimal(38,0) cast of it: round() computes in double, so
+    # the decimal rendering is a monotone INJECTIVE image of the double
+    # (integer-valued doubles map to distinct integers exactly, at any
+    # magnitude — above 2^53 every representable double IS an integer).
+    # Ranking the doubles therefore selects the identical median value,
+    # while the sort key drops from 16-byte decimal128 comparisons to
+    # radix-friendly 8-byte doubles and 2.9M cast expressions disappear.
+    # int64 is still NOT safe: extreme pairwise slopes of a cents series
+    # pass ~9.2e18 at the x10 tier (observed CAST_OVERFLOW on 9.47e18);
+    # the median itself is small and is rendered exactly from the
+    # double by int() below.
+    # the pairs carry the RAW double slope·1e9 — round() is monotone
+    # non-decreasing, so the k-th order statistic commutes with it
+    # (sorted(round(x)) == round(sorted(x)) elementwise) and the
+    # HALF_UP BigDecimal round runs on ONE selected row instead of
+    # every pair (measured 1.4 s of per-value BigDecimal allocation
+    # over the 2.9M-pair space); the round stays a Spark expression so
+    # its exact-decimal semantics are untouched
     slopes = (
         a.join(b, F.col("xi") < F.col("xj"))
         .select(
-            F.round(
+            (
                 (F.col("yj") - F.col("yi"))
                 / (F.col("xj") - F.col("xi"))
                 * F.lit(1e9)
-            )
-            .cast("decimal(38,0)")
-            .alias("slope_q")
+            ).alias("slope_q")
         )
     )
 
-    def rank_median(df: DataFrame, col: str) -> tuple[int, int]:
-        n = df.count()
-        ranked = global_row_number(df, [col], out_col="__rn")
+    def value_at_rank(
+        df: DataFrame, col: str, n: int, finalize=None
+    ) -> int:
+        # selection, not numbering: n is already known, so the table is
+        # derived exactly ONCE — its parallel compute feeds a
+        # repartition(1) exchange (upstream stays parallel; an explicit
+        # 1-partition sort, never a silent Window collapse) and the
+        # single sorted task streams to the target rank. Bounded input
+        # by contract (daily-grain pair space ~2.9M rows at every SF —
+        # docstring); above ``_RANK_LOCAL_MAX`` fall back to the
+        # range-shuffle scaffold over a pinned copy.
         target = (n + 1) // 2
-        return (
-            int(ranked.filter(F.col("__rn") == target).head()[col]),
-            n,
+        if n > _RANK_LOCAL_MAX:
+            df = df.localCheckpoint(eager=False)
+            ranked = global_row_number(
+                df, [col], out_col="__rn", local_max_rows=0, known_n=n
+            )
+        else:
+            ranked = (
+                df.repartition(1)
+                .sortWithinPartitions(col)
+                .withColumn(
+                    "__rn",
+                    (F.monotonically_increasing_id() + 1).cast("long"),
+                )
+            )
+        picked = ranked.filter(F.col("__rn") == target).select(
+            (finalize(F.col(col)) if finalize else F.col(col)).alias("__v")
         )
+        return int(picked.head()["__v"])
 
-    slope_q, n_pairs = rank_median(slopes, "slope_q")
+    slope_q = value_at_rank(
+        slopes, "slope_q", n_pairs, finalize=lambda c: F.round(c)
+    )
     # Intercept candidates in EXACT decimal arithmetic:
     #   round((y − slope·x)·1e9) == round(y·1e9 − slope_q·x)
     # algebraically, but the left form evaluates in DOUBLE and a
@@ -1799,7 +1962,7 @@ def theil_sen(
         .cast("decimal(38,0)")
         .alias("icept_q")
     )
-    icept_q, n_points = rank_median(resid, "icept_q")
+    icept_q = value_at_rank(resid, "icept_q", n_points)
     spark = series.sparkSession
     # surface the exact fixed-point medians plus their double views —
     # no re-rounding (a 6-dp round of a 9-dp quantity can tie-break

@@ -1987,19 +1987,38 @@ def q_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group value in deserialized object form — measured 1.2-1.4 s vs
     # 0.5 s for the whole-stage-codegen rank plan on the same input).
     # SQL-standard semantics, integer-exact: percentile_disc(p) = min v
-    # with cume_dist(v) ≥ p = the value at the FIRST row_number rk where
-    # 100·rk ≥ p100·n — no p·n double multiply, so the ceil boundary
-    # (n divisible by 20) cannot drift from either engine (probed: Spark
-    # and DuckDB agree with this formula at n=20/40/100 exactly).
-    rk_w = Window.partitionBy("o_orderpriority").orderBy("amt")
-    n_w = Window.partitionBy("o_orderpriority")
-    ranked = amt.withColumn("rk", F.row_number().over(rk_w)).withColumn(
-        "n", F.count(F.lit(1)).over(n_w)
+    # with cume_dist(v) ≥ p — no p·n double multiply, so the ceil
+    # boundary (n divisible by 20) cannot drift from either engine
+    # (probed: Spark and DuckDB agree with this formula at n=20/40/100
+    # exactly). The rank runs at DISTINCT-VALUE grain (r9, guide §2.5):
+    # aggregate to (priority, amt, count) first — map-side combinable —
+    # then a cumulative count over the distinct values. cume_dist(v) =
+    # cum/n ≥ p ⟺ 100·cum ≥ p100·n, and the boundary value is the
+    # first distinct v whose cumulative count crosses (the previous
+    # value's cum = cum − c is strictly below). The per-priority sort
+    # task then sees |distinct amounts| rows — bounded by the price
+    # range at the decimal(·,2) grain (~6e7 values), NOT by row count —
+    # where the old row_number window single-task-sorted the whole
+    # priority's raw rows (5 partitions = 5 full-table sorts at 100 TB).
+    # All rank arithmetic is on longs (sum of counts), so nothing wraps
+    # at any scale (the old IntegerType rk·100 wrapped past 21.4M rows
+    # per group).
+    vals = amt.groupBy("o_orderpriority", "amt").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    rk100 = F.col("rk") * 100
-    rk100_prev = (F.col("rk") - 1) * 100
-    at05 = (rk100 >= F.col("n") * 5) & (rk100_prev < F.col("n") * 5)
-    at95 = (rk100 >= F.col("n") * 95) & (rk100_prev < F.col("n") * 95)
+    cum_w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("amt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_w = Window.partitionBy("o_orderpriority")
+    ranked = vals.withColumn("cum", F.sum("c").over(cum_w)).withColumn(
+        "n", F.sum("c").over(n_w)
+    )
+    cum100 = F.col("cum") * 100
+    prev100 = (F.col("cum") - F.col("c")) * 100
+    at05 = (cum100 >= F.col("n") * 5) & (prev100 < F.col("n") * 5)
+    at95 = (cum100 >= F.col("n") * 95) & (prev100 < F.col("n") * 95)
     pct = (
         ranked.filter(at05 | at95)
         .groupBy("o_orderpriority")

@@ -566,6 +566,16 @@ def test_global_row_number_matches_window(spark):
         ).collect()
     }
     assert got == want
+    # both branches of the r9 size gate must agree with the oracle:
+    # the default above routed 1000 rows to the Coalesce(1) JVM branch;
+    # local_max_rows=0 forces the range-shuffle scaffold
+    got_scaffold = {
+        (r.key, r.id): r.rn
+        for r in global_row_number(
+            df, ["key", "id"], num_partitions=5, local_max_rows=0
+        ).collect()
+    }
+    assert got_scaffold == want
 
 
 def test_hbos_flags_sparse_bin_rows(spark):
@@ -638,6 +648,15 @@ def test_global_cumsum_matches_window(spark):
         ).collect()
     }
     assert got == want
+    # both branches of the r9 size gate must agree with the oracle
+    # (default above = arrow single-partition branch; 0 = scaffold)
+    got_scaffold = {
+        (r.key): (r.cum_x, r.cum_y)
+        for r in global_cumsum(
+            df, ["key"], ["x", "y"], num_partitions=5, local_max_rows=0
+        ).collect()
+    }
+    assert got_scaffold == want
 
 
 def test_ks_two_sample_identical_and_disjoint(spark):
@@ -678,7 +697,32 @@ def test_ks_two_sample_no_unpartitioned_window(spark):
     b = spark.range(0, 150).selectExpr("cast(id % 17 as double) as v")
     plan = ks_two_sample(a, b, "v")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "rangepartitioning" in plan
+    # r9 size gate: tiny distinct-value tables take the explicit
+    # Coalesce(1) arrow branch; above the gate the scaffold's range
+    # shuffle appears (asserted below on the operator directly)
+    assert "Coalesce 1" in plan or "rangepartitioning" in plan
+
+
+def test_global_cumsum_scaffold_above_gate_uses_range_shuffle(spark):
+    """With the size gate disabled, global_cumsum must keep the
+    range-shuffle scaffold: no Window operator, rangepartitioning
+    present — the 100 TB contract for above-gate inputs."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.plans.analytics import (
+        global_cumsum,
+    )
+
+    df = spark.range(0, 300).selectExpr(
+        "cast(id as double) as v", "id % 7 + 1 as c"
+    )
+    out = global_cumsum(df, ["v"], ["c"], local_max_rows=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the scaffold signature: the numbered stream is a pinned RDD scan
+    # broadcast-joined to the driver-folded offsets (the range shuffle
+    # itself lives inside the checkpointed lineage, invisible to the
+    # SQL plan); the small branch's Coalesce(1) must NOT appear
+    assert "Coalesce 1" not in plan
+    assert "BroadcastHashJoin" in plan and "ExistingRDD" in plan
 
 
 def test_mann_whitney_hand_case_and_symmetry(spark):

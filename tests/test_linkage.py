@@ -350,7 +350,10 @@ def test_snb_plan_has_no_single_partition_window(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # r9 size-adaptive numbering: a gated input this small takes the
+    # explicit Coalesce(1) JVM branch; above the gate the scaffold's
+    # range shuffle appears instead — either way, never a Window
+    assert "Coalesce 1" in plan or "rangepartitioning" in plan.lower()
 
 
 def test_snb_window_must_be_positive(spark):
