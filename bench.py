@@ -305,12 +305,24 @@ def main() -> int:
 
     # per-tier side files: the x10 run writes bench_metrics_x10.json so
     # the sf0.1 snapshot (budget provenance) isn't clobbered
+    side["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     side_path = os.path.join(
         here, os.environ.get("SPARK_GRAFT_BENCH_METRICS", "bench_metrics.json")
     )
     with open(side_path, "w") as f:
         json.dump(side, f, indent=1)
     print(f"# metrics -> {side_path}", file=sys.stderr)
+    # ALSO write a per-cpus copy (r8 verdict item 8): the driver's
+    # low-core scaling rerun overwrites bench_metrics.json, which
+    # destroyed the 32-core per-query record in round 8 (the driver's
+    # per_query/scaling tables came back empty). A cpus-suffixed
+    # sibling survives any later rerun, so two runs from one round can
+    # always be diffed. Pure artifact addition — timings, methodology
+    # and the stdout contract are untouched.
+    cpus_path = side_path.replace(".json", f"_c{side['cpus']}.json")
+    with open(cpus_path, "w") as f:
+        json.dump(side, f, indent=1)
+    print(f"# metrics -> {cpus_path}", file=sys.stderr)
     print(
         json.dumps(
             {

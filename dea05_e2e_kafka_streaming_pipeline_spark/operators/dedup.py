@@ -1157,28 +1157,25 @@ def edit_distance_pairs(
         F.explode("sh").alias("s"),
     )
     a, b = inv.alias("a"), inv.alias("b")
-    # The length bound is applied AFTER the distinct, not in the join
-    # condition: measured 2× faster at bench scale — evaluating the
-    # bound inside the join runs it once per SHARED SHINGLE, the
-    # post-distinct filter once per PAIR. The lengths themselves DO
-    # ride through the index and the distinct (two extra ints per row,
-    # functionally dependent on the ids so the distinct is unchanged):
-    # that lets the bound run before any text body is fetched. Measured
-    # at sf0.1 the bound kills 86% of candidates (1.13M -> 159k), so
-    # the body joins — the only place candidate-cardinality rows carry
-    # multi-KB strings through a shuffle — see 7× fewer rows; at the
-    # spill-constrained x100 tier that volume is what hits disk.
+    # The length bound runs BEFORE the pair distinct (r9; r8 had it
+    # after): the bound kills 86% of shared-shingle rows (1.27M →
+    # ~170k at sf0.1), so the distinct's exchange shuffles 7× fewer —
+    # and 2-int-narrower — rows; a paired probe measured the two
+    # orders within noise at sf0.1 (1.8-2.7 s overlapping bands), so
+    # the scale-right order costs nothing locally. The lengths ride
+    # through the index (two extra ints per row): the bound runs
+    # before any text body is fetched, and the body joins — the only
+    # place candidate-cardinality rows carry multi-KB strings through
+    # a shuffle — see the same 7× reduction; at the spill-constrained
+    # x100 tier that volume is what hits disk.
     survivors = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .filter(F.abs(F.col("a.l") - F.col("b.l")) <= max_dist)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.l").alias("__la"),
-            F.col("b.l").alias("__lb"),
         )
         .distinct()
-        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
-        .select("id_a", "id_b")
     )
     ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("__ta"))
     tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("__tb"))

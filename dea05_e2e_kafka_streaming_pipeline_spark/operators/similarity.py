@@ -2205,6 +2205,14 @@ def ndcg_eval(
     is list-sized; the heavy lifting happened in whatever produced the
     rankings. Returns one row ``(method, dcg_micro, idcg_micro,
     ndcg_r6)``.
+
+    Preconditions (r9, advice item): ``id_col`` must be UNIQUE in both
+    lists — the full-outer join would duplicate the matched truth row
+    for a repeated candidate id and inflate idcg_micro (every in-repo
+    producer emits row_number'd top-k lists, unique by construction).
+    An EMPTY candidate list yields dcg_micro = 0 and ndcg = 0.0 (the
+    r8 single-join shape; the pre-r8 form returned NULL there) — 0 is
+    the intended reading: an empty ranking retrieves nothing.
     """
     w = F.round(
         F.lit(1_000_000.0) / F.log2(F.col("rk").cast("double") + 1), 0

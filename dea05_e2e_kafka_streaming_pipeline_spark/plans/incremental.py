@@ -414,6 +414,17 @@ def retractable_minmax_update(
             keys,
         )
     )
+    # overlap the two INDEPENDENT pin materializations (guide §2.6
+    # thread-pool submit, r9): the state pin derives from the base
+    # table and the delta pin from the CDC batch — no shared lineage —
+    # but left lazy they materialize one after the other when the
+    # downstream build first touches each. Two concurrent count()
+    # actions back-fill one job's straggler tail with the other's
+    # tasks; the counts themselves are state-sized scalars.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda d: d.count(), (state, batch_delta)))
 
     # per-buffer horizon: the largest tracked value; a COMPLETE buffer
     # has no horizon (every change folds in)

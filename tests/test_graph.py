@@ -60,10 +60,17 @@ def test_pagerank_builds_lazily(spark):
     must therefore run ZERO jobs (registry lazy-build rule)."""
     v = spark.range(100).select(F.col("id"))
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup() or [])
+
+    # DAGScheduler's monotone job counter (the registry probe's form):
+    # counts EVERY submitted job regardless of job group or the UI's
+    # retained-job window — statusTracker().getJobIdsForGroup() missed
+    # grouped jobs and truncated in long sessions (r8 advice item)
+    def n_jobs() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    before = n_jobs()
     pagerank_fixed_point(v, e, iterations=2)
-    after = len(tracker.getJobIdsForGroup() or [])
+    after = n_jobs()
     assert after == before, "building the pagerank plan ran driver jobs"
 
 
@@ -165,6 +172,28 @@ def test_kcore_direction_and_dup_invariant(spark):
 def test_kcore_empty_result(spark):
     got = _core(spark, [(1, 2), (2, 3)], k=2)
     assert got == {}
+
+
+def test_kcore_driver_and_distributed_branches_agree(spark):
+    """The r9 compact numpy peel (under the size gate) and the
+    distributed loop (gate forced to 0) must reach the identical
+    fixpoint — including the cascading pendant chain and a k above
+    every degree."""
+    from dea05_e2e_kafka_streaming_pipeline_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 1), (5, 5), (4, 1)],
+        "src long, dst long",
+    )
+    for k in (1, 2, 3, 9):
+        a = sorted(
+            (r.v, r.core_degree) for r in k_core(edges, k).collect()
+        )
+        b = sorted(
+            (r.v, r.core_degree)
+            for r in k_core(edges, k, driver_max_edges=0).collect()
+        )
+        assert a == b, f"k={k}: driver {a} != distributed {b}"
 
 
 def test_link_prediction_scores_known_graph(spark):

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") output for named queries to
-plans/r08/<query>_<tag>.txt (optimization-round evidence)."""
+plans/<round>/<query>_<tag>.txt (optimization-round evidence).
+
+Usage: [SPARK_GRAFT_PLANS_DIR=r09] python tools/capture_plans.py <tag> <query> [...]"""
 from __future__ import annotations
 
 import os
@@ -16,7 +18,11 @@ def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r09"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
     qs = registry.queries()
