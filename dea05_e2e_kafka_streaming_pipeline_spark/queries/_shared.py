@@ -357,25 +357,35 @@ def _pagerank_oracle(
     order-insensitive, so the ranks hash-match bit-for-bit (see
     operators/graph.py docstring for the determinism argument).
     ``weighted=True`` propagates proportionally to the quantized
-    Jaccard weight round(j·10⁶) instead of uniformly."""
+    Jaccard weight round(j·10⁶) instead of uniformly.
+
+    ``pairs``/``edges`` are MATERIALIZED CTEs (r9): `edges` embeds the
+    whole shingle-explode pair pipeline and is referenced once per
+    iteration plus the degree pass — DuckDB's default CTE inlining
+    re-evaluated that pipeline per reference, which is what filled a
+    77 GB spill volume and killed both x10 oracle checks in rounds 8
+    AND 9 (`No space left on device`). A materialization hint changes
+    evaluation strategy only — bit-identical output."""
     if weighted:
         pairs = (
             "SELECT id_a, id_b, "
             "CAST(round(jaccard * 1000000, 0) AS BIGINT) AS w "
             f"FROM ({_NGRAM_JACCARD_ORACLE})"
         )
-        edges = """edges AS (SELECT id_a AS src, id_b AS dst, w FROM pairs
+        edges = """edges AS MATERIALIZED (
+              SELECT id_a AS src, id_b AS dst, w FROM pairs
               UNION ALL SELECT id_b AS src, id_a AS dst, w FROM pairs),
     deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src)"""
         contrib = "(r.r * e.w) // d.deg"
     else:
         pairs = f"SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})"
-        edges = """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        edges = """edges AS MATERIALIZED (
+              SELECT id_a AS src, id_b AS dst FROM pairs
               UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)"""
         contrib = "r.r // d.deg"
     sql = f"""
-    WITH pairs AS ({pairs}),
+    WITH pairs AS MATERIALIZED ({pairs}),
     {edges},
     nn AS (SELECT count(*) AS n FROM documents),
     r0 AS (SELECT doc_id AS v, {scale} // n AS r FROM documents CROSS JOIN nn)"""

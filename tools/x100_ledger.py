@@ -66,6 +66,13 @@ SUBSET = [
     # spill regime has never executed) and the winnow pair join ---
     "maximal_dup_spans_docs", "exact_substring_dedup_docs",
     "winnow_shared_pairs",
+    # --- r9 additions (r8 verdict item 2: every plan rewritten in the
+    # optimization rounds needs spill-tier evidence): the hamming
+    # signature carry (media side), the KMV pins, the r9 rank-stat
+    # gate/scaffold consumers, and the winsorized distinct-grain rank ---
+    "media_ahash_pairs", "kmv_source_shingle_overlap",
+    "ranking_auc_int8", "theil_sen_revenue_trend",
+    "winsorized_order_stats", "ks_price_drift",
 ]
 
 
